@@ -1,0 +1,238 @@
+"""Distributed XML corpus ingestion.
+
+Reference behavior (lib/document_parser.rb):
+  - scan a directory tree for ``*.xml`` (main.rb:67)
+  - document id = file basename sans extension (document_parser.rb:10)
+  - extract ONLY elements carrying an ``id`` attribute
+    (document_parser.rb:24 ``doc.xpath('//*[@id]')``)
+  - node_type = element name; parent_id = the DIRECT parent's id (or
+    NULL when the parent has no id); position = index among ALL
+    element siblings; content = concatenated descendant text,
+    stripped (nokogiri ``.text``); xpath = nokogiri-style node path
+    (document_parser.rb:26-60)
+  - every non-``id`` attribute becomes a property row
+    (document_parser.rb:39-53)
+  - files that fail to parse are skipped with a warning
+    (lib/async_processor.rb:66-73)
+
+Spark-first design: the directory scan is a ``binaryFile`` read (file
+granularity == split granularity, embarrassingly parallel, no driver
+involvement); parsing runs in ``mapInPandas`` so files travel to
+Python as Arrow batches; the parser emits ONE narrow node table with
+the attributes nested as an array column, and the relational
+projections (documents / nodes / node_properties) are cheap
+DataFrame selects on top. Type inference runs JVM-side afterwards
+(functions/type_inference.py) — not in Python.
+
+At 100 TB: millions of files spread across executors; parse cost is
+per-file and independent; output is columnar immediately. Documents
+too large for one task should be pre-chunked upstream — same
+constraint as any whole-file format (the reference is also
+whole-file: nokogiri DOM-parses each file in memory).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.type_inference import infer_type
+
+# One row per extracted node; attributes nested, exploded later.
+_PARSE_SCHEMA = (
+    "document_id string, filename string, file_size long, parse_error string, "
+    "id string, node_type string, parent_id string, position int, "
+    "content string, xpath string, "
+    "attributes array<struct<property_name: string, property_value: string>>"
+)
+
+
+class XmlCorpus(NamedTuple):
+    """The reference's relational model as three DataFrames."""
+
+    documents: DataFrame
+    nodes: DataFrame
+    properties: DataFrame
+    errors: DataFrame
+
+
+def _local_name(tag: str) -> str:
+    # ElementTree namespaces tags as '{uri}local'; the reference
+    # (nokogiri element.name) reports the local name.
+    return tag.rsplit("}", 1)[-1] if tag.startswith("{") else tag
+
+
+def _parse_one(content: bytes, path: str, size: int) -> list[tuple]:
+    """Parse one XML file to node rows. Pure function — no Spark."""
+    import xml.etree.ElementTree as ET
+
+    document_id = os.path.splitext(os.path.basename(path))[0]
+    rows: list[tuple] = []
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as exc:
+        return [(document_id, path, size, f"parse error: {exc}", None, None, None, None, None, None, None)]
+
+    # Walk once, tracking parent and the nokogiri-style path.
+    stack = [(root, None, None)]  # (element, parent_element, xpath)
+    paths: dict[int, str] = {}
+
+    def xpath_for(el, parent, parent_path) -> str:
+        name = _local_name(el.tag)
+        if parent is None:
+            return f"/{name}"
+        siblings = [c for c in parent if isinstance(c.tag, str)]
+        same_named = [c for c in siblings if _local_name(c.tag) == name]
+        if len(same_named) > 1:
+            idx = next(i for i, c in enumerate(same_named, 1) if c is el)
+            return f"{parent_path}/{name}[{idx}]"
+        return f"{parent_path}/{name}"
+
+    while stack:
+        el, parent, parent_path = stack.pop()
+        if not isinstance(el.tag, str):  # comments / PIs
+            continue
+        my_path = xpath_for(el, parent, parent_path)
+        paths[id(el)] = my_path
+
+        el_id = el.get("id")
+        if el_id is not None:
+            if parent is not None:
+                siblings = [c for c in parent if isinstance(c.tag, str)]
+                position = next(i for i, c in enumerate(siblings) if c is el)
+                parent_id = parent.get("id")
+            else:
+                position = 0
+                parent_id = None
+            content_text = "".join(el.itertext()).strip()
+            attrs = [
+                {"property_name": _local_name(k), "property_value": v}
+                for k, v in el.attrib.items()
+                if _local_name(k) != "id"
+            ]
+            rows.append(
+                (
+                    document_id,
+                    path,
+                    size,
+                    None,
+                    el_id,
+                    _local_name(el.tag),
+                    parent_id,
+                    position,
+                    content_text,
+                    my_path,
+                    attrs,
+                )
+            )
+        for child in el:
+            stack.append((child, el, my_path))
+
+    if not rows:
+        # Document with no id-bearing nodes still gets a documents row.
+        rows.append((document_id, path, size, None, None, None, None, None, None, None, None))
+    return rows
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "document_id",
+        "filename",
+        "file_size",
+        "parse_error",
+        "id",
+        "node_type",
+        "parent_id",
+        "position",
+        "content",
+        "xpath",
+        "attributes",
+    ]
+    for pdf in batches:
+        out: list[tuple] = []
+        for path, size, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+            local = path[5:] if path.startswith("file:") else path
+            out.extend(_parse_one(bytes(content), local, int(size)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def read_xml_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str = "*.xml",
+    recursive: bool = True,
+) -> XmlCorpus:
+    """Scan a directory of XML files into the reference's relational
+    model: (documents, nodes, properties, errors) DataFrames."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true" if recursive else "false")
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+
+    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    # The parse feeds three projections — materialize it once.
+    parsed = parsed.persist()
+
+    documents = (
+        parsed.groupBy("document_id")
+        .agg(
+            F.first("filename").alias("filename"),
+            F.first("file_size").alias("file_size"),
+        )
+        .withColumn("parsed_at", F.current_timestamp())
+        .select(F.col("document_id").alias("id"), "filename", "file_size", "parsed_at")
+    )
+
+    nodes = (
+        parsed.filter(F.col("id").isNotNull())
+        .select(
+            "id",
+            "node_type",
+            "document_id",
+            "parent_id",
+            "position",
+            "content",
+            "xpath",
+        )
+        .withColumn("created_at", F.current_timestamp())
+    )
+
+    properties = (
+        parsed.filter(F.col("id").isNotNull() & (F.size("attributes") > 0))
+        .select(F.col("id").alias("node_id"), F.explode("attributes").alias("attr"))
+        .select(
+            "node_id",
+            F.col("attr.property_name").alias("property_name"),
+            F.col("attr.property_value").alias("property_value"),
+        )
+        .withColumn("data_type", infer_type(F.col("property_value")))
+    )
+
+    errors = parsed.filter(F.col("parse_error").isNotNull()).select(
+        "document_id", "filename", "parse_error"
+    )
+
+    return XmlCorpus(documents=documents, nodes=nodes, properties=properties, errors=errors)
+
+
+def dedupe_last_writer(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """INSERT OR REPLACE semantics (lib/database_writer.rb:44-56):
+    duplicate primary keys keep exactly one row. The reference's
+    winner is arrival order (nondeterministic under its async
+    producers); we make it deterministic: max(order_col) wins."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
