@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xml_to_sqlite3_spark.plans import olap
+from xml_to_sqlite3_spark.plans import node_graph, olap
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,6 +23,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(olap.QUERIES)
+    out.update(node_graph.QUERIES)
     return out
 
 
@@ -34,4 +35,5 @@ def oracle_sql() -> dict[str, str]:
     """
     out: dict[str, str] = {}
     out.update(olap.ORACLES)
+    out.update(node_graph.ORACLES)
     return out

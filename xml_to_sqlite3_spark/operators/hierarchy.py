@@ -1,0 +1,120 @@
+"""Hierarchy traversal — the reference's recursive-CTE query surface.
+
+Reference queries (README "Get hierarchical structure",
+examples/sql_queries.md "ancestors"/"descendants"): recursive CTEs
+over nodes/cross_references with a depth bound of 10.
+
+Spark 4 supports ``WITH RECURSIVE`` natively (Catalyst UnionLoop), so
+the primary implementation is the declarative CTE. An iterative
+breadth-first DataFrame loop is provided too — it lets callers
+checkpoint the frontier per level, which matters for very deep
+graphs at scale (lineage stays flat, AQE re-sizes each level's
+shuffle independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def node_tree(spark: SparkSession, nodes: DataFrame, max_depth: int = 100) -> DataFrame:
+    """README node_tree: every node with its level below the roots
+    (parent_id IS NULL). Columns: id, node_type, parent_id, content,
+    level."""
+    nodes.select("id", "node_type", "parent_id", "content").createOrReplaceTempView(
+        "__h_nodes"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE node_tree AS (
+          SELECT id, node_type, parent_id, content, 0 AS level
+          FROM __h_nodes WHERE parent_id IS NULL
+          UNION ALL
+          SELECT n.id, n.node_type, n.parent_id, n.content, nt.level + 1
+          FROM __h_nodes n JOIN node_tree nt ON n.parent_id = nt.id
+          WHERE nt.level < {int(max_depth)}
+        )
+        SELECT * FROM node_tree
+        """
+    )
+
+
+def node_tree_iterative(nodes: DataFrame, max_depth: int = 100) -> DataFrame:
+    """Breadth-first frontier-join equivalent of node_tree.
+
+    Each level is one co-partitioned join; the frontier is cached and
+    localCheckpointed so lineage doesn't grow with depth. Stops when
+    a level comes back empty.
+    """
+    base = nodes.select("id", "node_type", "parent_id", "content")
+    frontier = base.filter(F.col("parent_id").isNull()).withColumn("level", F.lit(0))
+    out = frontier
+    level = 0
+    frontier = frontier.localCheckpoint(eager=True)
+    while level < max_depth:
+        child = base.alias("n").join(
+            frontier.select(F.col("id").alias("__pid")).alias("f"),
+            F.col("n.parent_id") == F.col("f.__pid"),
+        )
+        nxt = child.select("n.id", "n.node_type", "n.parent_id", "n.content").withColumn(
+            "level", F.lit(level + 1)
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+        level += 1
+    return out
+
+
+def ancestors(
+    spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
+) -> DataFrame:
+    """All ancestors of ``node_id`` via parent_child cross_references
+    with depth and ' -> ' path (examples/sql_queries.md)."""
+    xrefs.filter(F.col("reference_type") == "parent_child").select(
+        "source_node_id", "target_node_id"
+    ).createOrReplaceTempView("__h_pc")
+    escaped = node_id.replace("'", "''")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc AS (
+          SELECT target_node_id AS descendant_id, source_node_id AS ancestor_id,
+                 1 AS depth, source_node_id AS path
+          FROM __h_pc WHERE target_node_id = '{escaped}'
+          UNION ALL
+          SELECT a.descendant_id, p.source_node_id,
+                 a.depth + 1, CONCAT(p.source_node_id, ' -> ', a.path)
+          FROM anc a JOIN __h_pc p ON a.ancestor_id = p.target_node_id
+          WHERE a.depth < {int(max_depth)}
+        )
+        SELECT ancestor_id, depth, path FROM anc
+        """
+    )
+
+
+def descendants(
+    spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
+) -> DataFrame:
+    """All descendants of ``node_id`` (examples/sql_queries.md)."""
+    xrefs.filter(F.col("reference_type") == "parent_child").select(
+        "source_node_id", "target_node_id"
+    ).createOrReplaceTempView("__h_pc")
+    escaped = node_id.replace("'", "''")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE des AS (
+          SELECT source_node_id AS ancestor_id, target_node_id AS descendant_id,
+                 1 AS depth, target_node_id AS path
+          FROM __h_pc WHERE source_node_id = '{escaped}'
+          UNION ALL
+          SELECT d.ancestor_id, c.target_node_id,
+                 d.depth + 1, CONCAT(d.path, ' -> ', c.target_node_id)
+          FROM des d JOIN __h_pc c ON d.descendant_id = c.source_node_id
+          WHERE d.depth < {int(max_depth)}
+        )
+        SELECT descendant_id, depth, path FROM des
+        """
+    )

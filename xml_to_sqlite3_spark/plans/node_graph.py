@@ -1,0 +1,734 @@
+"""The reference's node-graph data model constructed deterministically
+over the driver's TPC-H-ish parquet tables, plus the full reference
+query surface (README "Example Queries" + examples/sql_queries.md)
+with exact DuckDB oracle mirrors.
+
+Why this exists: the driver's correctness gate runs on the parquet
+tables, while the reference's domain is an XML-derived node graph.
+We bridge by BUILDING that graph from the tables — a 5-level
+hierarchy (region > nation > customer > order > lineitem, plus
+root-level parts and nation-level suppliers) with typed properties
+and reference-valued attributes — using the SAME production
+operators (structural + attribute-reference detection) that the XML
+path uses. The oracle mirrors the construction in pure SQL, so every
+reference query is hash-checked end to end THROUGH the operators.
+
+Scale: the construction is narrow projections + unions (no shuffle);
+the graph queries then exercise the real join/agg machinery.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from ..functions.type_inference import infer_type
+from ..operators import relationships as R
+from ..operators import hierarchy as H
+
+
+def _money(col):
+    # Fixed-point string so Spark's and DuckDB's double->string rules
+    # (scientific notation thresholds differ) can't diverge.
+    return F.col(col).cast("decimal(18,2)").cast("string")
+
+
+def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes(id, node_type, document_id, parent_id, position, content, xpath)."""
+    region = load(spark, sf_dir, "region").select(
+        F.concat(F.lit("region_"), "r_regionkey").alias("id"),
+        F.lit("region").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.col("r_regionkey").cast("int").alias("position"),
+        F.col("r_name").alias("content"),
+        F.concat(F.lit("/tpch/region["), F.col("r_regionkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation_"), "n_nationkey").alias("id"),
+        F.lit("nation").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.concat(F.lit("region_"), "n_regionkey").alias("parent_id"),
+        F.col("n_nationkey").cast("int").alias("position"),
+        F.col("n_name").alias("content"),
+        F.concat(F.lit("/tpch/nation["), F.col("n_nationkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("customer_"), "c_custkey").alias("id"),
+        F.lit("customer").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.concat(F.lit("nation_"), "c_nationkey").alias("parent_id"),
+        F.col("c_custkey").cast("int").alias("position"),
+        F.col("c_name").alias("content"),
+        F.concat(F.lit("/tpch/customer["), F.col("c_custkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier_"), "s_suppkey").alias("id"),
+        F.lit("supplier").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.concat(F.lit("nation_"), "s_nationkey").alias("parent_id"),
+        F.col("s_suppkey").cast("int").alias("position"),
+        F.col("s_name").alias("content"),
+        F.concat(F.lit("/tpch/supplier["), F.col("s_suppkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.concat(F.lit("part_"), "p_partkey").alias("id"),
+        F.lit("part").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.col("p_partkey").cast("int").alias("position"),
+        F.col("p_name").alias("content"),
+        F.concat(F.lit("/tpch/part["), F.col("p_partkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("order_"), "o_orderkey").alias("id"),
+        F.lit("order").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.concat(F.lit("customer_"), "o_custkey").alias("parent_id"),
+        F.col("o_orderkey").cast("int").alias("position"),
+        F.concat(F.col("o_orderstatus"), F.lit(" "), F.col("o_orderpriority")).alias("content"),
+        F.concat(F.lit("/tpch/order["), F.col("o_orderkey") + 1, F.lit("]")).alias("xpath"),
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("lineitem_"), "l_orderkey", F.lit("_"), "l_linenumber").alias("id"),
+        F.lit("lineitem").alias("node_type"),
+        F.lit("tpch").alias("document_id"),
+        F.concat(F.lit("order_"), "l_orderkey").alias("parent_id"),
+        F.col("l_linenumber").cast("int").alias("position"),
+        F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("content"),
+        F.concat(
+            F.lit("/tpch/lineitem["), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber"), F.lit("]")
+        ).alias("xpath"),
+    )
+    return reduce(DataFrame.unionByName, [region, nation, customer, supplier, part, orders, lineitem])
+
+
+NODES_SQL = """
+  SELECT 'region_' || r_regionkey AS id, 'region' AS node_type, 'tpch' AS document_id,
+         CAST(NULL AS VARCHAR) AS parent_id, CAST(r_regionkey AS INT) AS position,
+         r_name AS content, '/tpch/region[' || (r_regionkey + 1) || ']' AS xpath
+  FROM region
+  UNION ALL
+  SELECT 'nation_' || n_nationkey, 'nation', 'tpch', 'region_' || n_regionkey,
+         CAST(n_nationkey AS INT), n_name, '/tpch/nation[' || (n_nationkey + 1) || ']'
+  FROM nation
+  UNION ALL
+  SELECT 'customer_' || c_custkey, 'customer', 'tpch', 'nation_' || c_nationkey,
+         CAST(c_custkey AS INT), c_name, '/tpch/customer[' || (c_custkey + 1) || ']'
+  FROM customer
+  UNION ALL
+  SELECT 'supplier_' || s_suppkey, 'supplier', 'tpch', 'nation_' || s_nationkey,
+         CAST(s_suppkey AS INT), s_name, '/tpch/supplier[' || (s_suppkey + 1) || ']'
+  FROM supplier
+  UNION ALL
+  SELECT 'part_' || p_partkey, 'part', 'tpch', CAST(NULL AS VARCHAR),
+         CAST(p_partkey AS INT), p_name, '/tpch/part[' || (p_partkey + 1) || ']'
+  FROM part
+  UNION ALL
+  SELECT 'order_' || o_orderkey, 'order', 'tpch', 'customer_' || o_custkey,
+         CAST(o_orderkey AS INT), o_orderstatus || ' ' || o_orderpriority,
+         '/tpch/order[' || (o_orderkey + 1) || ']'
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'lineitem', 'tpch',
+         'order_' || l_orderkey, CAST(l_linenumber AS INT),
+         l_returnflag || l_linestatus,
+         '/tpch/lineitem[' || l_orderkey || '_' || l_linenumber || ']'
+  FROM lineitem
+"""
+
+
+def build_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node_properties(node_id, property_name, property_value, data_type).
+
+    Values are strings (the reference stores attribute text); money
+    goes through DECIMAL(18,2) so both engines print identically.
+    Reference-valued properties (customer_ref / part_ref /
+    supplier_ref) exist so attribute-reference detection has real
+    work to do.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+
+    def prop(df, node_id_col, name, value_col):
+        return df.select(
+            node_id_col.alias("node_id"),
+            F.lit(name).alias("property_name"),
+            value_col.cast("string").alias("property_value"),
+        )
+
+    cust_id = F.concat(F.lit("customer_"), "c_custkey")
+    order_id = F.concat(F.lit("order_"), "o_orderkey")
+    li_id = F.concat(F.lit("lineitem_"), "l_orderkey", F.lit("_"), "l_linenumber")
+    part_id = F.concat(F.lit("part_"), "p_partkey")
+    supp_id = F.concat(F.lit("supplier_"), "s_suppkey")
+
+    pieces = [
+        prop(customer, cust_id, "mktsegment", F.col("c_mktsegment")),
+        prop(customer, cust_id, "acctbal", _money("c_acctbal")),
+        prop(orders, order_id, "orderstatus", F.col("o_orderstatus")),
+        prop(orders, order_id, "totalprice", _money("o_totalprice")),
+        prop(orders, order_id, "orderdate", F.col("o_orderdate").cast("string")),
+        prop(orders, order_id, "orderpriority", F.col("o_orderpriority")),
+        prop(orders, order_id, "customer_ref", F.concat(F.lit("customer_"), "o_custkey")),
+        prop(lineitem, li_id, "quantity", F.col("l_quantity").cast("string")),
+        prop(lineitem, li_id, "extendedprice", _money("l_extendedprice")),
+        prop(lineitem, li_id, "shipdate", F.col("l_shipdate").cast("string")),
+        prop(lineitem, li_id, "part_ref", F.concat(F.lit("part_"), "l_partkey")),
+        prop(lineitem, li_id, "supplier_ref", F.concat(F.lit("supplier_"), "l_suppkey")),
+        prop(part, part_id, "brand", F.col("p_brand")),
+        prop(part, part_id, "type", F.col("p_type")),
+        prop(part, part_id, "size", F.col("p_size")),
+        prop(part, part_id, "retailprice", _money("p_retailprice")),
+        prop(supplier, supp_id, "acctbal", _money("s_acctbal")),
+    ]
+    out = reduce(DataFrame.unionByName, pieces)
+    return out.withColumn("data_type", infer_type(F.col("property_value")))
+
+
+# data_type inference in SQL — mirrors functions/type_inference.py
+# (and the reference's document_parser.rb:62-77 check order).
+_INFER_SQL = """
+  CASE
+    WHEN property_value IS NULL OR property_value = '' THEN 'string'
+    WHEN regexp_matches(property_value, '^[0-9]+$') THEN 'integer'
+    WHEN regexp_matches(property_value, '^[0-9]+\\.[0-9]+$') THEN 'float'
+    WHEN regexp_matches(lower(property_value), '^(true|false)$') THEN 'boolean'
+    WHEN regexp_matches(property_value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+      OR regexp_matches(property_value, '^[0-9]{2}:[0-9]{2}:[0-9]{2}') THEN 'datetime'
+    ELSE 'string'
+  END
+"""
+
+PROPERTIES_SQL = f"""
+  SELECT node_id, property_name, property_value, {_INFER_SQL} AS data_type
+  FROM (
+    SELECT 'customer_' || c_custkey AS node_id, 'mktsegment' AS property_name,
+           c_mktsegment AS property_value FROM customer
+    UNION ALL
+    SELECT 'customer_' || c_custkey, 'acctbal',
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'order_' || o_orderkey, 'orderstatus', o_orderstatus FROM orders
+    UNION ALL
+    SELECT 'order_' || o_orderkey, 'totalprice',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'order_' || o_orderkey, 'orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'order_' || o_orderkey, 'orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'order_' || o_orderkey, 'customer_ref', 'customer_' || o_custkey FROM orders
+    UNION ALL
+    SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'quantity',
+           CAST(l_quantity AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'extendedprice',
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'shipdate',
+           CAST(l_shipdate AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'part_ref',
+           'part_' || l_partkey FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'supplier_ref',
+           'supplier_' || l_suppkey FROM lineitem
+    UNION ALL
+    SELECT 'part_' || p_partkey, 'brand', p_brand FROM part
+    UNION ALL
+    SELECT 'part_' || p_partkey, 'type', p_type FROM part
+    UNION ALL
+    SELECT 'part_' || p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'part_' || p_partkey, 'retailprice',
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'supplier_' || s_suppkey, 'acctbal',
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM supplier
+  )
+"""
+
+# cross_references via the same adapter semantics the operators
+# implement (structural_adapter.rb + attribute_reference_adapter.rb).
+XREFS_SQL = """
+  SELECT parent_id AS source_node_id, id AS target_node_id,
+         'parent_child' AS reference_type, CAST(NULL AS VARCHAR) AS attribute_name,
+         1.0 AS confidence
+  FROM nodes WHERE parent_id IS NOT NULL
+  UNION ALL
+  SELECT id, parent_id, 'child_parent', CAST(NULL AS VARCHAR), 1.0
+  FROM nodes WHERE parent_id IS NOT NULL
+  UNION ALL
+  SELECT a.id, b.id, 'sibling', CAST(NULL AS VARCHAR), 1.0
+  FROM nodes a JOIN nodes b
+    ON a.document_id = b.document_id AND a.parent_id = b.parent_id AND a.id <> b.id
+  UNION ALL
+  SELECT a.id, b.id, 'next_sibling', CAST(NULL AS VARCHAR), 1.0
+  FROM nodes a JOIN nodes b
+    ON a.document_id = b.document_id AND a.parent_id = b.parent_id
+   AND b.position - a.position = 1
+  UNION ALL
+  SELECT b.id, a.id, 'previous_sibling', CAST(NULL AS VARCHAR), 1.0
+  FROM nodes a JOIN nodes b
+    ON a.document_id = b.document_id AND a.parent_id = b.parent_id
+   AND b.position - a.position = 1
+  UNION ALL
+  SELECT np.node_id, np.property_value, 'attribute_reference', np.property_name,
+         least(1.0, 0.8
+           + CASE WHEN lower(np.property_name) LIKE '%id%'
+                    OR lower(np.property_name) LIKE '%ref%'
+                    OR lower(np.property_name) LIKE '%parent%'
+                    OR lower(np.property_name) LIKE '%child%'
+                    OR lower(np.property_name) LIKE '%target%'
+                    OR lower(np.property_name) LIKE '%source%'
+                    OR lower(np.property_name) LIKE '%link%'
+                  THEN 0.15 ELSE 0.0 END
+           + CASE WHEN regexp_matches(np.property_value, '^[a-zA-Z]+_[a-zA-Z0-9]+$')
+                  THEN 0.05 ELSE 0.0 END)
+  FROM node_properties np
+  JOIN nodes n ON np.node_id = n.id
+  WHERE (regexp_matches(np.property_value, '^[a-zA-Z_][a-zA-Z0-9_]*$')
+         OR regexp_matches(np.property_value, '^[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*$'))
+    AND EXISTS (SELECT 1 FROM nodes t
+                WHERE t.document_id = n.document_id AND t.id = np.property_value)
+"""
+
+GRAPH_PREFIX = (
+    f"WITH RECURSIVE nodes AS ({NODES_SQL}),\n"
+    f"node_properties AS ({PROPERTIES_SQL}),\n"
+    f"cross_references AS ({XREFS_SQL})\n"
+)
+
+
+def build_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_references via the production detection operators."""
+    nodes = build_nodes(spark, sf_dir)
+    properties = build_properties(spark, sf_dir)
+    return R.detect_all_relationships(nodes, properties)
+
+
+# ---------------------------------------------------------------------------
+# The reference query surface (README + examples/sql_queries.md),
+# each over the constructed graph, each with an exact oracle.
+# ---------------------------------------------------------------------------
+
+
+def nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README: SELECT * FROM nodes WHERE node_type = 'order'."""
+    return build_nodes(spark, sf_dir).filter(F.col("node_type") == "order")
+
+
+NODES_BY_TYPE_ORACLE = GRAPH_PREFIX + "SELECT * FROM nodes WHERE node_type = 'order'"
+
+
+def attribute_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README: nodes with property mktsegment = BUILDING."""
+    nodes = build_nodes(spark, sf_dir)
+    props = build_properties(spark, sf_dir).filter(
+        (F.col("property_name") == "mktsegment") & (F.col("property_value") == "BUILDING")
+    )
+    return nodes.join(
+        props.select(F.col("node_id").alias("id"), "property_value"), "id"
+    ).select("id", "node_type", "content", "property_value")
+
+
+ATTRIBUTE_SEARCH_ORACLE = GRAPH_PREFIX + """
+SELECT n.id, n.node_type, n.content, np.property_value
+FROM nodes n JOIN node_properties np ON n.id = np.node_id
+WHERE np.property_name = 'mktsegment' AND np.property_value = 'BUILDING'
+"""
+
+
+def content_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README content LIKE search (over the documents corpus table,
+    which carries real text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("spark")).select("doc_id", "lang", "source")
+
+
+CONTENT_SEARCH_ORACLE = "SELECT doc_id, lang, source FROM documents WHERE text LIKE '%spark%'"
+
+
+def type_inference_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of inferred property data types."""
+    return (
+        build_properties(spark, sf_dir)
+        .groupBy("data_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("data_type")
+    )
+
+
+TYPE_INFERENCE_ORACLE = GRAPH_PREFIX + """
+SELECT data_type, count(*) AS n FROM node_properties GROUP BY data_type ORDER BY data_type
+"""
+
+
+def document_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """main.rb:118-135 print_stats: one-row corpus summary."""
+    nodes = build_nodes(spark, sf_dir)
+    xrefs = build_xrefs(spark, sf_dir)
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("total_nodes"),
+        F.countDistinct("node_type").alias("node_types"),
+        F.countDistinct("document_id").alias("documents"),
+    )
+    return stats.crossJoin(xrefs.agg(F.count(F.lit(1)).alias("cross_refs")))
+
+
+DOCUMENT_STATS_ORACLE = GRAPH_PREFIX + """
+SELECT (SELECT count(*) FROM nodes) AS total_nodes,
+       (SELECT count(DISTINCT node_type) FROM nodes) AS node_types,
+       (SELECT count(DISTINCT document_id) FROM nodes) AS documents,
+       (SELECT count(*) FROM cross_references) AS cross_refs
+"""
+
+
+def hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README recursive node_tree, summarized per level/type (the
+    full per-node tree is exercised rows-wise in ancestors/
+    descendants; the summary keeps the gate's result compact)."""
+    nodes = build_nodes(spark, sf_dir)
+    tree = H.node_tree(spark, nodes, max_depth=10)
+    return (
+        tree.groupBy("level", "node_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("level", "node_type")
+    )
+
+
+HIERARCHY_LEVELS_ORACLE = GRAPH_PREFIX + """
+, node_tree AS (
+  SELECT id, node_type, parent_id, content, 0 AS level FROM nodes WHERE parent_id IS NULL
+  UNION ALL
+  SELECT n.id, n.node_type, n.parent_id, n.content, nt.level + 1
+  FROM nodes n JOIN node_tree nt ON n.parent_id = nt.id
+  WHERE nt.level < 10
+)
+SELECT level, node_type, count(*) AS n FROM node_tree GROUP BY level, node_type
+ORDER BY level, node_type
+"""
+
+
+def ancestors_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md ancestors CTE for one node."""
+    xrefs = build_xrefs(spark, sf_dir)
+    return H.ancestors(spark, xrefs, "order_7", max_depth=10)
+
+
+ANCESTORS_ORACLE = GRAPH_PREFIX + """
+, anc AS (
+  SELECT target_node_id AS descendant_id, source_node_id AS ancestor_id,
+         1 AS depth, source_node_id AS path
+  FROM cross_references
+  WHERE target_node_id = 'order_7' AND reference_type = 'parent_child'
+  UNION ALL
+  SELECT a.descendant_id, cr.source_node_id, a.depth + 1,
+         cr.source_node_id || ' -> ' || a.path
+  FROM anc a JOIN cross_references cr
+    ON a.ancestor_id = cr.target_node_id AND cr.reference_type = 'parent_child'
+  WHERE a.depth < 10
+)
+SELECT ancestor_id, depth, path FROM anc
+"""
+
+
+def descendants_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md descendants CTE for one node (depth
+    bounded at 2: customers and their orders under nation_5)."""
+    xrefs = build_xrefs(spark, sf_dir)
+    return H.descendants(spark, xrefs, "nation_5", max_depth=2)
+
+
+DESCENDANTS_ORACLE = GRAPH_PREFIX + """
+, des AS (
+  SELECT source_node_id AS ancestor_id, target_node_id AS descendant_id,
+         1 AS depth, target_node_id AS path
+  FROM cross_references
+  WHERE source_node_id = 'nation_5' AND reference_type = 'parent_child'
+  UNION ALL
+  SELECT d.ancestor_id, cr.target_node_id, d.depth + 1,
+         d.path || ' -> ' || cr.target_node_id
+  FROM des d JOIN cross_references cr
+    ON d.descendant_id = cr.source_node_id AND cr.reference_type = 'parent_child'
+  WHERE d.depth < 2
+)
+SELECT descendant_id, depth, path FROM des
+"""
+
+
+def relationship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'Relationship summary by type'."""
+    xrefs = build_xrefs(spark, sf_dir)
+    return (
+        xrefs.groupBy("reference_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+            F.round(F.min("confidence"), 6).alias("min_confidence"),
+            F.round(F.max("confidence"), 6).alias("max_confidence"),
+            F.countDistinct("source_node_id").alias("unique_sources"),
+            F.countDistinct("target_node_id").alias("unique_targets"),
+        )
+        .orderBy(F.desc("total_count"), "reference_type")
+    )
+
+
+RELATIONSHIP_SUMMARY_ORACLE = GRAPH_PREFIX + """
+SELECT reference_type, count(*) AS total_count,
+       round(avg(confidence), 6) AS avg_confidence,
+       round(min(confidence), 6) AS min_confidence,
+       round(max(confidence), 6) AS max_confidence,
+       count(DISTINCT source_node_id) AS unique_sources,
+       count(DISTINCT target_node_id) AS unique_targets
+FROM cross_references
+GROUP BY reference_type
+ORDER BY total_count DESC, reference_type
+"""
+
+
+def node_connection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'Node relationship counts' (restricted
+    to customer nodes to keep the gate's result bounded; the pattern
+    is identical for all types)."""
+    nodes = build_nodes(spark, sf_dir).filter(F.col("node_type") == "customer")
+    xrefs = build_xrefs(spark, sf_dir)
+    outgoing = xrefs.groupBy(F.col("source_node_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("outgoing_relationships")
+    )
+    incoming = xrefs.groupBy(F.col("target_node_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("incoming_relationships")
+    )
+    return (
+        nodes.select("id", "node_type")
+        .join(outgoing, "id", "left")
+        .join(incoming, "id", "left")
+        .select(
+            "id",
+            "node_type",
+            F.coalesce("outgoing_relationships", F.lit(0)).alias("outgoing_relationships"),
+            F.coalesce("incoming_relationships", F.lit(0)).alias("incoming_relationships"),
+            (
+                F.coalesce("outgoing_relationships", F.lit(0))
+                + F.coalesce("incoming_relationships", F.lit(0))
+            ).alias("total_relationships"),
+        )
+    )
+
+
+NODE_CONNECTION_COUNTS_ORACLE = GRAPH_PREFIX + """
+SELECT n.id, n.node_type,
+       COALESCE(o.cnt, 0) AS outgoing_relationships,
+       COALESCE(i.cnt, 0) AS incoming_relationships,
+       COALESCE(o.cnt, 0) + COALESCE(i.cnt, 0) AS total_relationships
+FROM nodes n
+LEFT JOIN (SELECT source_node_id, count(*) AS cnt FROM cross_references GROUP BY 1) o
+  ON n.id = o.source_node_id
+LEFT JOIN (SELECT target_node_id, count(*) AS cnt FROM cross_references GROUP BY 1) i
+  ON n.id = i.target_node_id
+WHERE n.node_type = 'customer'
+"""
+
+
+def most_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'Most connected nodes' top-10."""
+    nodes = build_nodes(spark, sf_dir)
+    xrefs = build_xrefs(spark, sf_dir)
+    touches = (
+        xrefs.select(F.col("source_node_id").alias("id"))
+        .unionAll(xrefs.select(F.col("target_node_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("connection_count"))
+    )
+    return (
+        nodes.join(touches, "id")
+        .select("id", "node_type", "connection_count")
+        .orderBy(F.desc("connection_count"), "id")
+        .limit(10)
+    )
+
+
+MOST_CONNECTED_ORACLE = GRAPH_PREFIX + """
+SELECT n.id, n.node_type, t.connection_count
+FROM nodes n
+JOIN (
+  SELECT id, count(*) AS connection_count FROM (
+    SELECT source_node_id AS id FROM cross_references
+    UNION ALL
+    SELECT target_node_id FROM cross_references
+  ) GROUP BY id
+) t ON n.id = t.id
+ORDER BY t.connection_count DESC, n.id
+LIMIT 10
+"""
+
+
+def bidirectional_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'Bidirectional relationships', over
+    the bounded nation-sibling subgraph."""
+    xrefs = build_xrefs(spark, sf_dir).filter(
+        (F.col("reference_type") == "sibling")
+        & F.col("source_node_id").startswith("nation_")
+    )
+    a = xrefs.alias("a")
+    b = xrefs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source_node_id") == F.col("b.target_node_id"))
+            & (F.col("a.target_node_id") == F.col("b.source_node_id"))
+            & (F.col("a.reference_type") == F.col("b.reference_type")),
+        )
+        .select(
+            F.col("a.source_node_id").alias("node1_id"),
+            F.col("a.target_node_id").alias("node2_id"),
+            F.col("a.reference_type").alias("reference_type"),
+        )
+        .orderBy("node1_id", "node2_id")
+    )
+
+
+BIDIRECTIONAL_ORACLE = GRAPH_PREFIX + """
+SELECT cr1.source_node_id AS node1_id, cr1.target_node_id AS node2_id,
+       cr1.reference_type
+FROM cross_references cr1
+JOIN cross_references cr2
+  ON cr1.source_node_id = cr2.target_node_id
+ AND cr1.target_node_id = cr2.source_node_id
+ AND cr1.reference_type = cr2.reference_type
+WHERE cr1.reference_type = 'sibling' AND cr1.source_node_id LIKE 'nation\\_%' ESCAPE '\\'
+ORDER BY node1_id, node2_id
+"""
+
+
+def broken_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'Find broken references': detect refs
+    against the full graph, then delete the supplier nodes — refs
+    pointing at them are now dangling."""
+    xrefs = build_xrefs(spark, sf_dir)
+    surviving = build_nodes(spark, sf_dir).filter(F.col("node_type") != "supplier")
+    return (
+        xrefs.join(
+            surviving.select(F.col("id").alias("target_node_id")),
+            "target_node_id",
+            "left_anti",
+        )
+        .select("target_node_id")
+        .distinct()
+        .orderBy("target_node_id")
+    )
+
+
+BROKEN_REFERENCES_ORACLE = GRAPH_PREFIX + """
+SELECT DISTINCT cr.target_node_id
+FROM cross_references cr
+LEFT JOIN (SELECT id FROM nodes WHERE node_type <> 'supplier') n
+  ON cr.target_node_id = n.id
+WHERE n.id IS NULL
+ORDER BY cr.target_node_id
+"""
+
+
+def node_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/sql_queries.md 'All relationships (bidirectional)'
+    for one node: direction-tagged neighbor list."""
+    xrefs = build_xrefs(spark, sf_dir)
+    node = "customer_7"
+    return (
+        xrefs.filter(
+            (F.col("source_node_id") == node) | (F.col("target_node_id") == node)
+        )
+        .select(
+            F.when(F.col("source_node_id") == node, F.col("target_node_id"))
+            .otherwise(F.col("source_node_id"))
+            .alias("related_node"),
+            "reference_type",
+            F.when(F.col("source_node_id") == node, F.lit("outgoing"))
+            .otherwise(F.lit("incoming"))
+            .alias("direction"),
+            F.round("confidence", 6).alias("confidence"),
+        )
+        .orderBy("related_node", "reference_type", "direction")
+    )
+
+
+NODE_REFERENCES_ORACLE = GRAPH_PREFIX + """
+SELECT CASE WHEN source_node_id = 'customer_7' THEN target_node_id ELSE source_node_id END AS related_node,
+       reference_type,
+       CASE WHEN source_node_id = 'customer_7' THEN 'outgoing' ELSE 'incoming' END AS direction,
+       round(confidence, 6) AS confidence
+FROM cross_references
+WHERE source_node_id = 'customer_7' OR target_node_id = 'customer_7'
+ORDER BY related_node, reference_type, direction
+"""
+
+
+def attribute_references_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribute-reference detector's own output (bounded to one
+    attribute for the gate): who references supplier_3 and how
+    confidently (examples/sql_queries.md 'Find all nodes that
+    reference a specific node')."""
+    nodes = build_nodes(spark, sf_dir)
+    props = build_properties(spark, sf_dir)
+    refs = R.attribute_references(nodes, props)
+    return (
+        refs.filter(F.col("target_node_id") == "supplier_3")
+        .select(
+            "source_node_id",
+            "attribute_name",
+            F.round("confidence", 6).alias("confidence"),
+        )
+        .orderBy("source_node_id", "attribute_name")
+    )
+
+
+ATTRIBUTE_REFERENCES_ORACLE = GRAPH_PREFIX + """
+SELECT source_node_id, attribute_name, round(confidence, 6) AS confidence
+FROM cross_references
+WHERE reference_type = 'attribute_reference' AND target_node_id = 'supplier_3'
+ORDER BY source_node_id, attribute_name
+"""
+
+
+QUERIES = {
+    "nodes_by_type": nodes_by_type,
+    "attribute_search": attribute_search,
+    "content_search": content_search,
+    "type_inference": type_inference_summary,
+    "document_stats": document_stats,
+    "hierarchy_levels": hierarchy_levels,
+    "ancestors": ancestors_of_order,
+    "descendants": descendants_of_nation,
+    "relationship_summary": relationship_summary,
+    "node_connection_counts": node_connection_counts,
+    "most_connected": most_connected,
+    "bidirectional_refs": bidirectional_refs,
+    "broken_references": broken_references,
+    "node_references": node_references,
+    "attribute_references": attribute_references_q,
+}
+
+ORACLES = {
+    "nodes_by_type": NODES_BY_TYPE_ORACLE,
+    "attribute_search": ATTRIBUTE_SEARCH_ORACLE,
+    "content_search": CONTENT_SEARCH_ORACLE,
+    "type_inference": TYPE_INFERENCE_ORACLE,
+    "document_stats": DOCUMENT_STATS_ORACLE,
+    "hierarchy_levels": HIERARCHY_LEVELS_ORACLE,
+    "ancestors": ANCESTORS_ORACLE,
+    "descendants": DESCENDANTS_ORACLE,
+    "relationship_summary": RELATIONSHIP_SUMMARY_ORACLE,
+    "node_connection_counts": NODE_CONNECTION_COUNTS_ORACLE,
+    "most_connected": MOST_CONNECTED_ORACLE,
+    "bidirectional_refs": BIDIRECTIONAL_ORACLE,
+    "broken_references": BROKEN_REFERENCES_ORACLE,
+    "node_references": NODE_REFERENCES_ORACLE,
+    "attribute_references": ATTRIBUTE_REFERENCES_ORACLE,
+}
