@@ -1,0 +1,68 @@
+"""Similarity-search operator tests with planted vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from xml_to_sqlite3_spark.operators import similarity as S
+
+DIM = 8
+
+
+def _vec(seed: int, flip: float = 0.0):
+    # deterministic pseudo-vector
+    v = [math.sin(seed * 13.7 + i * 2.3) for i in range(DIM)]
+    if flip:
+        v[0] += flip
+    return v
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, _vec(i)) for i in range(20)]
+    # near-dup of vec 1: cosine ~0.9991, above vec 12's ~0.9959 (the
+    # closest unrelated vector) and below 1.0 at 6-decimal rounding
+    rows.append((100, _vec(1, flip=0.1)))
+    rows.append((101, _vec(1)))  # exact dup of vec 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact_dup_first(vectors):
+    out = S.cosine_topk(
+        vectors.filter("vec_id = 1"), vectors, k=3, vec_col="embedding"
+    ).collect()
+    assert [r["neighbor_id"] for r in out][:2] == [101, 100]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[0]["rank"] == 1
+
+
+def test_cosine_topk_excludes_self(vectors):
+    out = S.cosine_topk(vectors, vectors, k=3, vec_col="embedding").collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(ranks == [1, 2, 3] for ranks in per_query.values())
+
+
+def test_lsh_topk_recall_of_planted_dups(vectors):
+    out = S.lsh_topk(
+        vectors.filter("vec_id = 1"), vectors, k=3, n_planes=6, dim=DIM
+    ).collect()
+    # exact/near dup land in the same bucket by construction
+    ids = [r["neighbor_id"] for r in out]
+    assert 101 in ids and 100 in ids
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_duplicates(
+            vectors, threshold=0.95, n_planes=6, dim=DIM, id_col="vec_id"
+        ).collect()
+    }
+    assert (1, 101) in pairs and pairs[(1, 101)] == pytest.approx(1.0)
+    assert (1, 100) in pairs
+    assert (100, 101) in pairs

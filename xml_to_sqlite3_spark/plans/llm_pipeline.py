@@ -1,0 +1,241 @@
+"""Gate queries for the LLM-training-data pipeline operators, over
+the driver's documents/embeddings tables, with DuckDB oracles where
+the computation is SQL-expressible. Hash-dependent ops (MinHash /
+SimHash / hyperplane LSH use Spark's xxhash64, which DuckDB lacks)
+are registered rows-only and covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SW_EN = "'" + "', '".join(T.STOPWORDS_EN) + "'"
+QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w IN ({_SW_EN}))) AS n_stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(least(n_chars / 2000.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stop_ratio * 2, 1.0) * 0.4, 6) AS quality_score
+FROM ratios ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sw(words):
+    return "'" + "', '".join(words) + "'"
+
+
+LANG_ID_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id, text,
+         len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_EN)}))) AS hits_en,
+         len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_ES)}))) AS hits_es,
+         len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_FR)}))) AS hits_fr,
+         len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_DE)}))) AS hits_de
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN hits_en + hits_es + hits_fr + hits_de = 0 THEN 'und'
+            WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+            WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+            WHEN hits_fr >= hits_de THEN 'fr'
+            ELSE 'de' END AS predicted_lang,
+       hits_en, hits_es, hits_fr, hits_de
+FROM hits ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+), shingled AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS sh
+  FROM words
+)
+SELECT doc_id, md5(t) AS full_md5,
+       list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS min_shingle_md5
+FROM shingled ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+FROM documents ORDER BY doc_id
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard (inverted index in Spark,
+    brute-force in the oracle — same answer, different plan)."""
+    return (
+        D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.01, n=3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS n_a, len(b.s) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.01
+ORDER BY doc_a, doc_b
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(queries, emb, k=5)
+
+
+ANN_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i]))))
+         , 6) AS cosine
+  FROM q, v c WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures
+    have no DuckDB equivalent; exactness covered in tests)."""
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only)."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=10)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    return S.embedding_near_duplicates(load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs the
+    exact path is asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+QUERIES = {
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard": ngram_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "ann_lsh": ann_lsh,
+}
+
+ORACLES = {
+    "token_count": TOKEN_COUNT_ORACLE,
+    "quality_score": QUALITY_ORACLE,
+    "lang_id": LANG_ID_ORACLE,
+    "doc_fingerprint": FINGERPRINT_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "ann_cosine_topk": ANN_ORACLE,
+}
