@@ -1,0 +1,131 @@
+"""Structured Streaming operators.
+
+The reference processes its corpus as a one-shot batch with async
+fibers (lib/async_processor.rb); the Spark-native generalization is
+a file-source stream — the same parse logic runs incrementally as
+files arrive, with exactly-once sink semantics via checkpointing,
+and event-time analytics get watermarked windows instead of
+post-hoc GROUP BYs.
+
+Batch/stream parity: `windowed_event_aggregation` is the streaming
+form of plans/olap.events_windowed; `stream_xml_corpus` reuses the
+exact batch parser (sources/xml_source._parse_batches) inside
+foreachBatch, so a file processed by the stream lands byte-identical
+to the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.xml_source import _PARSE_SCHEMA, _parse_batches
+
+EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """Stream the events table from parquet files as they appear.
+
+    The parquet files carry TIMESTAMP(NANOS) (see io_util.load);
+    the stream reads ts as long and truncates to microseconds so
+    event-time semantics match the batch path exactly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if path.endswith(".parquet"):
+        # file streams watch directories; single-file layouts stream
+        # their parent dir filtered to the one file
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_aggregation(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type — the
+    streaming form of the batch events_windowed plan. Late rows
+    beyond the watermark are dropped; state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via the native session_window — the
+    streaming equivalent of the batch sessionization plan (state
+    expires once the watermark passes the gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_xml_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    on_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    glob: str = "*.xml",
+    max_files_per_trigger: int = 100,
+):
+    """Streaming XML ingestion: watch a directory, parse newly-arrived files
+    with the SAME parser as the batch path, hand each micro-batch's
+    parsed node DataFrame to ``on_batch`` (foreachBatch — the
+    exactly-once sink hook). Returns the StreamingQuery."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+
+    return (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
