@@ -1,0 +1,52 @@
+"""Generic as-of join operator tests (hand-computed expectations)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from xml_to_sqlite3_spark.operators.asof import asof_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _t(5)), (2, "u1", _t(10)), (3, "u2", _t(7)), (4, "u3", _t(1))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _t(4), 100.0), ("u1", _t(9), 200.0), ("u2", _t(8), 300.0)],
+        "user_id string, ts timestamp, price double",
+    )
+    out = {
+        r["event_id"]: r["price_asof"]
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out == {1: 100.0, 2: 200.0, 3: None, 4: None}
+    # 3: u2's only right row is LATER (8 > 7) -> no match
+    # 4: u3 has no right rows at all
+
+
+def test_asof_inclusive_at_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _t(5))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _t(5), 42.0)], "user_id string, ts timestamp, price double"
+    )
+    out = asof_join(left, right, on="ts", by="user_id").collect()
+    assert out[0]["price_asof"] == 42.0  # right sorts before left at equal ts
+
+
+def test_asof_latest_wins(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _t(30))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _t(i), float(i)) for i in (1, 10, 20, 25)],
+        "user_id string, ts timestamp, price double",
+    )
+    out = asof_join(left, right, on="ts", by="user_id").collect()
+    assert out[0]["price_asof"] == 25.0

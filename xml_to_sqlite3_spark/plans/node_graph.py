@@ -215,6 +215,34 @@ def build_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("supplier_"), "s_suppkey"),
             [("acctbal", _money("s_acctbal"))],
         ),
+        # multi-valued reference property: each order lists its
+        # lineitem ids space-separated (ordered by line number) —
+        # the multi-reference adapter's food
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_linenumber").alias("n"),
+                                F.concat(
+                                    F.lit("lineitem_"), "l_orderkey", F.lit("_"), "l_linenumber"
+                                ).alias("ref"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ref"],
+                ),
+            ).alias("property_value")
+        )
+        .select(
+            F.concat(F.lit("order_"), "l_orderkey").alias("node_id"),
+            F.lit("lineitem_refs").alias("property_name"),
+            "property_value",
+        ),
     ]
     out = reduce(DataFrame.unionByName, pieces)
     return out.withColumn("data_type", infer_type(F.col("property_value")))
@@ -280,6 +308,11 @@ PROPERTIES_SQL = f"""
     UNION ALL
     SELECT 'supplier_' || s_suppkey, 'acctbal',
            CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM supplier
+    UNION ALL
+    SELECT 'order_' || l_orderkey, 'lineitem_refs',
+           string_agg('lineitem_' || l_orderkey || '_' || l_linenumber, ' '
+                      ORDER BY l_linenumber)
+    FROM lineitem GROUP BY l_orderkey
   )
 """
 
@@ -288,28 +321,28 @@ PROPERTIES_SQL = f"""
 XREFS_SQL = """
   SELECT parent_id AS source_node_id, id AS target_node_id,
          'parent_child' AS reference_type, CAST(NULL AS VARCHAR) AS attribute_name,
-         1.0 AS confidence
+         CAST(1.0 AS DOUBLE) AS confidence
   FROM nodes WHERE parent_id IS NOT NULL
   UNION ALL
-  SELECT id, parent_id, 'child_parent', CAST(NULL AS VARCHAR), 1.0
+  SELECT id, parent_id, 'child_parent', CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
   FROM nodes WHERE parent_id IS NOT NULL
   UNION ALL
-  SELECT a.id, b.id, 'sibling', CAST(NULL AS VARCHAR), 1.0
+  SELECT a.id, b.id, 'sibling', CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
   FROM nodes a JOIN nodes b
     ON a.document_id = b.document_id AND a.parent_id = b.parent_id AND a.id <> b.id
   UNION ALL
-  SELECT a.id, b.id, 'next_sibling', CAST(NULL AS VARCHAR), 1.0
+  SELECT a.id, b.id, 'next_sibling', CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
   FROM nodes a JOIN nodes b
     ON a.document_id = b.document_id AND a.parent_id = b.parent_id
    AND b.position - a.position = 1
   UNION ALL
-  SELECT b.id, a.id, 'previous_sibling', CAST(NULL AS VARCHAR), 1.0
+  SELECT b.id, a.id, 'previous_sibling', CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
   FROM nodes a JOIN nodes b
     ON a.document_id = b.document_id AND a.parent_id = b.parent_id
    AND b.position - a.position = 1
   UNION ALL
   SELECT np.node_id, np.property_value, 'attribute_reference', np.property_name,
-         least(1.0, 0.8
+         least(CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE)
            + CASE WHEN lower(np.property_name) LIKE '%id%'
                     OR lower(np.property_name) LIKE '%ref%'
                     OR lower(np.property_name) LIKE '%parent%'
@@ -317,9 +350,9 @@ XREFS_SQL = """
                     OR lower(np.property_name) LIKE '%target%'
                     OR lower(np.property_name) LIKE '%source%'
                     OR lower(np.property_name) LIKE '%link%'
-                  THEN 0.15 ELSE 0.0 END
+                  THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
            + CASE WHEN regexp_matches(np.property_value, '^[a-zA-Z]+_[a-zA-Z0-9]+$')
-                  THEN 0.05 ELSE 0.0 END)
+                  THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
   FROM node_properties np
   JOIN nodes n ON np.node_id = n.id
   WHERE (regexp_matches(np.property_value, '^[a-zA-Z_][a-zA-Z0-9_]*$')
@@ -754,6 +787,140 @@ ORDER BY source_node_id, attribute_name
 """
 
 
+def multi_references_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-reference adapter output over the lineitem_refs
+    properties (examples/.../multi_reference_adapter.rb semantics)."""
+    nodes, properties, _ = get_graph(spark, sf_dir)
+    return (
+        R.multi_references(nodes, properties)
+        .select(
+            "source_node_id",
+            "target_node_id",
+            "attribute_name",
+            F.round("confidence", 6).alias("confidence"),
+        )
+        .orderBy("source_node_id", "target_node_id")
+    )
+
+
+MULTI_REFERENCES_ORACLE = GRAPH_PREFIX + r"""
+SELECT np.node_id AS source_node_id, r.ref AS target_node_id,
+       np.property_name AS attribute_name,
+       round(least(CAST(1.0 AS DOUBLE), CAST(0.6 AS DOUBLE)
+         + CASE WHEN lower(np.property_name) LIKE '%ids%'
+                  OR lower(np.property_name) LIKE '%refs%'
+                  OR lower(np.property_name) LIKE '%targets%'
+                  OR lower(np.property_name) LIKE '%sources%'
+                  OR lower(np.property_name) LIKE '%links%'
+                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN regexp_matches(r.ref, '^[a-zA-Z]+_[a-zA-Z0-9]+$')
+                THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.8 AS DOUBLE), 6) AS confidence
+FROM node_properties np
+JOIN nodes n ON np.node_id = n.id,
+UNNEST(string_split_regex(np.property_value, '[,\s]+')) AS r(ref)
+WHERE regexp_matches(np.property_value, '[,\s]')
+  AND r.ref <> ''
+  AND (regexp_matches(r.ref, '^[a-zA-Z_][a-zA-Z0-9_]*$')
+       OR regexp_matches(r.ref, '^[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*$'))
+  AND EXISTS (SELECT 1 FROM nodes t
+              WHERE t.document_id = n.document_id AND t.id = r.ref)
+ORDER BY source_node_id, target_node_id
+"""
+
+
+def same_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic adapter same_type pairs over the bounded
+    region/nation subgraph (semantic_adapter.rb:30-50)."""
+    nodes, _, _ = get_graph(spark, sf_dir)
+    bounded = nodes.filter(F.col("node_type").isin("region", "nation"))
+    return (
+        R.same_type_relationships(bounded)
+        .select("source_node_id", "target_node_id", "reference_type", "confidence")
+        .orderBy("source_node_id", "target_node_id")
+    )
+
+
+SAME_TYPE_ORACLE = GRAPH_PREFIX + """
+SELECT a.id AS source_node_id, b.id AS target_node_id,
+       'same_type' AS reference_type, CAST(0.6 AS DOUBLE) AS confidence
+FROM nodes a JOIN nodes b
+  ON a.document_id = b.document_id AND a.node_type = b.node_type AND a.id <> b.id
+WHERE a.node_type IN ('region', 'nation')
+  AND a.content IS NOT NULL AND a.content <> ''
+  AND b.content IS NOT NULL AND b.content <> ''
+ORDER BY source_node_id, target_node_id
+"""
+
+
+def sibling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural sibling pairs, bounded to supplier nodes
+    (structural_adapter.rb:43-76)."""
+    _, _, xrefs = get_graph(spark, sf_dir)
+    return (
+        xrefs.filter(
+            (F.col("reference_type") == "sibling")
+            & F.col("source_node_id").startswith("supplier_")
+        )
+        .select("source_node_id", "target_node_id", "reference_type")
+        .orderBy("source_node_id", "target_node_id")
+    )
+
+
+SIBLING_PAIRS_ORACLE = GRAPH_PREFIX + r"""
+SELECT source_node_id, target_node_id, reference_type
+FROM cross_references
+WHERE reference_type = 'sibling' AND source_node_id LIKE 'supplier\_%' ESCAPE '\'
+ORDER BY source_node_id, target_node_id
+"""
+
+
+def asof_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic two-table as-of join (operators/asof.py): every view
+    event aligned with the user's latest purchase at-or-before it."""
+    from ..operators.asof import asof_join as asof_op
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        asof_op(views, purchases, on="ts", by="user_id", value_cols=["purchase_ts"])
+        .select("event_id", "user_id", "ts", "purchase_ts_asof")
+        .orderBy("event_id")
+    )
+
+
+ASOF_TABLES_ORACLE = """
+SELECT v.event_id, v.user_id, v.ts,
+       (SELECT max(p.ts) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts <= v.ts
+       ) AS purchase_ts_asof
+FROM events v
+WHERE v.event_type = 'view'
+ORDER BY v.event_id
+"""
+
+
+def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML ingestion path itself (sources/xml_source.py) over the
+    repo's own fixtures — rows-only gate (DuckDB has no XML reader);
+    full semantics are asserted in tests/test_xml_source.py."""
+    import os
+
+    from ..sources import read_xml_corpus
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+    )
+    corpus = read_xml_corpus(spark, fixtures)
+    return corpus.nodes.select(
+        "id", "node_type", "document_id", "parent_id", "position", "xpath"
+    ).orderBy("id")
+
+
 QUERIES = {
     "nodes_by_type": nodes_by_type,
     "attribute_search": attribute_search,
@@ -770,6 +937,11 @@ QUERIES = {
     "broken_references": broken_references,
     "node_references": node_references,
     "attribute_references": attribute_references_q,
+    "multi_references": multi_references_q,
+    "same_type_pairs": same_type_pairs,
+    "sibling_pairs": sibling_pairs,
+    "asof_join_tables": asof_join_tables,
+    "xml_nodes_roundtrip": xml_nodes_roundtrip,
 }
 
 ORACLES = {
@@ -788,4 +960,8 @@ ORACLES = {
     "broken_references": BROKEN_REFERENCES_ORACLE,
     "node_references": NODE_REFERENCES_ORACLE,
     "attribute_references": ATTRIBUTE_REFERENCES_ORACLE,
+    "multi_references": MULTI_REFERENCES_ORACLE,
+    "same_type_pairs": SAME_TYPE_ORACLE,
+    "sibling_pairs": SIBLING_PAIRS_ORACLE,
+    "asof_join_tables": ASOF_TABLES_ORACLE,
 }
