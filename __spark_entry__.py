@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xml_to_sqlite3_spark.plans import llm_pipeline, node_graph, olap
+from xml_to_sqlite3_spark.plans import llm_pipeline, node_graph, olap, olap_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,6 +23,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(olap.QUERIES)
+    out.update(olap_ext.QUERIES)
     out.update(node_graph.QUERIES)
     out.update(llm_pipeline.QUERIES)
     return out
@@ -36,6 +37,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out: dict[str, str] = {}
     out.update(olap.ORACLES)
+    out.update(olap_ext.ORACLES)
     out.update(node_graph.ORACLES)
     out.update(llm_pipeline.ORACLES)
     return out

@@ -16,6 +16,8 @@ dimension index, not an RNG at runtime.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -80,51 +82,71 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 16, dim: int = 64, table: int = 0) -> Column:
-    """Sign-pattern bucket id from deterministic pseudo-random
-    hyperplanes: plane p's weight for dimension d is a fixed hash
-    h(table, p, d) mapped to [-1, 1]. No runtime RNG -> reproducible;
-    ``table`` selects an independent plane set (LSH amplification)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        weights = F.array(
-            *[
-                (F.xxhash64(F.lit(table * 1000003 + p * 100003 + d)) % 2001 - 1000)
-                / 1000.0
-                for d in range(dim)
-            ]
-        )
-        proj = dot(vec, weights)
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
-    return bucket
+_PLANE_SEED = 428571
+
+
+def _plane_matrix(n_planes: int, dim: int, n_tables: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (Charikar random-projection
+    LSH): fixed-seed MT19937, stable across runs and machines."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def hyperplane_buckets_udf(n_planes: int = 8, dim: int = 64, n_tables: int = 1):
+    """Vectorized bucketizer: one matmul per Arrow batch computes
+    every table's sign pattern for every vector (vs. per-row codegen
+    of n_tables x n_planes dot-product expressions). Returns an
+    array<long> of n_tables bucket ids, table-offset so a plain
+    explode+equi-join never collides across tables."""
+    planes = _plane_matrix(n_planes, dim, n_tables)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def bucketize(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        buckets = np.empty((len(M), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            proj = (M @ planes[t].T) > 0
+            buckets[:, t] = proj @ powers + (np.int64(t) << n_planes)
+        return pd.Series(list(buckets))
+
+    return bucketize
 
 
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
     dim: int = 64,
+    n_tables: int = 8,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket both sides by hyperplane signs,
-    equi-join on bucket (plus one-bit-flip multi-probe), exact
-    cosine within candidates. At 100 TB the bucket join replaces the
-    full cross product; recall is tunable via n_planes/probes."""
+    """Approximate top-k: bucket both sides by hyperplane signs in
+    ``n_tables`` independent tables (amplification), equi-join on
+    bucket plus one-bit-flip multi-probe on the query side, exact
+    cosine within candidates only. At 100 TB the bucket joins
+    replace the full cross product; recall is tunable via
+    (n_planes, n_tables, probes) — fewer planes / more tables =
+    higher recall, more candidates."""
+    bucketize = hyperplane_buckets_udf(n_planes, dim, n_tables=n_tables)
     q = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, dim))
+    ).withColumn("buckets", bucketize(F.col("qv")))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim))
+    ).select("neighbor_id", "cv", F.explode(bucketize(F.col("cv"))).alias("bucket"))
 
-    # multi-probe: original bucket + each one-bit flip
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    # multi-probe: each table's bucket + each one-bit flip within it
+    probes = F.flatten(
+        F.transform(
+            F.col("buckets"),
+            lambda b: F.array(b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]),
+        )
     )
     q_probed = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
 
@@ -161,15 +183,8 @@ def embedding_near_duplicates(
     another table); candidates are the union over tables, verified
     once. Returns (id_a, id_b, cosine >= threshold)."""
     v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    tables = F.array(
-        *[
-            hyperplane_bucket(F.col("v"), n_planes, dim, table=t).bitwiseXOR(
-                F.lit(t).cast("long") * F.lit(1 << n_planes).cast("long")
-            )
-            for t in range(n_tables)
-        ]
-    )
-    bucketed = v.select("id", "v", F.explode(tables).alias("bucket"))
+    bucketize = hyperplane_buckets_udf(n_planes, dim, n_tables=n_tables)
+    bucketed = v.select("id", "v", F.explode(bucketize(F.col("v"))).alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     candidates = (

@@ -1,0 +1,110 @@
+"""Extended OLAP surface: semi-structured JSON extraction, rollup
+subtotals, and pivot — rounding out the engine's relational
+capabilities (the reference's SQLite surface offers json1/group by;
+these are the Spark-first equivalents, each oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull a typed value out of the semi-structured props JSON
+    column and aggregate it — get_json_object stays JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: status x priority with ROLLUP
+    (grand total + per-status subtotals in one pass)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month x event-type count matrix via pivot (fixed
+    column list so the plan is single-pass, no collect for values)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.select(F.dayofmonth("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .orderBy("day")
+    )
+    # pivot leaves null for empty cells; normalize to 0 like the
+    # oracle's conditional sums
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT CAST(day(ts) AS INT) AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "events_json_extract": events_json_extract,
+    "orders_rollup": orders_rollup,
+    "events_pivot": events_pivot,
+}
+
+ORACLES = {
+    "events_json_extract": EVENTS_JSON_ORACLE,
+    "orders_rollup": ORDERS_ROLLUP_ORACLE,
+    "events_pivot": EVENTS_PIVOT_ORACLE,
+}
