@@ -20,6 +20,9 @@ gate requirement and good pipeline hygiene).
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -39,7 +42,11 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column (pure Column
+    expression). NOTE: Catalyst interprets higher-order lambdas
+    (no codegen) and slice-per-index is O(words^2); prefer
+    ``shingles_udf`` for corpus-scale paths — same output, one
+    Arrow-batched pass."""
     norm = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
     words = F.split(norm, " ")
     size = F.size(words)
@@ -49,6 +56,28 @@ def word_shingles(text_col, n: int = 3):
             lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))),
         )
     )
+
+
+def shingles_udf(n: int = 3):
+    """Vectorized shingler — byte-identical output to
+    ``word_shingles`` (same \\s+ normalization, same edge case for
+    short docs, first-occurrence distinct order)."""
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = ws.sub(" ", t.strip()).lower().split(" ")
+            hi = max(len(words) - (n - 1), 1)
+            grams = [" ".join(words[i : i + n]) for i in range(hi)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return shingle
 
 
 def ngram_jaccard_pairs(
@@ -66,9 +95,12 @@ def ngram_jaccard_pairs(
     shingle shared by everything creates a hot key — callers can
     pre-filter shingles by document frequency; see ``max_df``).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)  # spread single-file sources before the explode
+        .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
 
@@ -103,18 +135,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """k-permutation MinHash signature per document: for seed i,
-    min over shingles of xxhash64(i, shingle). All JVM-side."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(k)
-        ]
+    """k-permutation MinHash signature per document.
+
+    One string xxhash64 per shingle, then k seeded long re-hashes
+    (xxhash64(i, h) — fixed-width input, far cheaper than re-hashing
+    the shingle text k times) folded with min in a single aggregation
+    pass with map-side partial combine."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)  # single-file sources otherwise hash on one core
+        .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
-    return sh.select("doc_id", sig.alias("signature"))
+    tokens = sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    sigs = tokens.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}") for i in range(k)]
+    )
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -134,7 +175,9 @@ def minhash_lsh_pairs(
     Jaccard. Returns (doc_a, doc_b, jaccard, est_jaccard).
     """
     rows = k // bands
-    sigs = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col)
+    # signatures feed both the banding and the estimate join — persist
+    # the (tiny: k longs per doc) set instead of recomputing
+    sigs = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col).persist()
 
     banded = sigs.select(
         "doc_id",
@@ -173,8 +216,9 @@ def minhash_lsh_pairs(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ) / F.lit(float(k))
 
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh")
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -203,12 +247,17 @@ def simhash_signatures(
     keeps it linear in corpus size; the 64 bit-sums are one
     aggregation pass (map-side combined).
     """
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
-        ).alias("word"),
-    ).withColumn("h", F.xxhash64("word"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    words = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+            ).alias("word"),
+        )
+        .withColumn("h", F.xxhash64("word"))
+    )
 
     votes = words.groupBy("doc_id").agg(
         *[
