@@ -97,14 +97,104 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRICE_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order time (running-sum
+    window; bounded to one market segment to keep the gate compact)."""
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("c_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("c_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+RUNNING_TOTALS_ORACLE = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY c_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+ORDER BY c_custkey, o_orderdate, o_orderkey
+"""
+
+
+def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group-minimum equality (TPC-H Q2 shape without partsupp):
+    for each part size, the cheapest parts — correlated-subquery
+    semantics via a window minimum, no second scan."""
+    from pyspark.sql import Window as W
+
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_size")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_size", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+CHEAPEST_PART_ORACLE = """
+SELECT p_size, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_size = p.p_size)
+ORDER BY p_size, p_partkey
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "orders_rollup": orders_rollup,
     "events_pivot": events_pivot,
+    "price_percentiles": price_percentiles,
+    "running_totals": running_totals,
+    "cheapest_part_supplier": cheapest_part_supplier,
 }
 
 ORACLES = {
     "events_json_extract": EVENTS_JSON_ORACLE,
     "orders_rollup": ORDERS_ROLLUP_ORACLE,
     "events_pivot": EVENTS_PIVOT_ORACLE,
+    "price_percentiles": PRICE_PERCENTILES_ORACLE,
+    "running_totals": RUNNING_TOTALS_ORACLE,
+    "cheapest_part_supplier": CHEAPEST_PART_ORACLE,
 }
