@@ -1,0 +1,86 @@
+"""Full-text search: inverted index + BM25 ranking.
+
+The reference's README roadmap plans "FTS indexes for full-text
+search" (SQLite FTS5); the Spark-first equivalent is an inverted
+index DataFrame (token -> posting list with term frequencies) and a
+BM25 scorer expressed as joins + window top-k. Deterministic (ties
+break on doc_id), so it is oracle-checkable in plain SQL.
+
+Scale shape: the index build is one explode + two aggregations
+(all map-side combinable); a query is a broadcast semi-join of its
+terms against the index — no scan of the corpus text at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(text_col) -> F.Column:
+    return F.split(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")), " ")
+
+
+def build_text_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: (token, doc_id, tf, doc_len). One explode +
+    one groupBy; partitioned by token so a query's term lookup is a
+    pruned shuffle read."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("token"))
+    )
+    return toks.groupBy("token", "doc_id", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_search(
+    index: DataFrame,
+    query: str,
+    k: int = 10,
+    n_docs: int | None = None,
+    avg_len: float | None = None,
+) -> DataFrame:
+    """Rank documents for a whitespace query with BM25
+    (idf = ln((N - df + 0.5)/(df + 0.5) + 1), the Lucene form).
+
+    Corpus stats (N, avgdl) are computed from the index unless
+    passed in (at scale: precompute once, broadcast).
+    """
+    terms = sorted(set(query.lower().split()))
+    if n_docs is None or avg_len is None:
+        stats = index.select("doc_id", "doc_len").distinct().agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs = n_docs or stats["n"]
+        avg_len = avg_len or stats["avgdl"]
+
+    hits = index.filter(F.col("token").isin(terms))
+    df_per_term = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avg_len)))
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "token")
+        .withColumn("term_score", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )

@@ -216,7 +216,50 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 top-10 for a fixed two-term query over the
+    inverted index (operators/search.py)."""
+    from ..operators.search import build_text_index, bm25_search
+
+    idx = build_text_index(load(spark, sf_dir, "documents"))
+    return bm25_search(idx, "data query", k=10)
+
+
+BM25_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id, len(t) AS doc_len, unnest(t) AS token FROM toks
+), idx AS (
+  SELECT token, doc_id, doc_len, count(*) AS tf FROM exploded GROUP BY 1, 2, 3
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(doc_len) AS avgdl
+  FROM (SELECT DISTINCT doc_id, doc_len FROM idx)
+), hits AS (
+  SELECT * FROM idx WHERE token IN ('data', 'query')
+), dfs AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+), scored AS (
+  SELECT h.doc_id,
+         round(sum(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.doc_len / s.avgdl))
+         ), 6) AS bm25
+  FROM hits h JOIN dfs d USING (token) CROSS JOIN stats s
+  GROUP BY h.doc_id
+)
+SELECT doc_id, bm25,
+       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "bm25_search": bm25_search_q,
     "token_count": token_count,
     "quality_score": quality_score,
     "lang_id": lang_id,
@@ -231,6 +274,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_search": BM25_ORACLE,
     "token_count": TOKEN_COUNT_ORACLE,
     "quality_score": QUALITY_ORACLE,
     "lang_id": LANG_ID_ORACLE,
