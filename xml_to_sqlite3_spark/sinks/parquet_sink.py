@@ -29,10 +29,12 @@ def write_corpus_parquet(
     like the reference's upsert (lib/database_writer.rb:44-56).
     """
     documents = dedupe_last_writer(corpus.documents, ["id"], "filename")
-    nodes = dedupe_last_writer(corpus.nodes, ["id"], "document_id")
+    # parse ordinal = the reference writer's insertion order, so the
+    # winner matches its INSERT OR REPLACE outcome exactly
+    nodes = dedupe_last_writer(corpus.nodes, ["id"], "ordinal").drop("ordinal")
     properties = dedupe_last_writer(
-        corpus.properties, ["node_id", "property_name"], "property_value"
-    )
+        corpus.properties, ["node_id", "property_name"], "ordinal"
+    ).drop("ordinal")
 
     def _write(df, name, bucket_col=None):
         writer = df.write.mode(mode)

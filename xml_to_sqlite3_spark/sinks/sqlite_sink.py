@@ -172,7 +172,9 @@ def write_corpus_sqlite(
         " data_type) VALUES (?, ?, ?, ?)",
         (
             (r["node_id"], r["property_name"], r["property_value"], r["data_type"])
-            for r in corpus.properties.toLocalIterator()
+            for r in corpus.properties.select(
+                "node_id", "property_name", "property_value", "data_type"
+            ).toLocalIterator()
         ),
         batch_size,
     )

@@ -47,7 +47,7 @@ from ..functions.type_inference import infer_type
 _PARSE_SCHEMA = (
     "document_id string, filename string, file_size long, parse_error string, "
     "id string, node_type string, parent_id string, position int, "
-    "content string, xpath string, "
+    "content string, xpath string, ordinal long, "
     "attributes array<struct<property_name: string, property_value: string>>"
 )
 
@@ -76,11 +76,16 @@ def _parse_one(content: bytes, path: str, size: int) -> list[tuple]:
     try:
         root = ET.fromstring(content)
     except ET.ParseError as exc:
-        return [(document_id, path, size, f"parse error: {exc}", None, None, None, None, None, None, None)]
+        return [(document_id, path, size, f"parse error: {exc}",
+                 None, None, None, None, None, None, None, None)]
 
-    # Walk once, tracking parent and the nokogiri-style path.
+    # Preorder walk (document order): the reference's writer upserts
+    # rows in parse order, so in-file duplicate ids resolve to the
+    # LAST occurrence (test_edge_cases.rb test_xml_with_duplicate_ids);
+    # ``ordinal`` records that order for deterministic distributed
+    # last-writer-wins.
     stack = [(root, None, None)]  # (element, parent_element, xpath)
-    paths: dict[int, str] = {}
+    ordinal = 0
 
     def xpath_for(el, parent, parent_path) -> str:
         name = _local_name(el.tag)
@@ -98,7 +103,6 @@ def _parse_one(content: bytes, path: str, size: int) -> list[tuple]:
         if not isinstance(el.tag, str):  # comments / PIs
             continue
         my_path = xpath_for(el, parent, parent_path)
-        paths[id(el)] = my_path
 
         el_id = el.get("id")
         if el_id is not None:
@@ -127,15 +131,19 @@ def _parse_one(content: bytes, path: str, size: int) -> list[tuple]:
                     position,
                     content_text,
                     my_path,
+                    ordinal,
                     attrs,
                 )
             )
-        for child in el:
+            ordinal += 1
+        # push children reversed so the stack pops them in document order
+        for child in reversed(list(el)):
             stack.append((child, el, my_path))
 
     if not rows:
         # Document with no id-bearing nodes still gets a documents row.
-        rows.append((document_id, path, size, None, None, None, None, None, None, None, None))
+        rows.append((document_id, path, size, None,
+                     None, None, None, None, None, None, None, None))
     return rows
 
 
@@ -151,6 +159,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "position",
         "content",
         "xpath",
+        "ordinal",
         "attributes",
     ]
     for pdf in batches:
@@ -201,17 +210,23 @@ def read_xml_corpus(
             "position",
             "content",
             "xpath",
+            "ordinal",
         )
         .withColumn("created_at", F.current_timestamp())
     )
 
     properties = (
         parsed.filter(F.col("id").isNotNull() & (F.size("attributes") > 0))
-        .select(F.col("id").alias("node_id"), F.explode("attributes").alias("attr"))
+        .select(
+            F.col("id").alias("node_id"),
+            "ordinal",
+            F.explode("attributes").alias("attr"),
+        )
         .select(
             "node_id",
             F.col("attr.property_name").alias("property_name"),
             F.col("attr.property_value").alias("property_value"),
+            "ordinal",
         )
         .withColumn("data_type", infer_type(F.col("property_value")))
     )
