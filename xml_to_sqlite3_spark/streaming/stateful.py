@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+`streaming_exact_dedup` is the streaming form of
+operators/dedup.exact_duplicates: documents whose content hash was
+seen in ANY earlier micro-batch are dropped, with the seen-set held
+in Spark-managed per-key state (checkpointable, exactly-once with
+the sink). This is the standard online-ingest guard for a training
+pipeline — the corpus grows continuously and duplicates must be
+suppressed at arrival time, not in a nightly batch.
+
+State is one boolean per distinct hash, partitioned by the hash key;
+a GroupStateTimeout can bound retention when upstream guarantees an
+arrival horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = "doc_id long, text string, text_md5 string"
+_STATE_SCHEMA = "seen boolean"
+
+
+def _dedup_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    already_seen = state.exists
+    first_emitted = False
+    for pdf in pdfs:
+        if already_seen or first_emitted or len(pdf) == 0:
+            continue
+        yield pdf.head(1)
+        first_emitted = True
+    if first_emitted and not state.exists:
+        state.update((True,))
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the first-ever occurrence of each document text
+    across the life of the stream. Input: streaming DataFrame with
+    (doc_id, text). Output: (doc_id, text, text_md5)."""
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+    )
+    return hashed.groupBy("text_md5").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
