@@ -1,0 +1,66 @@
+"""Graph traversal over the cross-reference graph.
+
+The reference's stated purpose is a database "for further
+post-processing, such as ... graph traversal operations"
+(/root/reference/main.rb:22-24, README). These operators make that
+surface first-class: BFS shortest distances and reachability over
+the edge set, as iterative frontier joins.
+
+Scale shape: per level one hash join frontier⋈edges co-partitioned
+on the node key, with the visited set as a distributed DataFrame
+(anti-join pruning) — never a driver-side set. localCheckpoint per
+level keeps lineage flat; AQE sizes each level's shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: str,
+    max_depth: int = 3,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+) -> DataFrame:
+    """Minimum hop-distance from ``source`` to every node reachable
+    within ``max_depth`` directed edges. Returns (node, distance),
+    including the source at distance 0.
+
+    First-arrival BFS: a node enters the result at its minimum depth
+    and is pruned (anti-join) from later frontiers — so cycles and
+    dense fan-in cost nothing extra.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+
+    visited = spark.createDataFrame([(source, 0)], "node string, distance int")
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def reachable(
+    edges: DataFrame,
+    source: str,
+    max_depth: int = 3,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+) -> DataFrame:
+    """Node set reachable from ``source`` within ``max_depth`` hops."""
+    return bfs_distances(edges, source, max_depth, src_col, dst_col).select("node")

@@ -902,6 +902,36 @@ ORDER BY v.event_id
 """
 
 
+def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS min hop-distance from customer_7 over the non-sibling
+    reference graph (parent_child / child_parent /
+    attribute_reference edges), depth <= 3 — the reference's 'graph
+    traversal operations' purpose as a first-class operator."""
+    from ..operators.graph import bfs_distances
+
+    _, _, xrefs = get_graph(spark, sf_dir)
+    edges = xrefs.filter(
+        F.col("reference_type").isin("parent_child", "child_parent", "attribute_reference")
+    )
+    return bfs_distances(edges, "customer_7", max_depth=3).orderBy("node")
+
+
+GRAPH_DISTANCES_ORACLE = GRAPH_PREFIX + """
+, edges AS (
+  SELECT DISTINCT source_node_id AS src, target_node_id AS dst
+  FROM cross_references
+  WHERE reference_type IN ('parent_child', 'child_parent', 'attribute_reference')
+), walk AS (
+  SELECT 'customer_7' AS node, 0 AS distance
+  UNION ALL
+  SELECT e.dst, w.distance + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.distance < 3
+)
+SELECT node, CAST(min(distance) AS INT) AS distance FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The XML ingestion path itself (sources/xml_source.py) over the
     repo's own fixtures — rows-only gate (DuckDB has no XML reader);
@@ -941,6 +971,7 @@ QUERIES = {
     "same_type_pairs": same_type_pairs,
     "sibling_pairs": sibling_pairs,
     "asof_join_tables": asof_join_tables,
+    "graph_distances": graph_distances,
     "xml_nodes_roundtrip": xml_nodes_roundtrip,
 }
 
@@ -964,4 +995,5 @@ ORACLES = {
     "same_type_pairs": SAME_TYPE_ORACLE,
     "sibling_pairs": SIBLING_PAIRS_ORACLE,
     "asof_join_tables": ASOF_TABLES_ORACLE,
+    "graph_distances": GRAPH_DISTANCES_ORACLE,
 }
