@@ -34,7 +34,14 @@ def bfs_distances(
     dense fan-in cost nothing extra.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # materialize the deduped edge set once — every level joins
+    # against it, and without this the distinct() shuffle re-runs
+    # per level
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     visited = spark.createDataFrame([(source, 0)], "node string, distance int")
     visited = visited.localCheckpoint(eager=True)
@@ -50,7 +57,9 @@ def bfs_distances(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # union of already-checkpointed frontiers — lineage stays
+        # flat without re-materializing the growing visited set
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
