@@ -205,8 +205,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
-    return S.embedding_near_duplicates(load(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only).
+
+    The synthetic embeddings are near-orthogonal (nearest-neighbor
+    cosines peak ~0.51), so the threshold sits where the operator
+    surfaces the genuinely-closest pairs rather than returning an
+    empty set."""
+    return S.embedding_near_duplicates(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
