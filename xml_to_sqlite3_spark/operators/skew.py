@@ -1,0 +1,67 @@
+"""Skew- and shuffle-management utilities.
+
+Two of the load-bearing patterns for 100 TB joins:
+
+- ``salted_join``: a hot key (one customer with 100M rows) turns a
+  hash join into a single straggler task. Salting splits each left
+  key into S sub-keys and replicates the matching right rows S ways
+  — the hot partition becomes S even ones. AQE's skew-join handles
+  moderate skew automatically; explicit salting is for the extreme
+  tail where even a split partition exceeds memory.
+
+- ``write_bucketed`` / bucketed tables: pre-shuffle the data ONCE at
+  write time (bucketBy on the join key); subsequent joins between
+  tables bucketed on the same key by the same count run without any
+  exchange. This is how repeatedly-joined corpus tables (nodes ⋈
+  properties ⋈ xrefs on node ids) amortize their shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``key`` with the left side's keys salted S ways
+    and the right side replicated to match. Result is identical to
+    ``left.join(right, key, how)``; the shuffle distributes each key
+    across ``salt`` partitions instead of one.
+
+    Use when the LEFT side is skewed (many rows per hot key) and the
+    RIGHT side is small enough to replicate ``salt`` times.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+    )
+    return salted_left.join(salted_right, [key, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: the
+    one-time shuffle that makes every later equi-join on ``key``
+    against a same-bucketed table exchange-free. ``path`` makes it
+    an external table (otherwise the session warehouse dir)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
