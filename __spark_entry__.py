@@ -7,9 +7,17 @@ for the DuckDB correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable even when this module is loaded by
+# file path from another working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from xml_to_sqlite3_spark.plans import llm_pipeline, node_graph, olap, olap_ext
 
