@@ -1,0 +1,78 @@
+"""Corpus-curation pipelines: the composed form of the dedup and
+text-analysis operators — what a training-data job actually runs.
+
+``curate_corpus`` produces one decision row per document:
+    keep=True/False + the first reason that disqualified it
+        (exact_dup / near_dup / low_quality / wrong_lang)
+Stages run cheapest-first (hash dedup, then quality/lang column
+math, then MinHash-LSH candidates only over the survivors), so the
+expensive near-dup join sees the smallest possible input — the
+standard funnel shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import text as T
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keep/drop decisions.
+
+    Returns (doc_id, keep, reason, quality_score, predicted_lang)
+    where reason is NULL for kept docs. Deterministic: exact-dup
+    keeper is min doc_id; near-dup drops the higher doc_id of each
+    verified pair.
+    """
+    exact = D.exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "is_keeper"
+    )
+    quality = T.quality_features(docs, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    lang = T.language_id(docs, text_col=text_col).select("doc_id", "predicted_lang")
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(exact, "doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+    )
+
+    # near-dup candidates only among docs that survive the cheap
+    # stages — the funnel
+    survivors = base.filter(
+        F.col("is_keeper")
+        & (F.col("quality_score") >= min_quality)
+        & F.col("predicted_lang").isin(*allowed_langs)
+    ).select("doc_id")
+    surviving_docs = docs.join(
+        survivors.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    near = D.minhash_lsh_pairs(
+        surviving_docs, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+
+    decided = (
+        base.join(near.withColumn("is_near_dup", F.lit(True)), "doc_id", "left")
+        .withColumn(
+            "reason",
+            F.when(~F.col("is_keeper"), "exact_dup")
+            .when(F.col("quality_score") < min_quality, "low_quality")
+            .when(~F.col("predicted_lang").isin(*allowed_langs), "wrong_lang")
+            .when(F.col("is_near_dup"), "near_dup"),
+        )
+        .withColumn("keep", F.col("reason").isNull())
+        .select("doc_id", "keep", "reason", "quality_score", "predicted_lang")
+    )
+    return decided

@@ -214,6 +214,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_duplicates(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (operators/pipeline.py): exact dedup
+    -> quality/lang filter -> MinHash near-dup over survivors,
+    one keep/drop decision per document (rows-only: the MinHash stage
+    is hash-dependent)."""
+    from ..operators.pipeline import curate_corpus
+
+    return curate_corpus(
+        load(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        allowed_langs=("en", "es", "fr", "de", "zh", "und"),
+        near_dup_threshold=0.5,
+    ).orderBy("doc_id")
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only; recall vs the
     exact path is asserted in tests)."""
@@ -276,6 +291,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "ann_lsh": ann_lsh,
+    "curate_corpus": curate_corpus_q,
 }
 
 ORACLES = {
