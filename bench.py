@@ -43,6 +43,18 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+
+    # Materialize the node-graph cache as its own explicit bench
+    # entry (counted in the total) — the reference's model is
+    # build-the-database-once, query-many-times, and without this
+    # the one-time ~18M-row xref materialization would be silently
+    # attributed to whichever graph query happens to run first.
+    from xml_to_sqlite3_spark.plans.node_graph import get_graph
+
+    t0 = time.perf_counter()
+    for df in get_graph(spark, sf_dir):
+        df.count()
+    timings["graph_build"] = round(time.perf_counter() - t0, 4)
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)

@@ -6,10 +6,11 @@ post-processing, such as ... graph traversal operations"
 surface first-class: BFS shortest distances and reachability over
 the edge set, as iterative frontier joins.
 
-Scale shape: per level one hash join frontier⋈edges co-partitioned
-on the node key, with the visited set as a distributed DataFrame
-(anti-join pruning) — never a driver-side set. localCheckpoint per
-level keeps lineage flat; AQE sizes each level's shuffle.
+Scale shape: per level one broadcast hash join frontier⋈edges (the
+edge side streams in place, never shuffles), with the visited set
+pruned by anti-join — never a driver-side set. localCheckpoint per
+level keeps lineage flat; a shuffle-join fallback exists for
+frontiers too large to broadcast.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ def bfs_distances(
     max_depth: int = 3,
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Minimum hop-distance from ``source`` to every node reachable
     within ``max_depth`` directed edges. Returns (node, distance),
@@ -32,26 +34,34 @@ def bfs_distances(
     First-arrival BFS: a node enters the result at its minimum depth
     and is pruned (anti-join) from later frontiers — so cycles and
     dense fan-in cost nothing extra.
+
+    Each level is a broadcast hash join: the (small) frontier is
+    broadcast and the edge set is streamed in place — no edge-side
+    shuffle and no up-front materialization of a deduped edge copy.
+    Duplicate raw edges only produce duplicate frontier candidates,
+    which the per-level ``distinct()`` (frontier-sized shuffle)
+    removes. Callers pass ``edges`` persisted if they run several
+    traversals. For frontiers too big to broadcast (whole-graph
+    sweeps at extreme fan-out), set ``broadcast_frontier=False`` to
+    fall back to a shuffle hash join per level.
     """
     spark = edges.sparkSession
-    # materialize the deduped edge set once — every level joins
-    # against it, and without this the distinct() shuffle re-runs
-    # per level
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
 
     visited = spark.createDataFrame([(source, 0)], "node string, distance int")
     visited = visited.localCheckpoint(eager=True)
     frontier = visited
     for depth in range(1, max_depth + 1):
+        f = frontier.select(F.col("node").alias("src"))
+        v = visited.select("node")
+        if broadcast_frontier:
+            f = F.broadcast(f)
+            v = F.broadcast(v)
         nxt = (
-            e.join(frontier.select(F.col("node").alias("src")), "src")
+            e.join(f, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(v, "node", "left_anti")
             .withColumn("distance", F.lit(depth))
         )
         nxt = nxt.localCheckpoint(eager=True)

@@ -73,26 +73,55 @@ def ancestors(
     spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
 ) -> DataFrame:
     """All ancestors of ``node_id`` via parent_child cross_references
-    with depth and ' -> ' path (examples/sql_queries.md)."""
-    xrefs.filter(F.col("reference_type") == "parent_child").select(
-        "source_node_id", "target_node_id"
-    ).createOrReplaceTempView("__h_pc")
-    escaped = node_id.replace("'", "''")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE anc AS (
-          SELECT target_node_id AS descendant_id, source_node_id AS ancestor_id,
-                 1 AS depth, source_node_id AS path
-          FROM __h_pc WHERE target_node_id = '{escaped}'
-          UNION ALL
-          SELECT a.descendant_id, p.source_node_id,
-                 a.depth + 1, CONCAT(p.source_node_id, ' -> ', a.path)
-          FROM anc a JOIN __h_pc p ON a.ancestor_id = p.target_node_id
-          WHERE a.depth < {int(max_depth)}
-        )
-        SELECT ancestor_id, depth, path FROM anc
-        """
+    with depth and ' -> ' path (examples/sql_queries.md).
+
+    Iterative upward walk, one level per broadcast hash join: the
+    frontier for a single-node lookup never exceeds the node's
+    branching factor (one row per level in a tree), so each level
+    streams the edge set once against a broadcast frontier — no
+    shuffle, no per-iteration re-plan. The recursive-CTE equivalent
+    (Catalyst UnionLoop) shuffle-joins the full edge table per level,
+    which at 100 TB is ``max_depth`` full-edge shuffles per lookup.
+    """
+    edges = xrefs.filter(F.col("reference_type") == "parent_child").select(
+        F.col("source_node_id").alias("parent"),
+        F.col("target_node_id").alias("child"),
     )
+    frontier = (
+        edges.filter(F.col("child") == node_id)
+        .select(
+            F.col("parent").alias("ancestor_id"),
+            F.lit(1).alias("depth"),
+            F.col("parent").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    for depth in range(2, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            edges.join(
+                F.broadcast(
+                    frontier.select(F.col("ancestor_id").alias("child"), "path")
+                ),
+                "child",
+            )
+            .select(
+                F.col("parent").alias("ancestor_id"),
+                F.lit(depth).alias("depth"),
+                F.concat(F.col("parent"), F.lit(" -> "), F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def descendants(

@@ -381,6 +381,10 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     """
     key = (id(spark.sparkContext), sf_dir)
     if key not in _GRAPH_CACHE:
+        # RLE/dict encoding of the 18M short-string xref rows costs
+        # more CPU at persist time than the memory it saves here;
+        # scans of the uncompressed cache are just as fast.
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
         nodes = build_nodes(spark, sf_dir).persist()
         properties = build_properties(spark, sf_dir).persist()
         xrefs = R.detect_all_relationships(nodes, properties).persist()
