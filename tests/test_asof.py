@@ -40,6 +40,22 @@ def test_asof_inclusive_at_equal_ts(spark):
     assert out[0]["price_asof"] == 42.0  # right sorts before left at equal ts
 
 
+def test_asof_null_in_latest_right_row_wins_atomically(spark):
+    """pd.merge_asof semantics: the whole most-recent right row is the
+    match. A NULL column in that row must surface as NULL — an older
+    row's value must not bleed through for just that column."""
+    left = spark.createDataFrame(
+        [(1, "u1", _t(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _t(2), 100.0, "old"), ("u1", _t(8), None, "new")],
+        "user_id string, ts timestamp, price double, tag string",
+    )
+    out = asof_join(left, right, on="ts", by="user_id").collect()[0]
+    assert out["tag_asof"] == "new"
+    assert out["price_asof"] is None  # NOT 100.0 from the older row
+
+
 def test_asof_latest_wins(spark):
     left = spark.createDataFrame(
         [(1, "u1", _t(30))], "event_id long, user_id string, ts timestamp"

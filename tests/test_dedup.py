@@ -47,6 +47,37 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_max_df(spark):
+    # every doc shares the same stopword run; pairs only exist through
+    # that hot shingle. max_df drops it from the index, so the pair
+    # universe (and the hot shuffle key) disappears.
+    stop = "and then it was and then it was and then it was"
+    docs = spark.createDataFrame(
+        [(i, f"{stop} unique{'x' * i} tail{i} content{i} here{i}") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    hot = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert hot  # the stopword shingles do pair everything without the guard
+    cold = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=3).collect()
+    }
+    assert not cold
+    # identical docs still pair (their rare shingles survive the filter)
+    docs2 = docs.union(
+        spark.createDataFrame([(7, "uniquex tailx contentx"), (8, "uniquex tailx contentx")],
+                              "doc_id long, text string")
+    )
+    again = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs2, threshold=0.5, max_df=3).collect()
+    }
+    assert again[(7, 8)] == 1.0
+
+
 def test_minhash_signature_shape(docs):
     sigs = D.minhash_signatures(docs, k=32).collect()
     assert all(len(r["signature"]) == 32 for r in sigs)
@@ -79,3 +110,38 @@ def test_simhash_pairs(docs):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 16
     assert (1, 4) not in pairs or pairs[(1, 4)] > pairs[(1, 3)]
+
+
+def test_simhash_banding_complete(spark):
+    """Pigeonhole completeness: with bands derived from max_hamming,
+    EVERY pair within the threshold is generated as a candidate —
+    including adversarial bit patterns that straddle wide chunks."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = int(rng.integers(0, 2**63, dtype=np.int64))
+    rows, expected = [(0, base)], set()
+    for i in range(1, 21):
+        h = int(rng.integers(1, 11))  # 1..10 differing bits
+        flip = 0
+        for b in rng.choice(64, size=h, replace=False):
+            flip |= 1 << int(b)
+        sig = (base ^ flip) - (1 << 64) if (base ^ flip) >= (1 << 63) else base ^ flip
+        rows.append((i, sig))
+        expected.add((0, i))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    # run the banding+verify exactly as simhash_pairs does, bypassing
+    # text hashing, by monkeypatching the signature source
+    import xml_to_sqlite3_spark.operators.dedup as D2
+
+    orig = D2.simhash_signatures
+    D2.simhash_signatures = lambda df, id_col="doc_id", text_col="text": sigs
+    try:
+        found = {
+            (r["doc_a"], r["doc_b"])
+            for r in D2.simhash_pairs(sigs, max_hamming=10).collect()
+        }
+    finally:
+        D2.simhash_signatures = orig
+    assert expected <= found  # no pair within h=10 is missed

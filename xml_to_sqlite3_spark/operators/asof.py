@@ -30,22 +30,28 @@ def asof_join(
     ``value_cols``: right columns to carry (default: all but on/by).
     Right rows tie-broken to sort before left rows at equal
     timestamps (inclusive match, pd.merge_asof semantics).
+
+    The right side is carried as ONE struct of all value columns, so
+    the entire most-recent right row wins atomically — a NULL in one
+    of its columns stays NULL rather than letting an older row's
+    value bleed through for just that column (which a per-column
+    ``last(ignorenulls)`` would do).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
-    lefts = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        lefts = lefts.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     rights = right.select(
         by,
         on,
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     for c in left.columns:
         if c not in (on, by):
             rights = rights.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    lefts = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(rights.schema["__r"].dataType)
+    )
 
     unioned = lefts.unionByName(rights)
     w = (
@@ -56,9 +62,9 @@ def asof_join(
     carried = unioned.select(
         *[c for c in left.columns],
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__match"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

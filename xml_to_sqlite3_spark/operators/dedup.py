@@ -86,14 +86,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing at least
     one shingle, via an inverted index: explode shingles, join on
     shingle with doc_a < doc_b, count shared, Jaccard from set sizes.
 
-    At scale this shuffles on the shingle key (skew guard: a stopword
-    shingle shared by everything creates a hot key — callers can
-    pre-filter shingles by document frequency; see ``max_df``).
+    At scale this shuffles on the shingle key; a stopword shingle
+    shared by everything creates a hot key AND a quadratic pair
+    blow-up on it. ``max_df`` is the skew guard: shingles occurring
+    in more than ``max_df`` documents are dropped from the index
+    before pairing, and both the intersection and the set sizes are
+    computed over the surviving shingle space (so Jaccard stays a
+    true set similarity on the filtered universe).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
@@ -103,6 +108,17 @@ def ngram_jaccard_pairs(
     )
     sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            tokens.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        tokens = (
+            tokens.join(rare, "shingle", "left_semi")
+            .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        )
 
     a = tokens.alias("a")
     b = tokens.alias("b")
@@ -128,6 +144,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_tokens(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, h) hashed-shingle postings — ONE shingle pass over the
+    text; everything downstream (signatures, banding, exact verify)
+    works on the 8-byte hashes, never re-reading the text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, id_col)  # single-file sources otherwise hash on one core
+        .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+    )
+
+
+def _signatures_from_tokens(tokens: DataFrame, k: int) -> DataFrame:
+    """k seeded long re-hashes (xxhash64(i, h) — fixed-width input,
+    far cheaper than re-hashing the shingle text k times) folded with
+    min in one aggregation pass with map-side partial combine."""
+    sigs = tokens.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}") for i in range(k)]
+    )
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 64,
@@ -135,27 +179,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """k-permutation MinHash signature per document.
-
-    One string xxhash64 per shingle, then k seeded long re-hashes
-    (xxhash64(i, h) — fixed-width input, far cheaper than re-hashing
-    the shingle text k times) folded with min in a single aggregation
-    pass with map-side partial combine."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(par, id_col)  # single-file sources otherwise hash on one core
-        .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    tokens = sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
-        "h", F.xxhash64("shingle")
-    )
-    sigs = tokens.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}") for i in range(k)]
-    )
-    return sigs.select(
-        "doc_id", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
-    )
+    """k-permutation MinHash signature per document."""
+    return _signatures_from_tokens(_shingle_tokens(df, n, id_col, text_col), k)
 
 
 def minhash_lsh_pairs(
@@ -166,18 +191,28 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_margin: float = 0.2,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
     Signatures are banded (k/bands rows per band); documents sharing
-    a band hash become candidates (shuffle on the band-bucket key —
-    the only join); candidates are verified with exact shingle
-    Jaccard. Returns (doc_a, doc_b, jaccard, est_jaccard).
+    a band hash become candidates (shuffle on the band-bucket key).
+    Candidates first pass a signature-estimate filter (est Jaccard >=
+    threshold - ``est_margin``; with k=64 the estimate's std is
+    ~0.06, so the default margin is >3 sigma — a candidate whose true
+    Jaccard clears the threshold essentially never estimates below
+    it), then get an exact Jaccard verify. The verify is a
+    hashed-shingle POSTINGS join — count shared 8-byte shingle hashes
+    per surviving pair — not an array_intersect over full shingle
+    arrays shipped through the shuffle; the text is shingled exactly
+    once for the whole operator. Returns (doc_a, doc_b, jaccard,
+    est_jaccard).
     """
     rows = k // bands
-    # signatures feed both the banding and the estimate join — persist
-    # the (tiny: k longs per doc) set instead of recomputing
-    sigs = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col).persist()
+    # one shingle pass; postings feed signatures, banding, and verify
+    tokens = _shingle_tokens(df, n, id_col, text_col).persist()
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = _signatures_from_tokens(tokens, k).persist()
 
     banded = sigs.select(
         "doc_id",
@@ -209,28 +244,36 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # estimated jaccard from signature agreement + exact verify
+    # signature-estimate first-pass filter
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ) / F.lit(float(k))
-
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par, id_col).select(
-        F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh")
-    )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    screened = (
         candidates.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
         .withColumn("est_jaccard", F.round(est, 6))
-        .join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+    # exact verify: shared-hash count via postings join on (doc, h)
+    tok_a = tokens.select(F.col("doc_id").alias("doc_a"), "h")
+    tok_b = tokens.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        screened.join(tok_a, "doc_a")
+        .join(tok_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__n_b"))
+    jac = F.col("__inter") / (F.col("__n_a") + F.col("__n_b") - F.col("__inter"))
+    return (
+        shared.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "est_jaccard")
     )
@@ -291,9 +334,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one
-    chunk exactly), join on chunk, verify with popcount(xor)."""
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``max_hamming + 1`` chunks (pigeonhole: two signatures within
+    ``max_hamming`` differing bits MUST agree exactly on at least one
+    chunk — h differences cannot touch all h+1 chunks), join on
+    chunk, verify with popcount(xor). Candidate generation is
+    therefore COMPLETE for the requested threshold, at the cost of
+    narrower chunks (64/(h+1) bits) and hence more hash-collision
+    candidates as h grows — the inherent LSH recall/cost trade."""
+    n_chunks = min(int(max_hamming) + 1, 64)
+    widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         "doc_id",
@@ -303,11 +354,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cb"),

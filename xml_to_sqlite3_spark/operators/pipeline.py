@@ -23,7 +23,7 @@ def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.3,
     allowed_langs: tuple[str, ...] = ("en",),
-    near_dup_threshold: float = 0.5,
+    near_dup_threshold: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -32,7 +32,9 @@ def curate_corpus(
     Returns (doc_id, keep, reason, quality_score, predicted_lang)
     where reason is NULL for kept docs. Deterministic: exact-dup
     keeper is min doc_id; near-dup drops the higher doc_id of each
-    verified pair.
+    verified pair. ``near_dup_threshold=None`` skips the MinHash
+    stage entirely — the cheap (hash/column-math) funnel, which is
+    exactly SQL-expressible and oracle-checkable.
     """
     exact = D.exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
         "doc_id", "is_keeper"
@@ -49,19 +51,22 @@ def curate_corpus(
         .join(lang, "doc_id")
     )
 
-    # near-dup candidates only among docs that survive the cheap
-    # stages — the funnel
-    survivors = base.filter(
-        F.col("is_keeper")
-        & (F.col("quality_score") >= min_quality)
-        & F.col("predicted_lang").isin(*allowed_langs)
-    ).select("doc_id")
-    surviving_docs = docs.join(
-        survivors.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
-    )
-    near = D.minhash_lsh_pairs(
-        surviving_docs, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
-    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    if near_dup_threshold is None:
+        near = base.select("doc_id").limit(0)
+    else:
+        # near-dup candidates only among docs that survive the cheap
+        # stages — the funnel
+        survivors = base.filter(
+            F.col("is_keeper")
+            & (F.col("quality_score") >= min_quality)
+            & F.col("predicted_lang").isin(*allowed_langs)
+        ).select("doc_id")
+        surviving_docs = docs.join(
+            survivors.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+        near = D.minhash_lsh_pairs(
+            surviving_docs, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
+        ).select(F.col("doc_b").alias("doc_id")).distinct()
 
     decided = (
         base.join(near.withColumn("is_near_dup", F.lit(True)), "doc_id", "left")

@@ -52,28 +52,33 @@ def bm25_search(
     """Rank documents for a whitespace query with BM25
     (idf = ln((N - df + 0.5)/(df + 0.5) + 1), the Lucene form).
 
-    Corpus stats (N, avgdl) are computed from the index unless
-    passed in (at scale: precompute once, broadcast).
-    """
+    Corpus stats (N, avgdl): pass precomputed values (at scale:
+    compute once at index-build time and store with the index), or
+    leave None and they are derived INSIDE the query plan as a
+    broadcast 1-row aggregate — either way no driver-side
+    ``collect()`` runs before the scoring query."""
     terms = sorted(set(query.lower().split()))
-    if n_docs is None or avg_len is None:
-        stats = index.select("doc_id", "doc_len").distinct().agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
-        n_docs = n_docs or stats["n"]
-        avg_len = avg_len or stats["avgdl"]
-
     hits = index.filter(F.col("token").isin(terms))
+
+    if n_docs is None or avg_len is None:
+        stats = (
+            index.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("__n"), F.avg("doc_len").alias("__avgdl"))
+        )
+        hits = hits.crossJoin(F.broadcast(stats))
+        n_col, avgdl_col = F.col("__n"), F.col("__avgdl")
+    else:
+        n_col, avgdl_col = F.lit(float(n_docs)), F.lit(float(avg_len))
+
     df_per_term = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
 
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
+    idf = F.log((n_col - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avg_len)))
+        F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / avgdl_col)
     )
     scored = (
-        hits.join(F.broadcast(df_per_term), "token")
+        hits.join(F.broadcast(df_per_term.select("token", "df")), "token")
         .withColumn("term_score", idf * tf_norm)
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))

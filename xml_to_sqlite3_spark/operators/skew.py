@@ -30,13 +30,26 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on ``key`` with the left side's keys salted S ways
-    and the right side replicated to match. Result is identical to
-    ``left.join(right, key, how)``; the shuffle distributes each key
-    across ``salt`` partitions instead of one.
+    and the right side replicated to match. For the supported join
+    types the result is identical to ``left.join(right, key, how)``;
+    the shuffle distributes each key across ``salt`` partitions
+    instead of one.
+
+    Only left-preserving joins are supported: because the right side
+    is replicated ``salt`` times, a right- or full-outer join would
+    emit each unmatched right row once per salt value.
 
     Use when the LEFT side is skewed (many rows per hot key) and the
     RIGHT side is small enough to replicate ``salt`` times.
     """
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti"}
+    if how not in supported:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(supported)}, "
+            f"got {how!r}: the replicated right side would duplicate unmatched "
+            "right rows in right/full outer joins"
+        )
     salted_left = left.withColumn(
         "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt).cast("int")
     )

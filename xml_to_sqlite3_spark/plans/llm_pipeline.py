@@ -229,6 +229,119 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def curate_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's SQL-expressible stages (exact dedup +
+    quality + language), oracle-checked end to end; only the
+    hash-dependent MinHash stage stays rows-only (curate_corpus)."""
+    from ..operators.pipeline import curate_corpus
+
+    return curate_corpus(
+        load(spark, sf_dir, "documents"),
+        min_quality=0.3,
+        allowed_langs=("en",),
+        near_dup_threshold=None,
+    ).orderBy("doc_id")
+
+
+CURATE_CHEAP_ORACLE = rf"""
+WITH exact AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+  FROM documents
+), qbase AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w IN ({_SW_EN}))) AS n_stop
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+         round(least(n_chars / 2000.0, 1.0) * 0.3
+               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+               + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 2, 1.0) * 0.4,
+               6) AS quality_score
+  FROM qbase
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN hits_en + hits_es + hits_fr + hits_de = 0 THEN 'und'
+              WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+              WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+              WHEN hits_fr >= hits_de THEN 'fr'
+              ELSE 'de' END AS predicted_lang
+  FROM (
+    SELECT doc_id, text,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_EN)}))) AS hits_en,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_ES)}))) AS hits_es,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_FR)}))) AS hits_fr,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_DE)}))) AS hits_de
+    FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents)
+  )
+), decided AS (
+  SELECT e.doc_id,
+         CASE WHEN NOT e.is_keeper THEN 'exact_dup'
+              WHEN q.quality_score < 0.3 THEN 'low_quality'
+              WHEN l.predicted_lang <> 'en' THEN 'wrong_lang'
+              END AS reason,
+         q.quality_score, l.predicted_lang
+  FROM exact e JOIN quality q ON e.doc_id = q.doc_id
+  JOIN lang l ON e.doc_id = l.doc_id
+)
+SELECT doc_id, reason IS NULL AS keep, reason, quality_score, predicted_lang
+FROM decided ORDER BY doc_id
+"""
+
+
+def content_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic content-similarity adapter (semantic_adapter.rb:52-85)
+    driven over the documents corpus as single-document nodes: word-set
+    Jaccard >= 0.95 pairs, confidence = similarity * 0.5. Bounded to the
+    first 500 docs so the inverted-index hot-word fan-out stays flat
+    across scale factors (the adapter itself is exercised unbounded on
+    XML corpora in unit tests)."""
+    from ..operators import relationships as R
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    nodes = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("doc").alias("node_type"),
+        F.lit("corpus").alias("document_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(0).alias("position"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("xpath"),
+    )
+    return R.content_similarity_relationships(nodes, threshold=0.95).orderBy(
+        "source_node_id", "target_node_id"
+    )
+
+
+CONTENT_SIMILAR_ORACLE = r"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         list_distinct(regexp_extract_all(lower(text), '\w+')) AS words
+  FROM documents
+  WHERE doc_id < 500 AND text IS NOT NULL AND text <> ''
+), sized AS (
+  SELECT id, words, len(words) AS n FROM base WHERE len(words) > 0
+), pairs AS (
+  SELECT a.id AS source_node_id, b.id AS target_node_id,
+         len(list_intersect(a.words, b.words)) AS inter, a.n AS n_a, b.n AS n_b
+  FROM sized a JOIN sized b ON a.id <> b.id
+)
+SELECT source_node_id, target_node_id,
+       'content_similar' AS reference_type,
+       CAST(NULL AS VARCHAR) AS attribute_name,
+       CAST(inter AS DOUBLE) / (n_a + n_b - inter) * 0.5 AS confidence,
+       'corpus' AS document_id
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.95
+ORDER BY source_node_id, target_node_id
+"""
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only; recall vs the
     exact path is asserted in tests)."""
@@ -292,6 +405,8 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_lsh": ann_lsh,
     "curate_corpus": curate_corpus_q,
+    "curate_cheap": curate_cheap,
+    "content_similarity": content_similar,
 }
 
 ORACLES = {
@@ -303,4 +418,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ann_cosine_topk": ANN_ORACLE,
+    "curate_cheap": CURATE_CHEAP_ORACLE,
+    "content_similarity": CONTENT_SIMILAR_ORACLE,
 }

@@ -441,6 +441,52 @@ WHERE np.property_name = 'mktsegment' AND np.property_value = 'BUILDING'
 """
 
 
+def multi_attribute_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test_sql_operations.rb:82-96 generalized to the intersection of
+    TWO property predicates — nodes whose properties satisfy both
+    (brand = 'Brand#23' AND size = '7'). Two semi-joins against the
+    property table; each predicate prunes before the next."""
+    nodes, properties, _ = get_graph(spark, sf_dir)
+    p1 = properties.filter(
+        (F.col("property_name") == "brand") & (F.col("property_value") == "Brand#23")
+    ).select(F.col("node_id").alias("id"))
+    p2 = properties.filter(
+        (F.col("property_name") == "size") & (F.col("property_value") == "7")
+    ).select(F.col("node_id").alias("id"))
+    return (
+        nodes.join(p1, "id", "left_semi")
+        .join(p2, "id", "left_semi")
+        .select("id", "node_type", "content")
+        .orderBy("id")
+    )
+
+
+MULTI_ATTRIBUTE_SEARCH_ORACLE = GRAPH_PREFIX + """
+SELECT n.id, n.node_type, n.content
+FROM nodes n
+JOIN node_properties p1 ON n.id = p1.node_id
+ AND p1.property_name = 'brand' AND p1.property_value = 'Brand#23'
+JOIN node_properties p2 ON n.id = p2.node_id
+ AND p2.property_name = 'size' AND p2.property_value = '7'
+ORDER BY n.id
+"""
+
+
+def xpath_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test_sql_operations.rb:199-215: nodes by xpath LIKE pattern."""
+    nodes, _, _ = get_graph(spark, sf_dir)
+    return (
+        nodes.filter(F.col("xpath").like("%supplier%"))
+        .select("id", "node_type", "xpath")
+        .orderBy("id")
+    )
+
+
+XPATH_SEARCH_ORACLE = GRAPH_PREFIX + """
+SELECT id, node_type, xpath FROM nodes WHERE xpath LIKE '%supplier%' ORDER BY id
+"""
+
+
 def content_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README content LIKE search (over the documents corpus table,
     which carries real text)."""
@@ -958,6 +1004,8 @@ def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "nodes_by_type": nodes_by_type,
     "attribute_search": attribute_search,
+    "multi_attribute_search": multi_attribute_search,
+    "xpath_search": xpath_search,
     "content_search": content_search,
     "type_inference": type_inference_summary,
     "document_stats": document_stats,
@@ -982,6 +1030,8 @@ QUERIES = {
 ORACLES = {
     "nodes_by_type": NODES_BY_TYPE_ORACLE,
     "attribute_search": ATTRIBUTE_SEARCH_ORACLE,
+    "multi_attribute_search": MULTI_ATTRIBUTE_SEARCH_ORACLE,
+    "xpath_search": XPATH_SEARCH_ORACLE,
     "content_search": CONTENT_SEARCH_ORACLE,
     "type_inference": TYPE_INFERENCE_ORACLE,
     "document_stats": DOCUMENT_STATS_ORACLE,

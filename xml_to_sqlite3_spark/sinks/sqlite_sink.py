@@ -145,6 +145,12 @@ def write_corpus_sqlite(
         batch_size,
     )
 
+    # Resolve duplicate primary keys by parse ordinal BEFORE
+    # streaming: with raw INSERT OR REPLACE the winner would be
+    # whichever partition toLocalIterator happens to deliver last —
+    # nondeterministic across runs, and inconsistent with
+    # parquet_sink's documented deterministic last-writer-wins.
+    nodes = dedupe_last_writer(corpus.nodes, ["id"], "ordinal")
     counts["nodes"] = _insert_stream(
         con,
         "INSERT OR REPLACE INTO nodes (id, node_type, document_id, parent_id, position,"
@@ -159,20 +165,23 @@ def write_corpus_sqlite(
                 r["content"],
                 r["xpath"],
             )
-            for r in corpus.nodes.select(
+            for r in nodes.select(
                 "id", "node_type", "document_id", "parent_id", "position", "content", "xpath"
             ).toLocalIterator()
         ),
         batch_size,
     )
 
+    properties = dedupe_last_writer(
+        corpus.properties, ["node_id", "property_name"], "ordinal"
+    )
     counts["node_properties"] = _insert_stream(
         con,
         "INSERT OR REPLACE INTO node_properties (node_id, property_name, property_value,"
         " data_type) VALUES (?, ?, ?, ?)",
         (
             (r["node_id"], r["property_name"], r["property_value"], r["data_type"])
-            for r in corpus.properties.select(
+            for r in properties.select(
                 "node_id", "property_name", "property_value", "data_type"
             ).toLocalIterator()
         ),
