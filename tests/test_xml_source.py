@@ -101,6 +101,33 @@ def test_type_inference(props):
     assert props[("album_1", "sku")] == ("NSR-0001", "string")
 
 
+def test_infer_type_matches_regex_spec(spark):
+    """The translate/substring fast path must be byte-identical to the
+    literal regex transcription of document_parser.rb:62-77."""
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.functions.type_inference import (
+        infer_type,
+        infer_type_regex,
+    )
+
+    cases = [
+        None, "", " ", "0", "007", "123", "12a3", "a123", "1.5", "1.", ".5",
+        "1.2.3", "0.0", "123.", "१२३", "true", "False", "TRUE", "truex",
+        "xtrue", "2001-07-19", "2001-07-19T10:00", "2001-7-19", "12:34:56",
+        "12:34", "12:34:5x", "1234-56-78garbage", "9999-99-99", "customer_1",
+        "NSR-0001", "-5", "+5", "5e3", "  7", "7  ", "t", "f",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    rows = df.select(
+        "v",
+        infer_type(F.col("v")).alias("fast"),
+        infer_type_regex(F.col("v")).alias("spec"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["spec"], f"{r['v']!r}: {r['fast']} != {r['spec']}"
+
+
 def test_malformed_xml_skipped_with_error(corpus, nodes_by_id):
     errs = {r["document_id"]: r["parse_error"] for r in corpus.errors.collect()}
     assert "broken" in errs and "parse error" in errs["broken"]

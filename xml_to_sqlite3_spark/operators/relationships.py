@@ -303,6 +303,12 @@ def content_similarity_relationships(
     index (explode words → pair join on shared word → count distinct
     shared words) so only pairs sharing ≥1 word are scored — the
     LSH-style candidate generation that survives scale.
+
+    Length-ratio prune (exact, no recall loss): Jaccard(A,B) ≤
+    min(|A|,|B|)/max(|A|,|B|), so pairs whose word-set sizes differ
+    by more than the threshold's ratio are dropped INSIDE the join
+    predicate — before the pair rows ever reach the groupBy shuffle.
+    At high thresholds this removes most of the hot-word fan-out.
     """
     base = (
         nodes.filter(F.col("content").isNotNull() & (F.col("content") != ""))
@@ -327,7 +333,9 @@ def content_similarity_relationships(
             b,
             (F.col("a.document_id") == F.col("b.document_id"))
             & (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("a.n_words") * threshold <= F.col("b.n_words"))
+            & (F.col("b.n_words") * threshold <= F.col("a.n_words")),
         )
         .groupBy(
             F.col("a.document_id").alias("document_id"),
