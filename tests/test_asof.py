@@ -66,3 +66,64 @@ def test_asof_latest_wins(spark):
     )
     out = asof_join(left, right, on="ts", by="user_id").collect()
     assert out[0]["price_asof"] == 25.0
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential test: every direction and a tolerance, random
+    numeric timelines, vs pd.merge_asof ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    left_pd = pd.DataFrame(
+        {
+            "event_id": range(60),
+            "key": rng.choice(["a", "b", "c"], size=60),
+            "t": rng.integers(0, 100, size=60).astype("int64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c"], size=40),
+            "t": rng.integers(0, 100, size=40).astype("int64"),
+            "val": rng.normal(size=40).round(6),
+        }
+    )
+    # merge_asof needs unique (key, t) on the right for a deterministic
+    # comparison; drop dup timestamps per key
+    right_pd = right_pd.drop_duplicates(["key", "t"]).reset_index(drop=True)
+
+    left = spark.createDataFrame(left_pd.rename(columns={"t": "t"}))
+    right = spark.createDataFrame(right_pd)
+
+    for direction, tol in [
+        ("backward", None),
+        ("forward", None),
+        ("nearest", None),
+        ("backward", 5.0),
+        ("nearest", 3.0),
+    ]:
+        expected = pd.merge_asof(
+            left_pd.sort_values("t", kind="stable"),
+            right_pd.sort_values("t", kind="stable"),
+            on="t",
+            by="key",
+            direction=direction,
+            tolerance=None if tol is None else int(tol),
+            suffixes=("", "_asof"),
+        ).set_index("event_id")["val"]
+        got = {
+            r["event_id"]: r["val_asof"]
+            for r in asof_join(
+                left, right, on="t", by="key", direction=direction, tolerance=tol
+            ).collect()
+        }
+        for eid in left_pd["event_id"]:
+            e = expected.loc[eid]
+            g = got[eid]
+            if pd.isna(e):
+                assert g is None, f"{direction}/{tol} event {eid}: {g} != NaN"
+            else:
+                assert g is not None and abs(g - e) < 1e-9, (
+                    f"{direction}/{tol} event {eid}: {g} != {e}"
+                )

@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
-from xml_to_sqlite3_spark.operators.graph import bfs_distances
+from xml_to_sqlite3_spark.operators.graph import (
+    bfs_distances,
+    connected_components,
+    duplicate_groups,
+)
 
 
 def _edges(spark, pairs):
@@ -34,3 +38,35 @@ def test_bfs_unreachable_excluded(spark):
     e = _edges(spark, [("a", "b"), ("x", "y")])
     out = {r["node"] for r in bfs_distances(e, "a", max_depth=5).collect()}
     assert out == {"a", "b"}
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_components_two_islands(spark):
+    e = _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+    out = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_components_long_chain_converges(spark):
+    # a 12-node chain forces many propagation rounds (diameter 11)
+    e = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
+    out = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert set(out.values()) == {1} and len(out) == 12
+
+
+def test_components_cycle_and_cross_edges(spark):
+    e = _pairs(spark, [(4, 5), (5, 6), (6, 4), (6, 2), (9, 2)])
+    out = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert set(out.values()) == {2} and len(out) == 5
+
+
+def test_duplicate_groups_transitive_keeper(spark):
+    # A~B, B~C but no A~C pair: B and C must both lose to A
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r.asDict() for r in duplicate_groups(pairs).collect()}
+    assert rows[1]["is_keeper"] and not rows[2]["is_keeper"] and not rows[3]["is_keeper"]
+    assert rows[2]["component"] == 1 and rows[3]["component"] == 1
+    assert rows[10]["is_keeper"] and rows[11]["component"] == 10

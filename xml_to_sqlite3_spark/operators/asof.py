@@ -1,12 +1,12 @@
 """Generic as-of join — align each left row with the latest right
-row at-or-before it per key.
+row at-or-before it per key (or earliest-at-or-after / nearest).
 
 Spark has no native ASOF JOIN; the scalable formulation is the
 union-window trick: tag both sides, union, sort each key's timeline
-once, carry the last right value forward, keep left rows. One
-shuffle on the key, no range cross-product, no per-key Python —
-survives arbitrarily many rows per key (vs. merge_asof-per-group,
-which needs the whole key group in one pandas frame).
+once, carry the last/first right value, keep left rows. One shuffle
+on the key, no range cross-product, no per-key Python — survives
+arbitrarily many rows per key (vs. merge_asof-per-group, which
+needs the whole key group in one pandas frame).
 """
 
 from __future__ import annotations
@@ -23,20 +23,28 @@ def asof_join(
     by: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    right.on <= left.on and right.by == left.by.
+    """For every left row, attach the matching right row per
+    pd.merge_asof semantics: ``direction='backward'`` takes the most
+    recent right row with right.on <= left.on, ``'forward'`` the
+    earliest with right.on >= left.on, ``'nearest'`` whichever is
+    closer (ties break backward, like pandas). ``tolerance`` (in the
+    ``on`` column's native units; seconds for timestamps) discards
+    matches farther than that distance.
 
     ``value_cols``: right columns to carry (default: all but on/by).
-    Right rows tie-broken to sort before left rows at equal
-    timestamps (inclusive match, pd.merge_asof semantics).
+    Matches are inclusive at equal timestamps.
 
-    The right side is carried as ONE struct of all value columns, so
-    the entire most-recent right row wins atomically — a NULL in one
-    of its columns stays NULL rather than letting an older row's
-    value bleed through for just that column (which a per-column
-    ``last(ignorenulls)`` would do).
+    The right side is carried as ONE struct of all value columns (plus
+    its own ``on``), so the entire matched right row wins atomically —
+    a NULL in one of its columns stays NULL rather than letting an
+    older row's value bleed through for just that column (which a
+    per-column ``last(ignorenulls)`` would do).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
@@ -44,7 +52,9 @@ def asof_join(
         by,
         on,
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+        F.struct(
+            F.col(on).alias("__on"), *[F.col(c) for c in value_cols]
+        ).alias("__r"),
     )
     for c in left.columns:
         if c not in (on, by):
@@ -54,17 +64,45 @@ def asof_join(
     )
 
     unioned = lefts.unionByName(rights)
-    w = (
+    # backward: right rows sort BEFORE left at equal on -> inclusive
+    w_back = (
         W.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *[c for c in left.columns],
-        "__side",
-        F.last("__r", ignorenulls=True).over(w).alias("__match"),
+    # forward: right rows sort AFTER left at equal on -> inclusive
+    w_fwd = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .rowsBetween(0, W.unboundedFollowing)
     )
-    return carried.filter(F.col("__side") == 1).select(
+
+    cols = [*left.columns, "__side"]
+    if direction in ("backward", "nearest"):
+        cols.append(F.last("__r", ignorenulls=True).over(w_back).alias("__b"))
+    if direction in ("forward", "nearest"):
+        cols.append(F.first("__r", ignorenulls=True).over(w_fwd).alias("__f"))
+    carried = unioned.select(*cols).filter(F.col("__side") == 1)
+
+    def _dist(match):
+        return F.abs(F.col(on).cast("double") - match["__on"].cast("double"))
+
+    if direction == "backward":
+        match = F.col("__b")
+    elif direction == "forward":
+        match = F.col("__f")
+    else:
+        b, f = F.col("__b"), F.col("__f")
+        match = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(_dist(f) < _dist(b), f)  # ties -> backward, like pandas
+            .otherwise(b)
+        )
+    if tolerance is not None:
+        match = F.when(_dist(match) <= F.lit(float(tolerance)), match)
+
+    return carried.withColumn("__m", match).select(
         *[c for c in left.columns],
-        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

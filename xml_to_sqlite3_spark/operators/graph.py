@@ -74,6 +74,79 @@ def bfs_distances(
     return visited
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph:
+    (node, component) where component = min node id reachable from
+    ``node``. Nodes are whatever appears in the edge list.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels (one join + one map-side
+    combinable min-aggregate per round), converging in O(component
+    diameter) rounds — near-duplicate clusters are shallow, so this
+    terminates in a handful of rounds regardless of corpus size.
+    localCheckpoint per round keeps lineage flat; the early-exit
+    check rides the same action that materializes the round.
+
+    This is the canonical-document step of a dedup pipeline: pairs
+    from MinHash/SimHash/embedding LSH -> components -> keep
+    min(doc_id) per component (``duplicate_groups``).
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("u").alias("v"), F.col("label").alias("nl")), "v"
+        ).select("u", "nl")
+        new_labels = (
+            labels.select("u", F.col("label").alias("nl"))
+            .unionByName(nbr)
+            .groupBy("u")
+            .agg(F.min("nl").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("label").alias("old")), "u"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+) -> DataFrame:
+    """Canonicalize near-duplicate PAIRS into groups: (doc_id,
+    component, is_keeper) where the keeper is the minimum doc_id of
+    each connected component. The decision a dedup pipeline actually
+    needs — pairs alone under-delete (A~B, B~C must drop both B and
+    C even if A~C was never emitted)."""
+    comp = connected_components(pairs, src_col=doc_a, dst_col=doc_b)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def reachable(
     edges: DataFrame,
     source: str,

@@ -229,6 +229,50 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs canonicalized into duplicate GROUPS via
+    distributed connected components (min-label propagation,
+    operators/graph.py) — the keep/drop decision a dedup pipeline
+    needs when similarity is transitive (A~B, B~C). Pairs come from
+    the oracle-checkable n-gram Jaccard path; the oracle mirrors the
+    closure with a recursive CTE."""
+    from ..operators.graph import duplicate_groups
+
+    pairs = D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.3, n=3)
+    return duplicate_groups(pairs).orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_ORACLE = r"""
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.3
+), und AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach (src, dst) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS component,
+       src = least(src, min(dst)) AS is_keeper
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def curate_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel's SQL-expressible stages (exact dedup +
     quality + language), oracle-checked end to end; only the
@@ -407,6 +451,7 @@ QUERIES = {
     "curate_corpus": curate_corpus_q,
     "curate_cheap": curate_cheap,
     "content_similarity": content_similar,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
@@ -420,4 +465,5 @@ ORACLES = {
     "ann_cosine_topk": ANN_ORACLE,
     "curate_cheap": CURATE_CHEAP_ORACLE,
     "content_similarity": CONTENT_SIMILAR_ORACLE,
+    "dedup_components": DEDUP_COMPONENTS_ORACLE,
 }

@@ -952,6 +952,44 @@ ORDER BY v.event_id
 """
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of with tolerance: every view aligned with
+    the user's NEXT purchase within 24h (pd.merge_asof
+    direction='forward', tolerance parity)."""
+    from ..operators.asof import asof_join as asof_op
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        asof_op(
+            views,
+            purchases,
+            on="ts",
+            by="user_id",
+            value_cols=["purchase_ts"],
+            direction="forward",
+            tolerance=86400.0,
+        )
+        .select("event_id", "user_id", "ts", "purchase_ts_asof")
+        .orderBy("event_id")
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+SELECT v.event_id, v.user_id, v.ts,
+       (SELECT min(p.ts) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+          AND p.ts >= v.ts AND epoch(p.ts) - epoch(v.ts) <= 86400
+       ) AS purchase_ts_asof
+FROM events v
+WHERE v.event_type = 'view'
+ORDER BY v.event_id
+"""
+
+
 def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS min hop-distance from customer_7 over the non-sibling
     reference graph (parent_child / child_parent /
@@ -1023,6 +1061,7 @@ QUERIES = {
     "same_type_pairs": same_type_pairs,
     "sibling_pairs": sibling_pairs,
     "asof_join_tables": asof_join_tables,
+    "asof_join_forward": asof_join_forward,
     "graph_distances": graph_distances,
     "xml_nodes_roundtrip": xml_nodes_roundtrip,
 }
@@ -1049,5 +1088,6 @@ ORACLES = {
     "same_type_pairs": SAME_TYPE_ORACLE,
     "sibling_pairs": SIBLING_PAIRS_ORACLE,
     "asof_join_tables": ASOF_TABLES_ORACLE,
+    "asof_join_forward": ASOF_FORWARD_ORACLE,
     "graph_distances": GRAPH_DISTANCES_ORACLE,
 }
