@@ -56,6 +56,34 @@ def test_lsh_topk_recall_of_planted_dups(vectors):
     assert 101 in ids and 100 in ids
 
 
+def test_ivf_topk_recall_of_planted_dups(vectors):
+    out = S.ivf_topk(
+        vectors.filter("vec_id = 1"), vectors, k=3, n_centroids=4, n_probe=2
+    ).collect()
+    ids = [r["neighbor_id"] for r in out]
+    # the exact dup is in the same inverted list as its query by
+    # construction; near-dup within 2 probes
+    assert 101 in ids and 100 in ids
+
+
+def test_ivf_topk_high_probe_matches_exact(vectors):
+    """Probing every list makes IVF exhaustive — must equal the
+    brute-force top-k exactly."""
+    exact = S.cosine_topk(vectors, vectors, k=3).collect()
+    ivf = S.ivf_topk(vectors, vectors, k=3, n_centroids=4, n_probe=4).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(ivf) == key(exact)
+
+
+def test_spherical_kmeans_deterministic(vectors):
+    import numpy as np
+
+    c1 = S.spherical_kmeans(vectors, k=4, n_iter=3)
+    c2 = S.spherical_kmeans(vectors, k=4, n_iter=3)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_embedding_near_duplicates(vectors):
     pairs = {
         (r["id_a"], r["id_b"]): r["cosine"]

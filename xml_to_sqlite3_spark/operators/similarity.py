@@ -168,6 +168,150 @@ def lsh_topk(
     )
 
 
+def spherical_kmeans(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer (the IVF codebook): Lloyd
+    iterations where assignment is argmax dot against L2-normalized
+    centroids and the new centroid is the re-normalized mean.
+
+    Distribution shape (the same one MLlib uses): centroids are a
+    model parameter of size k x dim — they BELONG on the driver and
+    broadcast each round; the per-round reduction is one map-side
+    combinable groupBy over (cluster, dimension). No full-data
+    collect anywhere. Deterministic: init picks the k corpus vectors
+    with the smallest xxhash64(id) (a seeded pseudo-random sample),
+    ties in assignment break to the lowest cluster id.
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    init = (
+        v.select("v", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in init])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(n_iter):
+        assign = _assign_udf(cents)
+        # sum of member vectors per (cluster, dim): posexplode + one
+        # partial-aggregated groupBy; k*dim result rows -> driver
+        sums = (
+            v.withColumn("c", assign(F.col("v")))
+            .select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        new = cents.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["s"]
+        for c, dims in by_c.items():
+            vec = np.array([dims[i] for i in range(len(dims))])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[c] = vec / n
+        cents = new
+    return cents
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one matmul per
+    batch against the broadcast (closure-captured) codebook."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_udf(centroids: np.ndarray, n_probe: int):
+    """Top-``n_probe`` nearest centroids per query vector."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means codebook, corpus
+    vectors assigned to their nearest centroid (the inverted lists),
+    each query probes its ``n_probe`` nearest lists, exact cosine
+    only against those lists' members.
+
+    The scale path complementing ``lsh_topk``: candidate generation
+    is one equi-join on the cluster id (shuffle on a k-ary key; AQE
+    skew-join splits fat clusters), corpus assignment is map-side
+    with the codebook broadcast in the UDF closure. Pass a
+    precomputed ``centroids`` codebook to skip training (at scale:
+    train once on a sample, reuse per query batch).
+    """
+    if centroids is None:
+        centroids = spherical_kmeans(
+            corpus, k=n_centroids, n_iter=n_iter, id_col=corpus_id, vec_col=vec_col
+        )
+    assign = _assign_udf(centroids)
+    probes = _probe_udf(centroids, n_probe)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cluster", assign(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cluster", F.explode(probes(F.col("qv"))))
+    )
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

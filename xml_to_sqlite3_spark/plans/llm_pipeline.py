@@ -393,6 +393,17 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means inverted lists,
+    n_probe nearest lists per query (rows-only: k-means is
+    iterative; exhaustive-probe equivalence to the exact path is
+    asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text BM25 top-10 for a fixed two-term query over the
     inverted index (operators/search.py)."""
@@ -448,6 +459,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "curate_corpus": curate_corpus_q,
     "curate_cheap": curate_cheap,
     "content_similarity": content_similar,
