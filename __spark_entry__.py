@@ -19,7 +19,13 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-from xml_to_sqlite3_spark.plans import llm_pipeline, node_graph, olap, olap_ext
+from xml_to_sqlite3_spark.plans import (
+    llm_pipeline,
+    node_graph,
+    olap,
+    olap_ext,
+    streaming_q,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(olap_ext.QUERIES)
     out.update(node_graph.QUERIES)
     out.update(llm_pipeline.QUERIES)
+    out.update(streaming_q.QUERIES)
     return out
 
 
@@ -48,4 +55,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(olap_ext.ORACLES)
     out.update(node_graph.ORACLES)
     out.update(llm_pipeline.ORACLES)
+    out.update(streaming_q.ORACLES)
     return out

@@ -41,9 +41,91 @@ def media(spark):
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
 
-def test_real_decode_is_gated(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        M.decode_image(media)
+def test_compressed_decode_is_gated(media):
+    # png/mp4 rows have no pure-python codec; the decode raises at
+    # execution time inside the UDF
+    with pytest.raises(Exception, match="PIL|pure-python codec"):
+        M.decode_image(media).collect()
+
+
+def _ppm(pixels):
+    """Encode a nested [[(r,g,b)...]...] list to P6 bytes."""
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators.codecs import encode_ppm
+
+    return encode_ppm(np.array(pixels, dtype="uint8"))
+
+
+@pytest.fixture(scope="module")
+def real_images(spark):
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators.codecs import encode_bmp
+
+    red_blue = [[(255, 0, 0), (0, 0, 255)], [(255, 0, 0), (0, 0, 255)]]
+    checker = [[(0, 0, 0), (255, 255, 255)], [(255, 255, 255), (0, 0, 0)]]
+    rows = [
+        Row(
+            media_id=10, kind="image", data=_ppm(red_blue),
+            meta=Row(width=2, height=2, sample_rate=None, duration_ms=None, format="ppm"),
+        ),
+        Row(
+            media_id=11, kind="image", data=_ppm(checker),
+            meta=Row(width=2, height=2, sample_rate=None, duration_ms=None, format="ppm"),
+        ),
+        Row(
+            media_id=12, kind="image",
+            data=encode_bmp(np.array(red_blue, dtype="uint8")),
+            meta=Row(width=2, height=2, sample_rate=None, duration_ms=None, format="bmp"),
+        ),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_real_decode_pixel_means(real_images):
+    out = {r["media_id"]: r.asDict() for r in M.decode_image(real_images).collect()}
+    # red_blue: two red + two blue pixels -> mean_r = mean_b = 127.5
+    assert out[10]["mean_r"] == pytest.approx(127.5)
+    assert out[10]["mean_g"] == 0.0
+    assert out[10]["mean_b"] == pytest.approx(127.5)
+    assert out[10]["width"] == 2 and out[10]["height"] == 2
+    # checker: every channel mean 127.5
+    assert out[11]["mean_r"] == pytest.approx(127.5)
+    # BMP of the same pixels decodes identically to the PPM
+    assert (out[12]["mean_r"], out[12]["mean_g"], out[12]["mean_b"]) == (
+        out[10]["mean_r"], out[10]["mean_g"], out[10]["mean_b"],
+    )
+
+
+def test_real_resize_pixels(real_images):
+    from xml_to_sqlite3_spark.operators.codecs import decode_pnm
+
+    out = {
+        r["media_id"]: r.asDict()
+        for r in M.resize_image(real_images, 4, 4).collect()
+    }
+    assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4 for r in out.values())
+    arr = decode_pnm(bytes(out[10]["data"]))
+    assert arr.shape == (4, 4, 3)
+    # nearest-neighbor of the 2x2 red|blue image: left half red, right half blue
+    assert (arr[:, :2] == (255, 0, 0)).all()
+    assert (arr[:, 2:] == (0, 0, 255)).all()
+
+
+def test_pixel_features_content_derived(spark, real_images):
+    import numpy as np
+
+    feats = {
+        r["media_id"]: np.array(r["embedding"])
+        for r in M.extract_pixel_features(real_images, dim=16).collect()
+    }
+    # the BMP and PPM encode the SAME pixels -> identical vectors,
+    # which hash-derived features could never produce
+    assert np.allclose(feats[10], feats[12])
+    # different content -> different vector
+    assert not np.allclose(feats[10], feats[11])
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-6 for v in feats.values())
 
 
 def test_fake_decode_deterministic(media):

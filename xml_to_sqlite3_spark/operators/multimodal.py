@@ -4,11 +4,12 @@ Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing — schemas, mapInPandas batch shapes, fan-out
 (frame sampling), binary -> vector featurization feeding the ANN
-operators — is real and tested. The actual codec step is STUBBED:
-this environment has no image/audio libraries, so ``decode_*`` raise
-NotImplementedError unless the optional dependency imports, and the
-deterministic ``fake_*`` variants (hash-derived pixels/samples) keep
-the pipeline executable end-to-end.
+operators — is real and tested. The codec step is REAL for
+uncompressed formats (PPM/PGM/BMP, pure-numpy codecs in codecs.py:
+decode, nearest-neighbor resize, grid-pool featurization all operate
+on actual pixels); compressed formats (JPEG/PNG) remain behind an
+optional-PIL stub, with deterministic ``fake_*`` stand-ins keeping
+the pipeline executable end-to-end for them.
 
 At scale: binaries stay in columnar storage (parquet binary columns
 with metadata pushed to a sidecar struct so pruning works without
@@ -25,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import codecs
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, "
     "meta struct<width: int, height: int, sample_rate: int, duration_ms: int, format: string>"
@@ -39,15 +42,66 @@ except Exception:
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode (PIL). Stubbed: raises until the optional
-    dependency is available; use fake_decode_image for the
-    deterministic pipeline-shape equivalent."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL, which is not installed in this "
-            "environment; use fake_decode_image for deterministic testing"
-        )
-    raise NotImplementedError("real decode path: implement when PIL is available")
+    """REAL image decode for uncompressed formats (PPM/PGM/BMP via
+    the pure-numpy codecs): emits true pixel dimensions and channel
+    means from the raster. Rows in unsupported (compressed) formats
+    raise unless PIL is importable — use ``fake_decode_image`` for
+    pipeline-shape testing of those."""
+    schema = (
+        MEDIA_SCHEMA
+        + ", width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] if meta is not None else "") or ""
+                if fmt.lower() not in codecs.SUPPORTED_FORMATS:
+                    if not _HAS_PIL:
+                        raise NotImplementedError(
+                            f"no pure-python codec for format {fmt!r} and PIL "
+                            "is not installed; use fake_decode_image"
+                        )
+                    raise NotImplementedError("PIL decode path not wired")
+                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                h, w = arr.shape[:2]
+                chan = arr.astype(np.float64)
+                if chan.shape[2] == 1:
+                    chan = np.repeat(chan, 3, axis=2)
+                means = chan.reshape(-1, 3).mean(axis=0)
+                ws.append(w)
+                hs.append(h)
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+            yield pdf.assign(width=ws, height=hs, mean_r=mr, mean_g=mg, mean_b=mb)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for the uncompressed formats: the
+    raster is decoded, resampled, re-encoded (PPM/PGM), and the
+    metadata struct rewritten to the new dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_data, out_meta = [], []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] if meta is not None else "") or ""
+                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                resized = codecs.nearest_resize(arr, width, height)
+                out_data.append(codecs.encode_ppm(resized))
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                m["format"] = "ppm" if resized.shape[2] == 3 else "pgm"
+                out_meta.append(m)
+            yield pdf.assign(data=out_data, meta=out_meta)
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _digest_floats(data: bytes, n: int, salt: bytes = b"") -> list[float]:
@@ -128,11 +182,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def extract_pixel_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """REAL content featurization for decodable images: grid-mean-pool
+    the raster to ``dim`` values, L2-normalized — the array<float>
+    column the similarity operators consume, derived from actual
+    pixels (two images with the same content get the same vector;
+    a resized copy gets a NEARBY vector, which hash-derived features
+    cannot provide)."""
+    schema = "media_id long, kind string, embedding array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] if meta is not None else "") or ""
+                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                vecs.append([float(x) for x in codecs.grid_pool_features(arr, dim)])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "embedding": vecs}
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     """binary -> embedding featurization (deterministic hash-derived
     vector, unit-normalized) producing the array<float> column the
-    similarity operators consume. Arrow-batched; at scale this is
-    where a real model inference UDF slots in."""
+    similarity operators consume. Works for ANY format (no decode);
+    see extract_pixel_features for the content-derived variant.
+    Arrow-batched; at scale this is where a real model inference UDF
+    slots in."""
     schema = "media_id long, kind string, embedding array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

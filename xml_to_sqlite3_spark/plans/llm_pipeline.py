@@ -393,6 +393,59 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal path with REAL rasters (rows-only): each
+    document's text bytes render into an 8x8 PPM image, which then
+    flows through the real decode (true dimensions + channel means
+    from pixels). Exercises codecs.py + mapInPandas batch plumbing in
+    the gate, not just unit tests."""
+    from ..operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def to_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[: 8 * 8 * 3]
+                raw = raw + b"\x00" * (8 * 8 * 3 - len(raw))
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        encode_ppm(arr),
+                        {
+                            "width": 8,
+                            "height": 8,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "format": "ppm",
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    media = docs.mapInPandas(to_media, schema=M.MEDIA_SCHEMA)
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: spherical-k-means inverted lists,
     n_probe nearest lists per query (rows-only: k-means is
@@ -460,6 +513,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "multimodal_pipeline": multimodal_pipeline,
     "curate_corpus": curate_corpus_q,
     "curate_cheap": curate_cheap,
     "content_similarity": content_similar,

@@ -1,0 +1,110 @@
+"""Oracle-gated streaming queries.
+
+Each gate runs a REAL Structured Streaming query over the sf_dir
+events parquet — file source, watermarked event-time aggregation,
+memory sink — driven to completion with Trigger.AvailableNow, then
+returns the sink contents as a batch DataFrame. Because Spark's
+streaming aggregations follow the same semantics as batch
+(stream-batch unification), the results hash-match a plain SQL
+oracle — which is exactly the property worth gating: the streaming
+path produces the SAME answer the warehouse would.
+
+At scale the identical topology runs unbounded: swap AvailableNow
+for a continuous trigger and the memory sink for kafka/parquet;
+watermarks bound the state store, not the data volume.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ingest import (
+    read_event_stream,
+    sessionize_stream,
+    windowed_event_aggregation,
+)
+
+
+def _run_to_table(result: DataFrame, prefix: str) -> DataFrame:
+    """Drive a streaming aggregation to completion (AvailableNow) into
+    a memory sink; return the sink as a batch DataFrame."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event type, computed by
+    the streaming engine end to end."""
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = _run_to_table(
+        windowed_event_aggregation(events, window="1 hour", watermark="2 hours"),
+        "__stream_win",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+STREAMING_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the native session_window operator,
+    computed by the streaming engine; the oracle rebuilds the same
+    sessions with the lag/cumsum islands idiom (session end = last
+    event + gap, session_window semantics)."""
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = _run_to_table(
+        sessionize_stream(events, gap="30 minutes", watermark="2 hours"),
+        "__stream_sess",
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+STREAMING_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "streaming_windowed": streaming_windowed,
+    "streaming_sessions": streaming_sessions,
+}
+
+ORACLES = {
+    "streaming_windowed": STREAMING_WINDOWED_ORACLE,
+    "streaming_sessions": STREAMING_SESSIONS_ORACLE,
+}
