@@ -20,6 +20,7 @@ if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
 from xml_to_sqlite3_spark.plans import (
+    curation_q,
     llm_pipeline,
     node_graph,
     olap,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(node_graph.QUERIES)
     out.update(llm_pipeline.QUERIES)
     out.update(streaming_q.QUERIES)
+    out.update(curation_q.QUERIES)
     return out
 
 
@@ -56,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(node_graph.ORACLES)
     out.update(llm_pipeline.ORACLES)
     out.update(streaming_q.ORACLES)
+    out.update(curation_q.ORACLES)
     return out

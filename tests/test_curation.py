@@ -1,0 +1,202 @@
+"""Unit tests for operators/curation.py: deterministic sampling and
+splits, source quotas, normalization/redaction, chunking invariants,
+vocabulary/TF-IDF, and the KMV distinct sketch."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_sqlite3_spark.operators import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_unit(value) -> float:
+    """Python replica of stable_unit: first 60 bits of md5 / 2^60."""
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stable_hash_matches_python(spark):
+    df = spark.range(0, 50).select(
+        F.col("id"), C.stable_unit(F.col("id")).alias("u")
+    )
+    for row in df.collect():
+        assert abs(row.u - _py_unit(row.id)) < 1e-15
+
+
+def test_stable_sample_deterministic_and_subset(docs):
+    a = {r.doc_id for r in C.stable_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {r.doc_id for r in C.stable_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert a == b
+    # a smaller fraction is a strict subset: growing the sample never
+    # evicts a previously-selected key (the monotonicity property)
+    small = {r.doc_id for r in C.stable_sample(docs, "doc_id", 0.05).select("doc_id").collect()}
+    assert small <= a
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.35 * n  # ~20% within loose tolerance
+
+
+def test_split_disjoint_exhaustive_stable(docs):
+    out = C.train_val_test_split(docs, "doc_id", 0.1, 0.1)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    again = C.train_val_test_split(docs, "doc_id", 0.1, 0.1)
+    diff = (
+        out.select("doc_id", "split")
+        .join(again.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_split_validates_fractions(docs):
+    with pytest.raises(ValueError):
+        C.train_val_test_split(docs, "doc_id", 0.6, 0.5)
+    with pytest.raises(ValueError):
+        C.stable_sample(docs, "doc_id", 1.5)
+
+
+def test_source_quota_caps_each_group(docs):
+    out = C.source_quota(docs, "source", max_per_group=5, order_col="doc_id")
+    per = out.groupBy("source").agg(F.count("*").alias("n"), F.max("doc_id").alias("mx"))
+    for row in per.collect():
+        assert row.n <= 5
+    # keeps the FIRST five by doc_id: the kept max must be below every
+    # dropped doc_id of the same source
+    kept = out.groupBy("source").agg(F.max("doc_id").alias("kept_max"))
+    dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    bad = (
+        dropped.join(kept, "source")
+        .filter(F.col("doc_id") < F.col("kept_max"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [("  Hello\t\tWorld \x07 MIXED Case\n\n",), ("", )], ["t"]
+    ).select(C.normalize_text(F.col("t")).alias("n"))
+    vals = [r.n for r in df.collect()]
+    assert vals[0] == "hello world mixed case"
+    assert vals[1] == ""
+
+
+def test_redact_pii(spark):
+    cases = [
+        ("mail bob.smith+x@example.co.uk now", "mail <EMAIL> now"),
+        ("server at 10.0.255.14 down", "server at <IP> down"),
+        ("call +1 (555) 123-4567 today", "call <PHONE> today"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], ["t"]).select(
+        "t", C.redact_pii(F.col("t")).alias("r")
+    )
+    got = {r.t: r.r for r in df.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw])
+
+
+def test_chunk_documents_covers_every_token(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = C.chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_id)
+    # stride 48: starts 0,48,96,144 -> 4 chunks; last has 150-144=6 tokens
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in rows] == [64, 64, 54, 6]
+    # overlap: chunk i+1 starts 16 tokens before chunk i ends
+    c0 = rows[0].chunk_text.split(" ")
+    c1 = rows[1].chunk_text.split(" ")
+    assert c0[-16:] == c1[:16]
+    # full coverage: union of chunk tokens == original tokens
+    seen = set()
+    for r in rows:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == set(text.split(" "))
+
+
+def test_chunk_documents_short_and_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "   ")], ["doc_id", "text"])
+    rows = C.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    assert rows[0].chunk_text == "one two"
+    with pytest.raises(ValueError):
+        C.chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_vocabulary_and_tf_idf(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        ["doc_id", "text"],
+    )
+    vocab = {r.token: (r.n_total, r.n_docs) for r in C.vocabulary(df).collect()}
+    assert vocab == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1)}
+
+    w = {(r.doc_id, r.token): r for r in C.tf_idf(df).collect()}
+    # doc 1 'apple': tf=2, df=2, N=3 -> 2 * (ln(4/3)+1)
+    want = round(2 * (math.log(4 / 3) + 1), 6)
+    assert w[(1, "apple")].tf == 2 and w[(1, "apple")].df == 2
+    assert abs(w[(1, "apple")].tf_idf - want) < 1e-9
+    # min_df prunes hapax tokens
+    pruned = {r.token for r in C.tf_idf(df, min_df=2).collect()}
+    assert pruned == {"apple", "banana"}
+
+
+def test_gopher_quality_flags_repetition(spark):
+    clean = " ".join(f"word{i} text" for i in range(30))
+    repeated_lines = "same line here\n" * 20 + "unique ending\n"
+    repeated_bigram = "buy now " * 50
+    df = spark.createDataFrame(
+        [(1, clean), (2, repeated_lines), (3, repeated_bigram)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in C.gopher_quality(df).collect()}
+    assert rows[1].passes_gopher
+    assert rows[2].dup_line_frac > 0.9 and not rows[2].passes_gopher
+    assert rows[3].top_bigram_frac > 0.4 and not rows[3].passes_gopher
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    train = spark.createDataFrame(
+        [
+            (10, f"prefix words {secret} suffix words"),
+            (11, "completely unrelated text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, f"the eval set contains {secret} verbatim")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in C.decontaminate(train, eval_df, n=8).collect()}
+    assert out[10].contaminated and out[10].n_hits >= 1
+    assert not out[11].contaminated and out[11].n_hits == 0
+
+
+def test_kmv_exact_branch(spark):
+    df = spark.range(0, 40).select(F.col("id").alias("v"))
+    row = C.kmv_distinct(df, "v", k=128).collect()[0]
+    assert row.n_kept == 40
+    assert row.distinct_estimate == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = spark.range(0, n * 3).select((F.col("id") % n).alias("v"))
+    row = C.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
+    assert abs(row.distinct_estimate - n) / n < 0.2

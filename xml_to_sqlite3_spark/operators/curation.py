@@ -1,0 +1,433 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond dedup/quality filtering: deterministic sampling and
+dataset splits, per-source quota capping, text normalization, PII
+redaction, document chunking, vocabulary / TF-IDF statistics, and a
+KMV (K-minimum-values) distinct-count sketch.
+
+Every operator here is pure Column expressions (JVM whole-stage
+codegen — no Python in the hot path) and every one is deterministic,
+so each has an exact DuckDB oracle in plans/curation_q.py.
+
+Scale posture (100 TB):
+- Sampling/splits/normalize/redact/chunk are narrow map-side
+  transforms: no shuffle at all; filters push down to the scan.
+- `source_quota` shuffles once on `source` (a window); skew on a hot
+  source is bounded because the window only ranks and filters — at
+  extreme skew swap in a two-phase rank (per-partition pre-cap then
+  exact re-rank) without changing semantics.
+- `vocabulary` / `tf_idf` are explode -> hash-aggregate: map-side
+  partial aggregation handles the token long-tail; the final top-k
+  is a tiny sorted limit.
+- `kmv_distinct` aggregates to K rows total — the canonical
+  sketch for "how many distinct X" at any scale.
+
+The hash everywhere is the first 60 bits of md5 interpreted as an
+integer — portable (identical in Spark, DuckDB, and Python) and
+stable across runs/partitionings, which is what makes the sampling
+reproducible: re-running the pipeline on a grown corpus keeps every
+previously-selected document selected (per-key decision, no RNG
+state).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)
+
+
+def stable_hash60(col: Column) -> Column:
+    """First 60 bits of md5(value) as a non-negative int64.
+
+    Portable: DuckDB `('0x' || substr(md5(x), 1, 15))::BIGINT`
+    produces the identical value, so oracle gates can replicate any
+    decision made from this hash exactly.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def stable_unit(col: Column) -> Column:
+    """Hash mapped into [0, 1) — the sampling coordinate."""
+    return stable_hash60(col) / F.lit(HASH_SPACE)
+
+
+def stable_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic fractional sample: keep rows whose hashed key
+    lands below `fraction`. Unlike `df.sample()`, the decision is a
+    pure function of the key — stable across runs, partitionings and
+    cluster sizes, and consistent between tables sampled on the same
+    key (the join of two stable samples is the stable sample of the
+    join). No shuffle; the predicate is a map-side filter.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(stable_unit(F.col(key)) < fraction)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    label_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test label from its
+    hashed key. Guarantees: disjoint, exhaustive, stable under
+    re-runs and data growth (a key never migrates between splits),
+    and leak-safe — all rows with the same key land in the same
+    split. Map-side only.
+    """
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val + test fractions must leave room for train")
+    u = stable_unit(F.col(key))
+    label = (
+        F.when(u < test_fraction, F.lit("test"))
+        .when(u < test_fraction + val_fraction, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(label_col, label)
+
+
+def source_quota(
+    df: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 100,
+    order_col: str = "doc_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Cap documents per source/domain — the anti-over-representation
+    step of corpus assembly (a single crawl domain must not dominate
+    the training mix). Keeps the first `max_per_group` rows per group
+    ordered by `order_col` (e.g. a quality score, descending).
+
+    One shuffle on `group_col`; the rank-and-filter window does no
+    buffering beyond the group. Ties broken by the order column only
+    — pass a unique column (or a (score, id) struct) for full
+    determinism; the default doc_id is unique.
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(oc)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_per_group)
+        .drop("__rank")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text normalization for dedup/tokenization: strip
+    ASCII control characters, collapse all whitespace runs to single
+    spaces, trim, lowercase. Pure regexp_replace chain (codegen;
+    the regex subset is shared by Java and RE2 so oracles replicate
+    it exactly).
+    """
+    no_ctl = F.regexp_replace(col, r"[\x00-\x1f\x7f]", " ")
+    one_ws = F.regexp_replace(no_ctl, r"\s+", " ")
+    return F.lower(F.trim(one_ws))
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d()\- ]{7,14}\d"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped digit runs
+    with fixed placeholder tokens. Order matters: emails first (an
+    email can contain digit runs), then IPs (dotted digits would
+    otherwise match the phone pattern), then phones. The patterns
+    are the standard pre-training scrub set (C4/CCNet-style) kept to
+    the Java∩RE2 regex subset so the DuckDB oracle is exact.
+    """
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size whitespace-token windows
+    with overlap — the unit-of-work transform before tokenization /
+    embedding in a training pipeline. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); windows start while
+    start < n_tokens, so every token is covered and the tail chunk
+    may be short. Emits (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text).
+
+    Pure sequence+transform+explode: no shuffle, no Python; output
+    rows ~ n_tokens/stride per document, linear in input.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") * F.lit(stride), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + F.lit(1), F.lit(chunk_tokens))
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__toks"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__toks").alias("n_chunk_tokens"),
+            F.array_join("__toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: token -> (total count, document frequency),
+    top_k by count. Explode -> two-level hash aggregate (map-side
+    combine soaks the Zipf head); the top-k is TakeOrdered on k rows
+    — no global sort materialization.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    )
+    agg = (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+    return agg.orderBy(F.col("n_total").desc(), F.col("token")).limit(top_k)
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Smoothed TF-IDF weights per (document, token):
+    idf = ln((N + 1) / (df + 1)) + 1 (sklearn's smooth_idf), weight
+    = tf * idf. Two hash aggregates (doc-token tf, token df) and one
+    broadcast of the 1-row corpus size — map-side combinable at any
+    scale; `min_df` prunes the hapax tail before the join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    min_alpha_word_frac: float = 0.80,
+    word_len_range: tuple[float, float] = (3.0, 10.0),
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition and shape filters: fraction
+    of duplicate lines, most-frequent-bigram mass, alphabetic-word
+    fraction, mean word length, and the combined pass flag.
+
+    The line/word/alpha metrics are per-row array expressions (no
+    shuffle). The top-bigram mass needs a per-document mode, which an
+    array expression would make O(n_bigrams²) per row — instead it is
+    explode -> (doc, bigram) count -> max/sum per doc: two map-side
+    combinable aggregates that scale linearly, then one broadcast-size
+    join back. Thresholds are the published Gopher rules (dup-line
+    ≤0.30, top-2-gram ≤0.18, ≥80% alphabetic words, mean word length
+    3-10).
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_words = F.size(words)
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        (
+            F.when(
+                F.size(lines) > 0,
+                (F.size(lines) - F.size(F.array_distinct(lines)))
+                / F.size(lines).cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_line_frac"),
+        (
+            F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        ).alias("alpha_word_frac"),
+        (
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        ).alias("mean_word_len"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    lo, hi = word_len_range
+    return (
+        base.drop("__w")
+        .join(top, id_col, "left")
+        .na.fill({"top_bigram_frac": 0.0})
+        .select(
+            id_col,
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            (
+                (F.col("dup_line_frac") <= max_dup_line_frac)
+                & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+                & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+                & (F.col("mean_word_len") >= lo)
+                & (F.col("mean_word_len") <= hi)
+            ).alias("passes_gopher"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    n-token shingle with the evaluation set (the GPT-3/PaLM 13-gram
+    rule; n is a parameter because short synthetic docs need smaller
+    windows). Returns (doc_id, n_hits, contaminated) per train doc.
+
+    Scale shape: both sides explode to (doc, shingle-hash); the join
+    runs on the hash. The eval side of a real pipeline is tiny (a few
+    benchmark suites) — Spark's AQE broadcasts it; the train side
+    never self-joins. Distinct shingles per doc before the join keep
+    hit counts = number of DISTINCT leaked shingles.
+    """
+
+    def shingles(df: DataFrame) -> DataFrame:
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        sh = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+            ),
+        ).otherwise(F.array())
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+        )
+
+    eval_shingles = shingles(eval_df).select("shingle").distinct()
+    hits = (
+        shingles(train)
+        .join(eval_shingles, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            id_col,
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 128,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch: keep the k smallest
+    hash values of the column mapped into [0,1); if fewer than k
+    distinct values exist the count is exact, otherwise estimate
+    (k-1) / kth_min. Deterministic (md5-based, no RNG) so the whole
+    sketch — not just the estimate — is oracle-checkable.
+
+    The aggregate reduces to k rows: partial top-k per partition,
+    merge on one reducer. At 100 TB this is THE pattern for distinct
+    cardinality without a count-distinct shuffle of the full key set
+    (Spark's approx_count_distinct/HLL is the same idea but its
+    binary sketch is not replicable outside Spark).
+    """
+    hashed = df.select(stable_unit(F.col(col)).alias("h")).distinct()
+    kth = (
+        hashed.orderBy("h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_min"),
+        )
+    )
+    return kth.select(
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round("kth_min", 9).alias("kth_min"),
+        F.round(
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+                (F.lit(k) - 1) / F.col("kth_min")
+            ),
+            3,
+        ).alias("distinct_estimate"),
+    )

@@ -1,0 +1,336 @@
+"""Gate queries + DuckDB oracles for the corpus-curation operators
+(operators/curation.py). Everything here is deterministic — the
+shared primitive is the first 60 bits of md5 as an int64, which
+DuckDB reproduces exactly via ('0x' || substr(md5(x),1,15))::BIGINT
+— so every operator gets a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from ..operators import curation as C
+
+# DuckDB equivalent of curation.stable_unit(col)
+_UNIT = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
+
+
+def stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of documents keyed on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.stable_sample(docs, "doc_id", 0.10)
+        .select("doc_id", "source", F.round(C.stable_unit(F.col("doc_id")), 9).alias("u"))
+        .orderBy("doc_id")
+    )
+
+
+STABLE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, round({_UNIT.format(c='doc_id')}, 9) AS u
+FROM documents
+WHERE {_UNIT.format(c='doc_id')} < 0.10
+ORDER BY doc_id
+"""
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test labels (5% / 5%) with per-split
+    counts — the leak-safe split a training pipeline stamps on every
+    document."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.train_val_test_split(docs, "doc_id", val_fraction=0.05, test_fraction=0.05)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+DATASET_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_UNIT.format(c='doc_id')} < 0.05 THEN 'test'
+            WHEN {_UNIT.format(c='doc_id')} < 0.10 THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY 1 ORDER BY split
+"""
+
+
+def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap at 15 docs per source (first by doc_id): the
+    anti-over-representation step of corpus assembly."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.source_quota(docs, "source", max_per_group=15, order_col="doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SOURCE_QUOTA_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15 ORDER BY doc_id
+"""
+
+
+def normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + PII redaction composed, as a pipeline would
+    run them; emits the md5 of the scrubbed text so the gate checks
+    the full string without shipping it."""
+    docs = load(spark, sf_dir, "documents")
+    clean = C.redact_pii(C.normalize_text(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+NORMALIZE_REDACT_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+           '\s+', ' ', 'g'))) AS t
+  FROM documents
+), redacted AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\- ]{7,14}\d', '<PHONE>', 'g') AS t
+  FROM norm
+)
+SELECT doc_id, md5(t) AS clean_md5, length(t) AS clean_len
+FROM redacted ORDER BY doc_id
+"""
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over the first 200
+    documents (bounded so gate output stays proportional across
+    scale factors; the operator itself is linear in corpus size)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        C.chunk_documents(docs, chunk_tokens=64, overlap=16)
+        .select("doc_id", "chunk_id", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+), chunks AS (
+  SELECT doc_id,
+         CAST(s // 48 AS INT) AS chunk_id,
+         w[CAST(s AS INT) + 1 : CAST(s AS INT) + 64] AS c
+  FROM toks, unnest(range(0, len(w), 48)) AS t(s)
+)
+SELECT doc_id, chunk_id, len(c) AS n_chunk_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary by total token count."""
+    docs = load(spark, sf_dir, "documents")
+    return C.vocabulary(docs, top_k=50).orderBy(F.col("n_total").desc(), "token")
+
+
+VOCABULARY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n_total DESC, token LIMIT 50
+"""
+
+
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF weights for the first 50 documents (bounded
+    output; the aggregates themselves run corpus-wide)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.tf_idf(docs, min_df=1)
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id", "token")
+    )
+
+
+TF_IDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tf_idf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+WHERE tf.doc_id < 50
+ORDER BY doc_id, token
+"""
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of events.user_id (k=128): the
+    shuffle-free cardinality estimator; deterministic md5 hashing
+    makes the whole sketch oracle-checkable."""
+    events = load(spark, sf_dir, "events")
+    return C.kmv_distinct(events, "user_id", k=128)
+
+
+KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {_UNIT.format(c='user_id')} AS h FROM events
+), kmin AS (
+  SELECT h FROM h ORDER BY h LIMIT 128
+), agg AS (
+  SELECT count(*) AS n_kept, max(h) AS kth_min FROM kmin
+)
+SELECT CAST(n_kept AS BIGINT) AS n_kept,
+       round(kth_min, 9) AS kth_min,
+       round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 127.0 / kth_min END, 3) AS distinct_estimate
+FROM agg
+"""
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/shape filters with the published thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    return C.gopher_quality(docs).orderBy("doc_id")
+
+
+_NORM_SQL = r"""lower(trim(regexp_replace(
+      regexp_replace({c}, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')))"""
+
+GOPHER_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL.format(c='text')}, ' ') AS w,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, w,
+         CASE WHEN len(lines) > 0
+              THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+           / CAST(greatest(len(w), 1) AS DOUBLE) AS alpha_word_frac,
+         list_sum(list_transform(w, x -> length(x)))
+           / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len
+  FROM base
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM base
+), top AS (
+  SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT m.doc_id, m.dup_line_frac,
+         coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+         m.alpha_word_frac, m.mean_word_len
+  FROM m LEFT JOIN top USING (doc_id)
+)
+SELECT doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       round(mean_word_len, 6) AS mean_word_len,
+       (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.18
+        AND alpha_word_frac >= 0.80
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS passes_gopher
+FROM j ORDER BY doc_id
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: docs 0-9 act as the held-out eval
+    set; every training doc sharing an 8-token shingle is flagged."""
+    docs = load(spark, sf_dir, "documents")
+    return C.decontaminate(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        n=8,
+    ).orderBy("doc_id")
+
+
+DECONTAMINATE_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 7, 0) + 1),
+           i -> md5(array_to_string(w[i:i+7], ' ')))) AS s
+  FROM tok
+), eval_sh AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 10
+), train_hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 10) t
+  JOIN eval_sh USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+LEFT JOIN train_hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "stable_sample": stable_sample,
+    "dataset_split": dataset_split,
+    "source_quota": source_quota,
+    "normalize_redact": normalize_redact,
+    "chunk_documents": chunk_documents,
+    "vocabulary_topk": vocabulary,
+    "tf_idf": tf_idf,
+    "kmv_distinct": kmv_distinct,
+    "gopher_quality": gopher_quality,
+    "decontaminate": decontaminate,
+}
+
+ORACLES = {
+    "stable_sample": STABLE_SAMPLE_ORACLE,
+    "dataset_split": DATASET_SPLIT_ORACLE,
+    "source_quota": SOURCE_QUOTA_ORACLE,
+    "normalize_redact": NORMALIZE_REDACT_ORACLE,
+    "chunk_documents": CHUNK_ORACLE,
+    "vocabulary_topk": VOCABULARY_ORACLE,
+    "tf_idf": TF_IDF_ORACLE,
+    "kmv_distinct": KMV_ORACLE,
+    "gopher_quality": GOPHER_ORACLE,
+    "decontaminate": DECONTAMINATE_ORACLE,
+}

@@ -369,37 +369,59 @@ GRAPH_PREFIX = (
 
 
 _GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_GRAPH_CACHE_DIRS: list[str] = []
 
 
 def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(nodes, properties, xrefs), persisted once per (session, sf).
+    """(nodes, properties, xrefs), materialized once per (session, sf).
 
     The driver runs every gate query back to back in one session;
     without this cache each query would recompute the ~25M-row xref
-    set (sibling pairs dominate). MEMORY_AND_DISK persist + lazy
-    materialization: the first query pays, the rest reuse.
+    set (sibling pairs dominate). The cache is parquet in a temp dir
+    (see inline rationale): the first caller pays the build, every
+    later query gets pruned, vectorized scans of the materialized
+    tables.
     """
     key = (id(spark.sparkContext), sf_dir)
     if key not in _GRAPH_CACHE:
-        # RLE/dict encoding of the 18M short-string xref rows costs
-        # more CPU at persist time than the memory it saves here;
-        # scans of the uncompressed cache are just as fast.
-        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
-        nodes = build_nodes(spark, sf_dir).persist()
-        properties = build_properties(spark, sf_dir).persist()
-        xrefs = R.detect_all_relationships(nodes, properties).persist()
+        # Materialize the graph as PARQUET, not executor-memory
+        # columnar cache. Measured at sf0.1: .persist() spends
+        # 82-288s building the in-memory cache of these string-heavy
+        # frames (and warm scans of it are no faster than parquet),
+        # while evaluate-once + parquet write + read-back costs ~40s
+        # total and every later scan is a vectorized, compressed,
+        # column-pruned read. This is also the reference's own model
+        # (build the SQLite database once, query it many times) and
+        # the 100 TB posture: a 25M-row relationship table is a
+        # materialized intermediate TABLE in the warehouse, not
+        # something pinned in executor memory.
+        import tempfile
+
+        n_parts = spark.sparkContext.defaultParallelism
+        cache_dir = tempfile.mkdtemp(prefix="nodegraph_cache_")
+        _GRAPH_CACHE_DIRS.append(cache_dir)
+        build_nodes(spark, sf_dir).repartition(n_parts).write.mode("overwrite").parquet(
+            f"{cache_dir}/nodes"
+        )
+        build_properties(spark, sf_dir).repartition(n_parts).write.mode(
+            "overwrite"
+        ).parquet(f"{cache_dir}/properties")
+        nodes = spark.read.parquet(f"{cache_dir}/nodes")
+        properties = spark.read.parquet(f"{cache_dir}/properties")
+        R.detect_all_relationships(nodes, properties).write.mode("overwrite").parquet(
+            f"{cache_dir}/xrefs"
+        )
+        xrefs = spark.read.parquet(f"{cache_dir}/xrefs")
         _GRAPH_CACHE[key] = (nodes, properties, xrefs)
     return _GRAPH_CACHE[key]
 
 
 def clear_graph_cache() -> None:
-    for nodes, properties, xrefs in _GRAPH_CACHE.values():
-        for df in (nodes, properties, xrefs):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+    import shutil
+
     _GRAPH_CACHE.clear()
+    while _GRAPH_CACHE_DIRS:
+        shutil.rmtree(_GRAPH_CACHE_DIRS.pop(), ignore_errors=True)
 
 
 def build_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
