@@ -56,3 +56,50 @@ def test_sessionization_single_shuffle(spark):
     # exchanges: one for the user_id window/agg chain + the final
     # orderBy range exchange; anything more means a lost partitioning
     assert plan.count("Exchange") <= 3
+
+
+def test_curation_sample_and_split_no_shuffle(spark):
+    """Hash sampling and split labeling are map-side only: no
+    Exchange anywhere above the scan."""
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for df in (
+        C.stable_sample(docs, "doc_id", 0.1),
+        C.train_val_test_split(docs, "doc_id"),
+        docs.select(C.redact_pii(C.normalize_text(F.col("text")))),
+    ):
+        plan = _physical(df)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_curation_chunking_no_shuffle(spark):
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(C.chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode runs in-task
+    assert "EvalPython" not in plan
+
+
+def test_curation_quota_single_shuffle(spark):
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(C.source_quota(docs, "source", 5))
+    assert plan.count("Exchange") == 1  # the window's hash partitioning
+
+
+def test_tf_idf_broadcasts_corpus_size(spark):
+    """The 1-row corpus-size frame must join by broadcast, never by
+    shuffling the tf table."""
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(C.tf_idf(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
