@@ -144,6 +144,14 @@ def ngram_jaccard_pairs(
     )
 
 
+def _md5_long(col) -> F.Column:
+    """First 60 bits of md5 as a non-negative int64 — the portable
+    hash primitive (identical in DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``), which is what makes
+    the MinHash pipeline's output oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _shingle_tokens(
     df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -156,16 +164,21 @@ def _shingle_tokens(
         .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .select("doc_id", _md5_long(F.col("shingle")).alias("h"))
     )
 
 
 def _signatures_from_tokens(tokens: DataFrame, k: int) -> DataFrame:
-    """k seeded long re-hashes (xxhash64(i, h) — fixed-width input,
-    far cheaper than re-hashing the shingle text k times) folded with
-    min in one aggregation pass with map-side partial combine."""
+    """k seeded re-hashes of the fixed-width shingle hash (min-fold
+    per seed in one aggregation pass with map-side partial combine).
+    Seed i's permutation is md5("i:" || h) — re-hashing the 8-byte
+    hash, not the shingle text, keeps the k-pass cheap."""
+    h_str = F.col("h").cast("string")
     sigs = tokens.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}") for i in range(k)]
+        *[
+            F.min(_md5_long(F.concat(F.lit(f"{i}:"), h_str))).alias(f"__m{i}")
+            for i in range(k)
+        ]
     )
     return sigs.select(
         "doc_id", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
@@ -221,8 +234,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col("signature")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -200,8 +200,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only)."""
+    """SimHash banded near-dup pairs. Fully oracle-checked: the
+    md5-based word hashes are engine-portable, and because the
+    max_hamming+1 banding is pigeonhole-COMPLETE, the operator's
+    output is exactly the set of pairs with hamming <= max_hamming —
+    which the oracle computes brute-force (O(n^2) is fine at gate
+    scale; the Spark side stays banded)."""
     return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=10)
+
+
+SIMHASH_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+  FROM documents
+), hw AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hw, unnest(range(0, 64)) AS t(b)
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << CAST(b AS INT) ELSE 0::UBIGINT END) AS sig
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 10
+"""
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -703,9 +703,12 @@ WHERE n.node_type = 'customer'
 def most_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """examples/sql_queries.md 'Most connected nodes' top-10."""
     nodes, _, xrefs = get_graph(spark, sf_dir)
+    # one scan, not union-of-two: explode both endpoints in-task,
+    # then a single map-side-combinable count
     touches = (
-        xrefs.select(F.col("source_node_id").alias("id"))
-        .unionAll(xrefs.select(F.col("target_node_id").alias("id")))
+        xrefs.select(
+            F.explode(F.array("source_node_id", "target_node_id")).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("connection_count"))
     )
