@@ -107,7 +107,14 @@ def ngram_jaccard_pairs(
         .filter(F.size("sh") > 0)
     )
     sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
-    tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # Join the inverted index on the 60-bit shingle HASH, not the
+    # shingle string — same pairs and counts (a 60-bit collision
+    # among sf-scale shingle universes is ~2^-40 territory) at ~5x
+    # less shuffle volume, since a fixed 8-byte key replaces the
+    # full n-gram text on both sides of the hot join.
+    tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle")).select(
+        "doc_id", "n_sh", _md5_long(F.col("shingle")).alias("shingle")
+    )
     if max_df is not None:
         rare = (
             tokens.groupBy("shingle")
@@ -168,16 +175,40 @@ def _shingle_tokens(
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 - 1, the classic MinHash modulus
+
+
+def perm_coeffs(k: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficient pairs for the k universal
+    permutations h_i(x) = (a_i * x + b_i) mod (2^31 - 1). Fixed seed
+    -> identical signatures run to run AND engine to engine (the
+    oracle SQL is generated from the same coefficients)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(k)
+    ]
+
+
 def _signatures_from_tokens(tokens: DataFrame, k: int) -> DataFrame:
-    """k seeded re-hashes of the fixed-width shingle hash (min-fold
-    per seed in one aggregation pass with map-side partial combine).
-    Seed i's permutation is md5("i:" || h) — re-hashing the 8-byte
-    hash, not the shingle text, keeps the k-pass cheap."""
-    h_str = F.col("h").cast("string")
-    sigs = tokens.groupBy("doc_id").agg(
+    """k universal-hash permutations of the fixed-width shingle hash,
+    min-folded per doc in ONE aggregation pass with map-side partial
+    combine. Each permutation is (a_i * (h mod p) + b_i) mod p with
+    p = 2^31 - 1 — pure 64-bit integer arithmetic that stays inside
+    whole-stage codegen (no per-seed string hashing in the hot loop;
+    a_i * (h mod p) < 2^62 never overflows a long) and is expressible
+    verbatim in ANSI SQL, so the MinHash gate is oracle-checkable."""
+    coeffs = perm_coeffs(k)
+    hm = (F.col("h") % F.lit(_MERSENNE31)).alias("hm")
+    with_hm = tokens.select("doc_id", hm)
+    sigs = with_hm.groupBy("doc_id").agg(
         *[
-            F.min(_md5_long(F.concat(F.lit(f"{i}:"), h_str))).alias(f"__m{i}")
-            for i in range(k)
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(_MERSENNE31)).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     return sigs.select(

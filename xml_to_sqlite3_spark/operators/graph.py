@@ -35,18 +35,24 @@ def bfs_distances(
     and is pruned (anti-join) from later frontiers — so cycles and
     dense fan-in cost nothing extra.
 
-    Each level is a broadcast hash join: the (small) frontier is
-    broadcast and the edge set is streamed in place — no edge-side
-    shuffle and no up-front materialization of a deduped edge copy.
-    Duplicate raw edges only produce duplicate frontier candidates,
-    which the per-level ``distinct()`` (frontier-sized shuffle)
-    removes. Callers pass ``edges`` persisted if they run several
-    traversals. For frontiers too big to broadcast (whole-graph
-    sweeps at extreme fan-out), set ``broadcast_frontier=False`` to
-    fall back to a shuffle hash join per level.
+    The (possibly filtered, possibly duplicated) edge input is
+    projected to (src, dst), deduped, and localCheckpointed ONCE up
+    front: every level then joins against materialized executor-local
+    blocks instead of re-running the upstream scan+filter per level
+    (max_depth full-table scans per lookup is the scale killer this
+    avoids; on a cluster the checkpoint blocks live on executors, not
+    the driver). Each level is then a broadcast hash join: the small
+    frontier is broadcast and the edge blocks stream in place. For
+    frontiers too big to broadcast (whole-graph sweeps at extreme
+    fan-out), set ``broadcast_frontier=False`` to fall back to a
+    shuffle hash join per level.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     visited = spark.createDataFrame([(source, 0)], "node string, distance int")
     visited = visited.localCheckpoint(eager=True)
@@ -107,23 +113,25 @@ def connected_components(
     for _ in range(max_iter):
         nbr = und.join(
             labels.select(F.col("u").alias("v"), F.col("label").alias("nl")), "v"
-        ).select("u", "nl")
+        ).select("u", "nl", F.lit(None).cast(labels.schema["label"].dataType).alias("old"))
+        # Carry each node's previous label through the same aggregate
+        # that computes its new one, so convergence is read off the
+        # round's already-materialized checkpoint (a cheap block scan)
+        # instead of re-running the propagation join a second time.
         new_labels = (
-            labels.select("u", F.col("label").alias("nl"))
+            labels.select(
+                "u", F.col("label").alias("nl"), F.col("label").alias("old")
+            )
             .unionByName(nbr)
             .groupBy("u")
-            .agg(F.min("nl").alias("label"))
+            .agg(
+                F.min("nl").alias("label"),
+                F.min("old").alias("old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("u", F.col("label").alias("old")), "u"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

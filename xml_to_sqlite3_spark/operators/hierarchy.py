@@ -21,10 +21,16 @@ from pyspark.sql import functions as F
 def node_tree(spark: SparkSession, nodes: DataFrame, max_depth: int = 100) -> DataFrame:
     """README node_tree: every node with its level below the roots
     (parent_id IS NULL). Columns: id, node_type, parent_id, content,
-    level."""
-    nodes.select("id", "node_type", "parent_id", "content").createOrReplaceTempView(
-        "__h_nodes"
-    )
+    level.
+
+    The projected node set is localCheckpointed before it becomes the
+    CTE input: Catalyst's UnionLoop re-evaluates the anchor's source
+    once per iteration, so an unpersisted view would re-run the
+    upstream scan ``depth`` times — the checkpoint makes each
+    iteration a scan of materialized executor-local blocks."""
+    nodes.select("id", "node_type", "parent_id", "content").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__h_nodes")
     return spark.sql(
         f"""
         WITH RECURSIVE node_tree AS (
@@ -127,10 +133,15 @@ def ancestors(
 def descendants(
     spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
 ) -> DataFrame:
-    """All descendants of ``node_id`` (examples/sql_queries.md)."""
+    """All descendants of ``node_id`` (examples/sql_queries.md).
+
+    The parent_child edge projection is localCheckpointed before the
+    recursive CTE runs — UnionLoop rescans its input per iteration,
+    and re-reading the full xref table ``max_depth`` times is the
+    scale killer (see node_tree)."""
     xrefs.filter(F.col("reference_type") == "parent_child").select(
         "source_node_id", "target_node_id"
-    ).createOrReplaceTempView("__h_pc")
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__h_pc")
     escaped = node_id.replace("'", "''")
     return spark.sql(
         f"""

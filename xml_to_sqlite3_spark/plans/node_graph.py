@@ -371,12 +371,56 @@ GRAPH_PREFIX = (
 _GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
 
+# Mirror-symmetric reference types: the cache stores ONE direction
+# and derives the other at scan time (child_parent is an exact flip
+# of parent_child, previous_sibling of next_sibling, and the sibling
+# set is symmetric so only source < target rows are stored). This
+# halves the materialized write — the build's dominant cost — while
+# `_derive_full_xrefs` reconstructs the exact row multiset.
+_XREF_MIRRORS = (
+    ("parent_child", "child_parent"),
+    ("next_sibling", "previous_sibling"),
+    ("sibling", "sibling"),
+)
+
+
+def _half_xrefs(full: DataFrame) -> DataFrame:
+    stored_types = [s for s, _ in _XREF_MIRRORS if s != "sibling"]
+    return full.filter(
+        F.col("reference_type").isin(*stored_types)
+        | (
+            (F.col("reference_type") == "sibling")
+            & (F.col("source_node_id") < F.col("target_node_id"))
+        )
+        | ~F.col("reference_type").isin(*[t for pair in _XREF_MIRRORS for t in pair])
+    )
+
+
+def _derive_full_xrefs(stored: DataFrame) -> DataFrame:
+    """Stored half + one literal-typed flipped branch per mirror pair.
+    Literal reference_type per branch means a downstream
+    `reference_type = 'child_parent'` filter constant-folds every
+    other branch to empty and pushes `= 'parent_child'` down into the
+    surviving branch's parquet scan."""
+    out = stored
+    for src_type, mirror_type in _XREF_MIRRORS:
+        flipped = stored.filter(F.col("reference_type") == src_type).select(
+            F.col("target_node_id").alias("source_node_id"),
+            F.col("source_node_id").alias("target_node_id"),
+            F.lit(mirror_type).alias("reference_type"),
+            "attribute_name",
+            "confidence",
+            "document_id",
+        )
+        out = out.unionByName(flipped)
+    return out
+
 
 def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(nodes, properties, xrefs), materialized once per (session, sf).
 
     The driver runs every gate query back to back in one session;
-    without this cache each query would recompute the ~25M-row xref
+    without this cache each query would recompute the ~18M-row xref
     set (sibling pairs dominate). The cache is parquet in a temp dir
     (see inline rationale): the first caller pays the build, every
     later query gets pruned, vectorized scans of the materialized
@@ -388,30 +432,42 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # columnar cache. Measured at sf0.1: .persist() spends
         # 82-288s building the in-memory cache of these string-heavy
         # frames (and warm scans of it are no faster than parquet),
-        # while evaluate-once + parquet write + read-back costs ~40s
+        # while evaluate-once + parquet write + read-back costs ~30s
         # total and every later scan is a vectorized, compressed,
         # column-pruned read. This is also the reference's own model
         # (build the SQLite database once, query it many times) and
-        # the 100 TB posture: a 25M-row relationship table is a
+        # the 100 TB posture: an 18M-row relationship table is a
         # materialized intermediate TABLE in the warehouse, not
         # something pinned in executor memory.
+        import atexit
         import tempfile
 
-        n_parts = spark.sparkContext.defaultParallelism
         cache_dir = tempfile.mkdtemp(prefix="nodegraph_cache_")
         _GRAPH_CACHE_DIRS.append(cache_dir)
-        build_nodes(spark, sf_dir).repartition(n_parts).write.mode("overwrite").parquet(
-            f"{cache_dir}/nodes"
-        )
-        build_properties(spark, sf_dir).repartition(n_parts).write.mode(
-            "overwrite"
-        ).parquet(f"{cache_dir}/properties")
-        nodes = spark.read.parquet(f"{cache_dir}/nodes")
-        properties = spark.read.parquet(f"{cache_dir}/properties")
-        R.detect_all_relationships(nodes, properties).write.mode("overwrite").parquet(
-            f"{cache_dir}/xrefs"
-        )
-        xrefs = spark.read.parquet(f"{cache_dir}/xrefs")
+        if len(_GRAPH_CACHE_DIRS) == 1:
+            # a crashed driver would otherwise leak multi-hundred-MB
+            # temp dirs across runs
+            atexit.register(clear_graph_cache)
+        try:
+            build_nodes(spark, sf_dir).write.mode("overwrite").parquet(
+                f"{cache_dir}/nodes"
+            )
+            build_properties(spark, sf_dir).write.mode("overwrite").parquet(
+                f"{cache_dir}/properties"
+            )
+            nodes = spark.read.parquet(f"{cache_dir}/nodes")
+            properties = spark.read.parquet(f"{cache_dir}/properties")
+            _half_xrefs(R.detect_all_relationships(nodes, properties)).write.mode(
+                "overwrite"
+            ).parquet(f"{cache_dir}/xrefs")
+            xrefs = _derive_full_xrefs(spark.read.parquet(f"{cache_dir}/xrefs"))
+        except BaseException:
+            # never register a partially-built cache dir as valid
+            import shutil
+
+            _GRAPH_CACHE_DIRS.remove(cache_dir)
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            raise
         _GRAPH_CACHE[key] = (nodes, properties, xrefs)
     return _GRAPH_CACHE[key]
 

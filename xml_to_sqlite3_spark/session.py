@@ -48,16 +48,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Local-mode split sizing: snappy parquet at test scale
-        # factors is compact (the 18M-row xref cache is ~85 MB), so
-        # the 128 MB default would scan it in 1-2 tasks and idle the
-        # other cores. 16 MB keeps local scans parallel; on a real
-        # cluster raise it back via the env var (the cost model there
-        # is task overhead vs. per-executor memory, and files are
-        # written with ~128 MB row groups anyway).
+        # Split sizing stays at Spark's 128 MB default. At test scale
+        # factors every table is far below maxPartitionBytes anyway, so
+        # the effective split is max(openCostInBytes, bytes/parallelism)
+        # — lowering the cap buys nothing (measured: a 16 MB session
+        # cap left warm query times unchanged but tripled the graph
+        # cache build). The env var stays as an explicit override for
+        # experiments only.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
         )
     )
     for k, v in (extra_conf or {}).items():
