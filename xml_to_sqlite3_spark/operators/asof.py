@@ -84,8 +84,18 @@ def asof_join(
         cols.append(F.first("__r", ignorenulls=True).over(w_fwd).alias("__f"))
     carried = unioned.select(*cols).filter(F.col("__side") == 1)
 
+    on_type = dict(left.dtypes)[on]
+
+    def _num(col: F.Column) -> F.Column:
+        # TIMESTAMP_NTZ (what tz-naive parquet reads as in Spark 4)
+        # cannot cast straight to DOUBLE; hop via TIMESTAMP, which
+        # yields epoch seconds for both timestamp flavors.
+        if on_type.startswith("timestamp"):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
     def _dist(match):
-        return F.abs(F.col(on).cast("double") - match["__on"].cast("double"))
+        return F.abs(_num(F.col(on)) - _num(match["__on"]))
 
     if direction == "backward":
         match = F.col("__b")
