@@ -43,6 +43,7 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # Materialize the node-graph cache as its own explicit bench
     # entry (counted in the total) — the reference's model is
@@ -52,28 +53,39 @@ def main() -> None:
     from xml_to_sqlite3_spark.plans.node_graph import get_graph
 
     t0 = time.perf_counter()
-    for df in get_graph(spark, sf_dir):
-        df.count()
-    timings["graph_build"] = round(time.perf_counter() - t0, 4)
+    try:
+        for df in get_graph(spark, sf_dir):
+            df.count()
+        timings["graph_build"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # noqa: BLE001 — one failure must not kill the run
+        errors["graph_build"] = str(e).splitlines()[0][:300]
     for name in names:
+        # per-query isolation: a single broken query costs its own
+        # timing, never the whole bench (round-3 lesson: one
+        # AnalysisException zeroed the entire perf signal)
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if name not in HEADLINE else len(df.collect())
-        _ = n
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count() if name not in HEADLINE else len(df.collect())
+            _ = n
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).splitlines()[0][:300]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        # still exit 0: the printed JSON (with "errors") IS the
+        # signal; a nonzero rc would discard every good timing the
+        # way round 3's un-isolated crash did
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

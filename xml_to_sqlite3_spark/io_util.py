@@ -26,15 +26,51 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
-    vectorized Spark reader rejects; read it as long and truncate to
-    microseconds (integer division — nanosecond magnitudes overflow
-    double precision), matching DuckDB's ns->us cast.
+    The testdata's ``events.ts`` encoding has changed across driver
+    rounds — int64 TIMESTAMP(NANOS) (rejected by the vectorized
+    reader, hence the nanosAsLong-safe read) and plain parquet
+    TIMESTAMP micros (which Spark 4 reads as TIMESTAMP_NTZ). Both
+    land here; ``normalize_event_ts`` converts conditionally so every
+    consumer sees a real timestamp column either way.
     """
     df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Shared batch/stream normalization for ``events.ts``.
+
+    Converts ONLY when the column actually arrives as bigint (the
+    legacy int64-nanos encoding; integer division — nanosecond
+    magnitudes overflow double precision, matching DuckDB's ns->us
+    cast). A native TIMESTAMP/TIMESTAMP_NTZ column passes through
+    untouched. Batch (`load`) and stream (`streaming.ingest`) both go
+    through this one helper so they cannot diverge.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ts_seconds(col: F.Column) -> F.Column:
+    """Epoch seconds from either TIMESTAMP or TIMESTAMP_NTZ.
+
+    TIMESTAMP_NTZ (what tz-naive parquet reads as in Spark 4) cannot
+    cast straight to BIGINT; hop via TIMESTAMP first, which yields
+    epoch seconds for both flavors. Exact because session.py pins
+    spark.sql.session.timeZone=UTC — in a DST timezone the NTZ->TZ
+    hop would shift across transitions.
+    """
+    return col.cast("timestamp").cast("long")
+
+
+def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """Whether the events parquet at ``path`` stores ts as int64 nanos
+    (legacy encoding) vs a real parquet TIMESTAMP. Footer-only batch
+    peek; used by the streaming reader to pick its explicit schema."""
+    return dict(_read_parquet_nanos_safe(spark, path).dtypes).get("ts") == "bigint"
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:

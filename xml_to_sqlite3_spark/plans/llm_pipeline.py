@@ -1,8 +1,11 @@
 """Gate queries for the LLM-training-data pipeline operators, over
 the driver's documents/embeddings tables, with DuckDB oracles where
-the computation is SQL-expressible. Hash-dependent ops (MinHash /
-SimHash / hyperplane LSH use Spark's xxhash64, which DuckDB lacks)
-are registered rows-only and covered by unit tests instead.
+the computation is SQL-expressible. Every hash in the dedup path
+(shingle hash, MinHash permutations, SimHash word hash) is
+md5-derived and engine-portable, so MinHash and SimHash are fully
+value-oracled; only the genuinely iterative/float-order-dependent
+ops (hyperplane LSH buckets, k-means IVF at reduced probe,
+curate_corpus's MinHash stage) stay rows-only with unit-test proof.
 """
 
 from __future__ import annotations
@@ -194,9 +197,80 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures
-    have no DuckDB equivalent; exactness covered in tests)."""
+    """MinHash+LSH near-dup pairs. Fully oracle-checked: the
+    signatures are k universal-hash permutations of the portable
+    60-bit md5 shingle hash (dedup._signatures_from_tokens — pure
+    mod-arithmetic), so the oracle recomputes the SAME signatures
+    from the SAME perm_coeffs in SQL, replays the banding as
+    per-band signature-slice equality (bucket md5s collide with
+    their inputs' equality), and verifies exact Jaccard brute-force
+    (fine at gate scale; the Spark side stays banded)."""
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+# --- MinHash oracle: generated from the very coefficients the Spark
+# operator uses, so any drift in the hash pipeline flips the gate.
+_MINHASH_K, _MINHASH_BANDS, _MINHASH_ROWS = 64, 16, 4
+_P31 = 2147483647
+_MINHASH_SIG_COLS = ",\n         ".join(
+    f"min(({a} * hm + {b}) % {_P31}) AS m{i}"
+    for i, (a, b) in enumerate(D.perm_coeffs(_MINHASH_K))
+)
+_MINHASH_BAND_MATCH = "\n     OR ".join(
+    "("
+    + " AND ".join(
+        f"a.m{b * _MINHASH_ROWS + r} = b.m{b * _MINHASH_ROWS + r}"
+        for r in range(_MINHASH_ROWS)
+    )
+    + ")"
+    for b in range(_MINHASH_BANDS)
+)
+_MINHASH_EST = (
+    "("
+    + " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(_MINHASH_K))
+    + ") / 64.0"
+)
+
+MINHASH_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.g), 1, 15))::BIGINT AS h
+  FROM sh, unnest(sh.s) AS t(g)
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS}
+  FROM (SELECT doc_id, h % {_P31} AS hm FROM tok)
+  GROUP BY doc_id
+), hsets AS (
+  SELECT doc_id, list(h) AS hs, count(*) AS n_sh FROM tok GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round({_MINHASH_EST}, 6) AS est_jaccard
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {_MINHASH_BAND_MATCH}
+), verified AS (
+  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         len(list_intersect(x.hs, y.hs)) AS inter,
+         x.n_sh AS n_a, y.n_sh AS n_b
+  FROM cand c
+  JOIN hsets x ON c.doc_a = x.doc_id
+  JOIN hsets y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard,
+       est_jaccard
+FROM verified
+WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.2
+  AND est_jaccard >= 0.0
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +631,8 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ann_cosine_topk": ANN_ORACLE,
+    "dedup_minhash": MINHASH_ORACLE,
+    "dedup_simhash": SIMHASH_ORACLE,
     "curate_cheap": CURATE_CHEAP_ORACLE,
     "content_similarity": CONTENT_SIMILAR_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..io_util import load
+from ..io_util import load, ts_seconds
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,10 +243,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     w_user = W.partitionBy("user_id").orderBy("ts")
-    gap_flag = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user) > 1800,
-        1,
-    ).otherwise(0)
+    secs = ts_seconds(F.col("ts"))
+    gap_flag = F.when(secs - F.lag(secs).over(w_user) > 1800, 1).otherwise(0)
     with_sess = ev.withColumn("new_session", gap_flag).withColumn(
         "session_id",
         F.sum("new_session").over(w_user.rowsBetween(W.unboundedPreceding, 0)),

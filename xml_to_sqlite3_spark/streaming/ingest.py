@@ -21,11 +21,16 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io_util import events_ts_is_nanos, normalize_event_ts
 from ..sources.xml_source import _PARSE_SCHEMA, _parse_batches
 
-EVENT_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+_EVENT_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
+# Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+# NTZ), so the stream declares plain timestamp — for tz-naive parquet
+# micros that is the classic pre-NTZ read, exact because session.py
+# pins spark.sql.session.timeZone=UTC.
+EVENT_SCHEMA = _EVENT_COLS.format(ts="ts timestamp")
+EVENT_SCHEMA_NANOS = _EVENT_COLS.format(ts="ts long")
 
 
 def read_event_stream(
@@ -33,14 +38,19 @@ def read_event_stream(
 ) -> DataFrame:
     """Stream the events table from parquet files as they appear.
 
-    The parquet files carry TIMESTAMP(NANOS) (see io_util.load);
-    the stream reads ts as long and truncates to microseconds so
-    event-time semantics match the batch path exactly.
+    File streams need an explicit schema, so a footer-only batch peek
+    (io_util.events_ts_is_nanos) decides which ts encoding the files
+    actually carry — plain parquet TIMESTAMP (read natively as
+    TIMESTAMP_NTZ) or the legacy int64 nanos — and the SAME
+    normalize_event_ts helper as the batch path converts
+    conditionally, so batch and stream cannot diverge.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = events_ts_is_nanos(spark, path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.format("parquet")
-        .schema(EVENT_SCHEMA)
+        .schema(EVENT_SCHEMA_NANOS if nanos else EVENT_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
     if path.endswith(".parquet"):
@@ -50,8 +60,7 @@ def read_event_stream(
 
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.load(path))
 
 
 def windowed_event_aggregation(
