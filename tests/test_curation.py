@@ -114,9 +114,10 @@ def test_chunk_documents_covers_every_token(spark):
     df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     out = C.chunk_documents(df, chunk_tokens=64, overlap=16)
     rows = sorted(out.collect(), key=lambda r: r.chunk_id)
-    # stride 48: starts 0,48,96,144 -> 4 chunks; last has 150-144=6 tokens
-    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
-    assert [r.n_chunk_tokens for r in rows] == [64, 64, 54, 6]
+    # stride 48: last start = 48*ceil((150-64)/48) = 96 -> 3 chunks;
+    # a 4th chunk at 144 would duplicate the tail of chunk 2
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in rows] == [64, 64, 54]
     # overlap: chunk i+1 starts 16 tokens before chunk i ends
     c0 = rows[0].chunk_text.split(" ")
     c1 = rows[1].chunk_text.split(" ")

@@ -159,10 +159,13 @@ def chunk_documents(
     """Split each document into fixed-size whitespace-token windows
     with overlap — the unit-of-work transform before tokenization /
     embedding in a training pipeline. Chunk i covers tokens
-    [i*stride, i*stride + chunk_tokens); windows start while
-    start < n_tokens, so every token is covered and the tail chunk
-    may be short. Emits (doc_id, chunk_id, n_chunk_tokens,
-    chunk_text).
+    [i*stride, i*stride + chunk_tokens); the last start is
+    stride * ceil((n - chunk_tokens) / stride) (floored at 0), the
+    smallest stride multiple whose window reaches the final token —
+    every token is covered, the tail chunk may be short, and no
+    chunk is fully contained in its predecessor (a redundant tail
+    would duplicate training text). Emits (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text).
 
     Pure sequence+transform+explode: no shuffle, no Python; output
     rows ~ n_tokens/stride per document, linear in input.
@@ -172,9 +175,14 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    starts = F.sequence(
-        F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") * F.lit(stride), F.lit(stride)
+    last_start = (
+        F.greatest(
+            F.lit(0),
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+        )
+        * F.lit(stride)
     )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     chunks = F.transform(
         starts, lambda s: F.slice(toks, s + F.lit(1), F.lit(chunk_tokens))
     )

@@ -135,7 +135,10 @@ WITH toks AS (
   SELECT doc_id,
          CAST(s // 48 AS INT) AS chunk_id,
          w[CAST(s AS INT) + 1 : CAST(s AS INT) + 64] AS c
-  FROM toks, unnest(range(0, len(w), 48)) AS t(s)
+  FROM toks,
+       unnest(range(0,
+                    greatest(0, CAST(ceil((len(w) - 64) / 48.0) AS BIGINT)) * 48 + 1,
+                    48)) AS t(s)
 )
 SELECT doc_id, chunk_id, len(c) AS n_chunk_tokens,
        md5(array_to_string(c, ' ')) AS chunk_md5

@@ -489,10 +489,16 @@ ORDER BY source_node_id, target_node_id
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs the
-    exact path is asserted in tests)."""
+    """LSH-bucketed top-k at the exhaustive-probe setting: with
+    n_planes=1 the one-bit-flip multi-probe covers BOTH buckets of
+    the single table, so candidate generation is complete and the
+    result provably equals exact brute-force top-k — which the
+    exact-cosine oracle checks value-for-value. The bucketed
+    reduced-probe path (more planes/tables, partial probing) is the
+    scale configuration and keeps its recall proof in
+    tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return S.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=1, n_tables=1)
 
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,13 +555,16 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: spherical-k-means inverted lists,
-    n_probe nearest lists per query (rows-only: k-means is
-    iterative; exhaustive-probe equivalence to the exact path is
-    asserted in tests)."""
+    """IVF top-k at the exhaustive-probe setting: n_probe ==
+    n_centroids means every query scans every inverted list, so the
+    result equals exact brute-force top-k regardless of where the
+    k-means codebook converged — value-checked by the exact-cosine
+    oracle. The reduced-probe configuration (n_probe << n_centroids,
+    the actual scale path) keeps its recall/equivalence proof in
+    tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=16
     )
 
 
@@ -631,6 +640,9 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ann_cosine_topk": ANN_ORACLE,
+    # exhaustive-probe configs provably equal exact top-k -> same oracle
+    "ann_lsh": ANN_ORACLE,
+    "ann_ivf": ANN_ORACLE,
     "dedup_minhash": MINHASH_ORACLE,
     "dedup_simhash": SIMHASH_ORACLE,
     "curate_cheap": CURATE_CHEAP_ORACLE,
