@@ -1,0 +1,186 @@
+"""Pure-python codec tests (no Spark session): PNG inflate/unfilter
+against hand-filtered rasters covering every PNG filter type, plus
+netpbm/BMP/PNG cross-format pixel identity."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xml_to_sqlite3_spark.operators import codecs as C
+
+
+def _rng():
+    return np.random.RandomState(20260813)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    img = _rng().randint(0, 256, (13, 9, channels), dtype=np.uint8)
+    out = C.decode_png(C.encode_png(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def _png_with_filter(arr: np.ndarray, f: int) -> bytes:
+    """Hand-encode with a fixed per-row filter type so decode has to
+    run the real unfilter recurrences (our encoder only emits None)."""
+    h, w, ch = arr.shape
+    bpp, stride = ch, w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+
+    def chunk(t: bytes, p: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (
+        C._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_all_filters(filter_type):
+    img = _rng().randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    out = C.decode_png(_png_with_filter(img, filter_type))
+    assert (out == img).all(), f"filter {filter_type}"
+
+
+def test_png_palette():
+    rng = _rng()
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (6, 5), dtype=np.uint8)
+
+    def chunk(t: bytes, p: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0)
+    raster = b"".join(bytes([0]) + bytes(idx[y]) for y in range(6))
+    png = (
+        C._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    out = C.decode_png(png)
+    assert out.shape == (6, 5, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="not a PNG"):
+        C.decode_png(b"\xff\xd8 definitely not png")
+    img = _rng().randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = C.encode_png(img)
+    # flip the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12)
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        C.decode_png(bytes(bad))
+
+
+def test_cross_format_pixel_identity():
+    img = _rng().randint(0, 256, (5, 8, 3), dtype=np.uint8)
+    via_ppm = C.decode_pnm(C.encode_ppm(img))
+    via_bmp = C.decode_bmp(C.encode_bmp(img))
+    via_png = C.decode_png(C.encode_png(img))
+    assert (via_ppm == img).all()
+    assert (via_bmp == img).all()
+    assert (via_png == img).all()
+
+
+def test_dispatch_supports_png():
+    img = _rng().randint(0, 256, (3, 3, 3), dtype=np.uint8)
+    assert "png" in C.SUPPORTED_FORMATS
+    assert (C.decode_image_bytes(C.encode_png(img), "PNG") == img).all()
+
+# ------------------------------------------------------------- JPEG
+
+
+def test_jpeg_flat_and_gradient_roundtrip():
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    flat = np.full((24, 17, 3), (200, 64, 30), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(flat, quality=90))
+    assert out.shape == flat.shape
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 2
+
+    x = np.linspace(0, 255, 40)
+    grad = np.stack([np.tile(x, (32, 1))] * 3, axis=2).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(grad, quality=90))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+
+
+def test_jpeg_grayscale_and_nonmultiple_of_8():
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    gray = np.tile(np.linspace(0, 255, 21).astype(np.uint8), (13, 1))
+    out = J.decode_jpeg(J.encode_jpeg(gray, quality=90))
+    assert out.shape == (13, 21, 1)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).mean() < 2.0
+
+
+def test_jpeg_noise_correlation_high_quality():
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    noise = _rng().randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(noise, quality=95))
+    corr = np.corrcoef(noise.ravel().astype(float), out.ravel().astype(float))[0, 1]
+    assert corr > 0.99
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"\x89PNG not a jpeg")
+    good = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF"):
+        J.decode_jpeg(bytes(good))
+
+
+def test_dispatch_supports_jpeg():
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    flat = np.full((9, 9, 3), (10, 200, 120), dtype=np.uint8)
+    out = C.decode_image_bytes(J.encode_jpeg(flat, quality=90), "jpg")
+    assert out.shape == (9, 9, 3)
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 2

@@ -16,14 +16,14 @@ def media(spark):
         Row(
             media_id=1,
             kind="image",
-            data=b"\x89PNG-fake-bytes-1",
-            meta=Row(width=640, height=480, sample_rate=None, duration_ms=None, format="png"),
+            data=b"RIFF....WEBPfake-bytes-1",
+            meta=Row(width=640, height=480, sample_rate=None, duration_ms=None, format="webp"),
         ),
         Row(
             media_id=2,
             kind="image",
-            data=b"\x89PNG-fake-bytes-2",
-            meta=Row(width=800, height=600, sample_rate=None, duration_ms=None, format="png"),
+            data=b"RIFF....WEBPfake-bytes-2",
+            meta=Row(width=800, height=600, sample_rate=None, duration_ms=None, format="webp"),
         ),
         Row(
             media_id=3,
@@ -42,7 +42,7 @@ def media(spark):
 
 
 def test_compressed_decode_is_gated(media):
-    # png/mp4 rows have no pure-python codec; the decode raises at
+    # webp/mp4 rows have no pure-python codec; the decode raises at
     # execution time inside the UDF
     with pytest.raises(Exception, match="PIL|pure-python codec"):
         M.decode_image(media).collect()
@@ -61,7 +61,8 @@ def _ppm(pixels):
 def real_images(spark):
     import numpy as np
 
-    from xml_to_sqlite3_spark.operators.codecs import encode_bmp
+    from xml_to_sqlite3_spark.operators.codecs import encode_bmp, encode_png
+    from xml_to_sqlite3_spark.operators.jpeg import encode_jpeg
 
     red_blue = [[(255, 0, 0), (0, 0, 255)], [(255, 0, 0), (0, 0, 255)]]
     checker = [[(0, 0, 0), (255, 255, 255)], [(255, 255, 255), (0, 0, 0)]]
@@ -79,6 +80,16 @@ def real_images(spark):
             data=encode_bmp(np.array(red_blue, dtype="uint8")),
             meta=Row(width=2, height=2, sample_rate=None, duration_ms=None, format="bmp"),
         ),
+        Row(
+            media_id=13, kind="image",
+            data=encode_png(np.array(red_blue, dtype="uint8")),
+            meta=Row(width=2, height=2, sample_rate=None, duration_ms=None, format="png"),
+        ),
+        Row(
+            media_id=14, kind="image",
+            data=encode_jpeg(np.full((16, 16, 3), (40, 180, 90), dtype="uint8"), quality=90),
+            meta=Row(width=16, height=16, sample_rate=None, duration_ms=None, format="jpeg"),
+        ),
     ]
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
@@ -92,10 +103,19 @@ def test_real_decode_pixel_means(real_images):
     assert out[10]["width"] == 2 and out[10]["height"] == 2
     # checker: every channel mean 127.5
     assert out[11]["mean_r"] == pytest.approx(127.5)
-    # BMP of the same pixels decodes identically to the PPM
-    assert (out[12]["mean_r"], out[12]["mean_g"], out[12]["mean_b"]) == (
-        out[10]["mean_r"], out[10]["mean_g"], out[10]["mean_b"],
-    )
+    # BMP and PNG of the same pixels decode identically to the PPM —
+    # for PNG that is a REAL inflate + unfilter on compressed bytes
+    for mid in (12, 13):
+        assert (out[mid]["mean_r"], out[mid]["mean_g"], out[mid]["mean_b"]) == (
+            out[10]["mean_r"], out[10]["mean_g"], out[10]["mean_b"],
+        )
+        assert out[mid]["width"] == 2 and out[mid]["height"] == 2
+    # JPEG is lossy: the flat-color raster decodes through the real
+    # Huffman+IDCT path to within quantization error
+    assert out[14]["width"] == 16 and out[14]["height"] == 16
+    assert out[14]["mean_r"] == pytest.approx(40, abs=3)
+    assert out[14]["mean_g"] == pytest.approx(180, abs=3)
+    assert out[14]["mean_b"] == pytest.approx(90, abs=3)
 
 
 def test_real_resize_pixels(real_images):
@@ -120,9 +140,10 @@ def test_pixel_features_content_derived(spark, real_images):
         r["media_id"]: np.array(r["embedding"])
         for r in M.extract_pixel_features(real_images, dim=16).collect()
     }
-    # the BMP and PPM encode the SAME pixels -> identical vectors,
-    # which hash-derived features could never produce
+    # the BMP, PNG, and PPM encode the SAME pixels -> identical
+    # vectors, which hash-derived features could never produce
     assert np.allclose(feats[10], feats[12])
+    assert np.allclose(feats[10], feats[13])
     # different content -> different vector
     assert not np.allclose(feats[10], feats[11])
     assert all(abs(np.linalg.norm(v) - 1.0) < 1e-6 for v in feats.values())

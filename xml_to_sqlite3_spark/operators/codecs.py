@@ -1,11 +1,10 @@
-"""Pure-numpy image codecs for UNCOMPRESSED formats.
+"""Pure-numpy image codecs.
 
 The container has no image libraries, but netpbm (P5/P6) and
-uncompressed 24-bit BMP need none — their rasters are plain byte
-grids. These codecs make the multimodal pipeline REAL for those
-formats (decode -> resize -> featurize on actual pixels); compressed
-formats (JPEG/PNG) remain behind the optional-PIL stub in
-multimodal.py.
+uncompressed 24-bit BMP are plain byte grids, and PNG needs nothing
+beyond stdlib zlib — so decode -> resize -> featurize runs on ACTUAL
+pixels for all of ppm/pgm/bmp/png. JPEG (entropy coding + DCT)
+remains behind the optional-PIL stub in multimodal.py.
 
 All functions are plain bytes->ndarray transforms so they vectorize
 naturally inside Arrow-batched mapInPandas workers: per-row
@@ -15,6 +14,7 @@ independent, no shuffle, no driver involvement.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -109,6 +109,130 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_header + info_header + raster
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG (stdlib zlib inflate + numpy unfiltering) ->
+    (h, w, c) uint8 with c = 1 (gray), 2 (gray+alpha), 3 (RGB/palette)
+    or 4 (RGBA). Supports 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced (interlace Adam7 and sub-byte depths raise).
+
+    Filters: None/Up are whole-row vectorized; Sub is a per-channel
+    byte prefix-sum (mod 256, exactly the recurrence); Average/Paeth
+    carry a left-neighbor dependency, so those rows walk pixels —
+    acceptable because encoders emit them rarely and each Arrow batch
+    decodes rows independently in parallel tasks anyway.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        line = rows[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 1:  # Sub: prefix-sum per bpp lane
+            lanes = line.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                out[y] = (
+                    np.cumsum(lanes.astype(np.uint32), axis=0) % 256
+                ).astype(np.uint8).reshape(stride)
+            else:  # pragma: no cover - stride always divisible by bpp
+                acc = line
+                for x in range(bpp, stride):
+                    acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+                out[y] = acc
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+
+    arr = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = palette[arr[:, :, 0]]
+    return arr
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h, w, c) uint8 (c in 1/2/3/4) to a non-interlaced
+    8-bit PNG, filter None per row."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.astype(np.uint8).reshape(h, w * ch)],
+        axis=1,
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_bytes(data: bytes, fmt: str) -> np.ndarray:
     """Dispatch decode by declared format. Returns (h, w, c) uint8."""
     fmt = (fmt or "").lower()
@@ -116,10 +240,16 @@ def decode_image_bytes(data: bytes, fmt: str) -> np.ndarray:
         return decode_pnm(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import decode_jpeg  # split out: entropy-coded codec
+
+        return decode_jpeg(data)
     raise ValueError(f"no pure-python codec for format {fmt!r}")
 
 
-SUPPORTED_FORMATS = ("ppm", "pgm", "pnm", "bmp")
+SUPPORTED_FORMATS = ("ppm", "pgm", "pnm", "bmp", "png", "jpg", "jpeg")
 
 
 def nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:

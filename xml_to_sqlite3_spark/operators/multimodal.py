@@ -5,11 +5,12 @@ Arrow-batched Pandas UDFs.
 The Spark-side plumbing — schemas, mapInPandas batch shapes, fan-out
 (frame sampling), binary -> vector featurization feeding the ANN
 operators — is real and tested. The codec step is REAL for
-uncompressed formats (PPM/PGM/BMP, pure-numpy codecs in codecs.py:
+PPM/PGM/BMP, PNG (stdlib-zlib inflate + numpy unfilter, codecs.py)
+and baseline JPEG (pure-python Huffman + numpy IDCT, jpeg.py) —
 decode, nearest-neighbor resize, grid-pool featurization all operate
-on actual pixels); compressed formats (JPEG/PNG) remain behind an
-optional-PIL stub, with deterministic ``fake_*`` stand-ins keeping
-the pipeline executable end-to-end for them.
+on actual pixels. Other formats (webp/gif/video frames) remain
+behind an optional-PIL stub, with deterministic ``fake_*`` stand-ins
+keeping the pipeline executable end-to-end for them.
 
 At scale: binaries stay in columnar storage (parquet binary columns
 with metadata pushed to a sidecar struct so pruning works without
@@ -42,11 +43,11 @@ except Exception:
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """REAL image decode for uncompressed formats (PPM/PGM/BMP via
-    the pure-numpy codecs): emits true pixel dimensions and channel
-    means from the raster. Rows in unsupported (compressed) formats
-    raise unless PIL is importable — use ``fake_decode_image`` for
-    pipeline-shape testing of those."""
+    """REAL image decode (PPM/PGM/BMP/PNG/JPEG via the pure-python
+    codecs): emits true pixel dimensions and channel means from the
+    raster. Rows in unsupported formats (webp/gif) raise unless PIL
+    is importable — use ``fake_decode_image`` for pipeline-shape
+    testing of those."""
     schema = (
         MEDIA_SCHEMA
         + ", width int, height int, mean_r double, mean_g double, mean_b double"
@@ -69,9 +70,11 @@ def decode_image(df: DataFrame) -> DataFrame:
                 arr = codecs.decode_image_bytes(bytes(data), fmt)
                 h, w = arr.shape[:2]
                 chan = arr.astype(np.float64)
+                if chan.shape[2] == 2:  # gray+alpha -> gray
+                    chan = chan[:, :, :1]
                 if chan.shape[2] == 1:
                     chan = np.repeat(chan, 3, axis=2)
-                means = chan.reshape(-1, 3).mean(axis=0)
+                means = chan.reshape(-1, chan.shape[2])[:, :3].mean(axis=0)
                 ws.append(w)
                 hs.append(h)
                 mr.append(float(means[0]))

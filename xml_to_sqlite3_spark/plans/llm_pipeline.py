@@ -503,10 +503,13 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal path with REAL rasters (rows-only): each
-    document's text bytes render into an 8x8 PPM image, which then
-    flows through the real decode (true dimensions + channel means
-    from pixels). Exercises codecs.py + mapInPandas batch plumbing in
-    the gate, not just unit tests."""
+    document's text bytes render into an 8x8 image — cycling raw PPM,
+    COMPRESSED PNG (zlib deflate) and baseline JPEG (Huffman + DCT)
+    by doc_id — which then flows through the real decode (inflate +
+    unfilter for PNG, entropy-decode + IDCT for JPEG; true dimensions
+    + channel means from pixels in every case). Exercises codecs.py /
+    jpeg.py + mapInPandas batch plumbing in the gate, not just unit
+    tests."""
     from ..operators import multimodal as M
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -515,7 +518,10 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..operators.codecs import encode_ppm
+        from ..operators.codecs import encode_png, encode_ppm
+        from ..operators.jpeg import encode_jpeg
+
+        encoders = {"ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
 
         for pdf in batches:
             rows = []
@@ -523,17 +529,19 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = (text or "").encode("utf-8")[: 8 * 8 * 3]
                 raw = raw + b"\x00" * (8 * 8 * 3 - len(raw))
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                fmt = ("ppm", "png", "jpeg")[doc_id % 3]
+                data = encoders[fmt](arr)
                 rows.append(
                     (
                         int(doc_id),
                         "image",
-                        encode_ppm(arr),
+                        data,
                         {
                             "width": 8,
                             "height": 8,
                             "sample_rate": None,
                             "duration_ms": None,
-                            "format": "ppm",
+                            "format": fmt,
                         },
                     )
                 )
