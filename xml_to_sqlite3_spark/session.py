@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout parseable: bench.py's contract is ONE JSON line,
+        # and the console progress bar interleaves with it
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split sizing stays at Spark's 128 MB default. At test scale
         # factors every table is far below maxPartitionBytes anyway, so
