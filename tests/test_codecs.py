@@ -184,3 +184,57 @@ def test_dispatch_supports_jpeg():
     out = C.decode_image_bytes(J.encode_jpeg(flat, quality=90), "jpg")
     assert out.shape == (9, 9, 3)
     assert np.abs(out.astype(int) - flat.astype(int)).max() <= 2
+
+# -------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_16bit_stereo():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    left = np.sin(2 * np.pi * 440 * t)
+    right = np.sin(2 * np.pi * 220 * t)
+    x = np.stack([left, right], axis=1)
+    got, rate = C.decode_wav(C.encode_wav(x, 8000))
+    assert rate == 8000 and got.shape == (8000, 2)
+    assert np.abs(got - x).max() < 1e-3  # 16-bit quantization
+
+
+def test_wav_float_and_8bit():
+    import struct
+
+    x = (_rng().rand(1000) * 2 - 1).astype(np.float32)
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    raw = x.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    got, rate = C.decode_wav(wav)
+    assert rate == 16000
+    assert np.abs(got[:, 0] - x).max() < 1e-6
+
+    u8 = ((x * 127) + 128).clip(0, 255).astype(np.uint8)
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + len(u8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(u8)) + u8.tobytes()
+    )
+    got8, rate8 = C.decode_wav(wav8)
+    assert rate8 == 8000 and got8.shape == (1000, 1)
+    assert np.abs(got8[:, 0] - x).max() < 0.02  # 8-bit quantization
+
+
+def test_wav_rejects_non_riff_and_compressed():
+    with pytest.raises(ValueError, match="RIFF"):
+        C.decode_wav(b"OggS not a wav")
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 44100, 0, 0, 0)  # tag 85 = MP3
+    wav = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="format tag"):
+        C.decode_wav(wav)

@@ -182,3 +182,63 @@ def test_features_feed_similarity(media):
     ).collect()
     assert len(out) == 2
     assert all(r["query_id"] == 1 and r["neighbor_id"] != 1 for r in out)
+
+
+@pytest.fixture(scope="module")
+def real_audio(spark):
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators.codecs import encode_wav
+
+    t = np.linspace(0, 0.5, 4000, endpoint=False)
+    tone = np.sin(2 * np.pi * 440 * t)  # 440 Hz, 0.5 s at 8 kHz
+    silence = np.zeros(2000)  # 0.25 s
+    rows = [
+        Row(
+            media_id=20, kind="audio", data=encode_wav(tone, 8000),
+            meta=Row(width=None, height=None, sample_rate=8000, duration_ms=500, format="wav"),
+        ),
+        Row(
+            media_id=21, kind="audio", data=encode_wav(silence, 8000),
+            meta=Row(width=None, height=None, sample_rate=8000, duration_ms=250, format="wav"),
+        ),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_real_audio_decode(real_audio):
+    out = {r["media_id"]: r.asDict() for r in M.decode_audio(real_audio).collect()}
+    # true waveform stats: a full-scale sine has RMS 1/sqrt(2) and a
+    # 440 Hz tone crosses zero ~880 times/s
+    assert out[20]["sample_rate_real"] == 8000
+    assert out[20]["duration_ms_real"] == 500
+    assert out[20]["n_channels"] == 1
+    assert out[20]["rms"] == pytest.approx(0.707, abs=0.01)
+    assert out[20]["zero_crossing_rate"] == pytest.approx(880 / 8000, rel=0.05)
+    assert out[21]["rms"] == 0.0
+    assert out[21]["duration_ms_real"] == 250
+
+
+def test_real_audio_decode_gates_compressed(spark):
+    rows = [
+        Row(
+            media_id=22, kind="audio", data=b"ID3fake-mp3",
+            meta=Row(width=None, height=None, sample_rate=44100, duration_ms=1000, format="mp3"),
+        )
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="pure-python codec for audio"):
+        M.decode_audio(df).collect()
+
+
+def test_audio_features_content_derived(real_audio):
+    import numpy as np
+
+    feats = {
+        r["media_id"]: np.array(r["embedding"])
+        for r in M.extract_audio_features(real_audio, dim=16).collect()
+    }
+    assert len(feats[20]) == 16
+    # tone -> flat unit-norm envelope; silence -> zero vector
+    assert abs(np.linalg.norm(feats[20]) - 1.0) < 1e-6
+    assert np.abs(feats[21]).max() == 0.0

@@ -89,7 +89,10 @@ def asof_join(
     def _num(col: F.Column) -> F.Column:
         # TIMESTAMP_NTZ (what tz-naive parquet reads as in Spark 4)
         # cannot cast straight to DOUBLE; hop via TIMESTAMP, which
-        # yields epoch seconds for both timestamp flavors.
+        # yields epoch seconds for both timestamp flavors. The NTZ->TZ
+        # hop converts via spark.sql.session.timeZone — exact because
+        # session.py pins UTC; in a DST timezone, nearest/tolerance
+        # distances spanning a transition would shift by the offset.
         if on_type.startswith("timestamp"):
             return col.cast("timestamp").cast("double")
         return col.cast("double")

@@ -252,6 +252,64 @@ def decode_image_bytes(data: bytes, fmt: str) -> np.ndarray:
 SUPPORTED_FORMATS = ("ppm", "pgm", "pnm", "bmp", "png", "jpg", "jpeg")
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE file -> (samples float64 in [-1, 1] shaped
+    (n_frames, n_channels), sample_rate). Supports PCM 8/16/32-bit
+    and IEEE float32/64 (format tags 1 and 3); compressed WAV raises.
+    Walks chunks properly, so extra chunks (LIST, fact) are fine."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            samples = body
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, bits = fmt
+    if tag == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            x = np.frombuffer(samples, np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(samples, "<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(samples, "<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == 3:  # IEEE float
+        x = np.frombuffer(samples, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    n_frames = len(x) // n_ch
+    return x[: n_frames * n_ch].reshape(n_frames, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (n_frames, n_channels) float in [-1, 1] (or 1-D mono)
+    to 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_ch = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
 def nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width) — pixel-center
     mapping (the standard half-pixel convention)."""

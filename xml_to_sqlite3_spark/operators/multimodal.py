@@ -8,9 +8,11 @@ operators — is real and tested. The codec step is REAL for
 PPM/PGM/BMP, PNG (stdlib-zlib inflate + numpy unfilter, codecs.py)
 and baseline JPEG (pure-python Huffman + numpy IDCT, jpeg.py) —
 decode, nearest-neighbor resize, grid-pool featurization all operate
-on actual pixels. Other formats (webp/gif/video frames) remain
-behind an optional-PIL stub, with deterministic ``fake_*`` stand-ins
-keeping the pipeline executable end-to-end for them.
+on actual pixels — and for RIFF/WAVE audio (PCM + float,
+decode_audio / extract_audio_features work on actual samples).
+Other formats (webp/gif/mp3/video frames) remain behind an
+optional-PIL stub, with deterministic ``fake_*`` stand-ins keeping
+the pipeline executable end-to-end for them.
 
 At scale: binaries stay in columnar storage (parquet binary columns
 with metadata pushed to a sidecar struct so pruning works without
@@ -105,6 +107,84 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf.assign(data=out_data, meta=out_meta)
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE rows (PCM 8/16/32-bit and
+    float, codecs.decode_wav): emits true sample_rate, duration_ms,
+    channel count, RMS level and zero-crossing rate from the
+    waveform. Compressed audio (mp3/ogg) raises — mirror of the
+    image path's format gating."""
+    schema = (
+        MEDIA_SCHEMA
+        + ", sample_rate_real int, duration_ms_real int, n_channels int"
+        + ", rms double, zero_crossing_rate double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, durs, chans, rmss, zcrs = [], [], [], [], []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                fmt = ((meta["format"] if meta is not None else "") or "").lower()
+                if fmt not in ("wav", "wave"):
+                    raise NotImplementedError(
+                        f"no pure-python codec for audio format {fmt!r}"
+                    )
+                x, rate = codecs.decode_wav(bytes(data))
+                mono = x.mean(axis=1)
+                rates.append(rate)
+                durs.append(int(round(len(x) / rate * 1000)))
+                chans.append(x.shape[1])
+                rmss.append(float(np.sqrt((mono**2).mean())) if len(mono) else 0.0)
+                zcrs.append(
+                    float((np.diff(np.signbit(mono)) != 0).mean())
+                    if len(mono) > 1
+                    else 0.0
+                )
+            yield pdf.assign(
+                sample_rate_real=rates,
+                duration_ms_real=durs,
+                n_channels=chans,
+                rms=rmss,
+                zero_crossing_rate=zcrs,
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def extract_audio_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """REAL content featurization for WAV rows: the mono waveform's
+    frame-RMS envelope mean-pooled to ``dim`` values, L2-normalized —
+    the array<float> column the similarity operators consume, derived
+    from actual samples (same audio -> same vector; a re-encoded copy
+    -> a nearby vector)."""
+    schema = "media_id long, kind string, embedding array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                x, _ = codecs.decode_wav(bytes(data))
+                mono = x.mean(axis=1)
+                if len(mono) == 0:
+                    vecs.append([0.0] * dim)
+                    continue
+                # pool |x| into dim equal frames (pad the tail frame)
+                n = -(-len(mono) // dim) * dim
+                padded = np.zeros(n)
+                padded[: len(mono)] = np.abs(mono)
+                env = np.sqrt((padded.reshape(dim, -1) ** 2).mean(axis=1))
+                norm = np.linalg.norm(env)
+                vecs.append([float(v) for v in (env / norm if norm > 0 else env)])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "embedding": vecs}
+            )
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def _digest_floats(data: bytes, n: int, salt: bytes = b"") -> list[float]:
