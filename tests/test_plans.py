@@ -103,3 +103,23 @@ def test_tf_idf_broadcasts_corpus_size(spark):
     plan = _physical(C.tf_idf(docs))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_xref_derivation_is_single_scan(spark):
+    """The full xref multiset derives from the stored half via ONE
+    explode over ONE parquet scan — not a union branch per mirror
+    pair (bench r4: the 4-scan formulation made broken_references
+    ~9x slower at sf0.1)."""
+    from xml_to_sqlite3_spark.plans import node_graph as NG
+
+    _, _, xrefs = NG.get_graph(spark, SF_SMOKE)
+    plan = _physical(xrefs)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan
+    # broken_references consumes the derived set once + nodes once
+    plan2 = _physical(NG.broken_references(spark, SF_SMOKE))
+    xref_scans = sum(
+        1 for line in plan2.splitlines()
+        if "Scan parquet" in line and "/xrefs" in line
+    )
+    assert xref_scans == 1, plan2
