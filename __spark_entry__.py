@@ -58,6 +58,10 @@ _GATE_PRIORITY = [
     "dedup_simhash",     # first value oracle
     "ann_lsh",           # exhaustive-probe gate config + oracle
     "ann_ivf",           # exhaustive-probe gate config + oracle
+    "dedup_embedding",   # bounded-exhaustive gate config + oracle
+    # -- new operators this round (first driver contact)
+    "line_dedup",
+    "c4_line_filter",
     # -- rotated out of r3's window, stale since r2
     "events_windowed",   # reads ts; never driver-checked on new encoding
     "q3_shipping_priority",
@@ -99,16 +103,15 @@ _GATE_PRIORITY = [
     "node_references",
     "attribute_references",
     "multi_attribute_search",
-    "xpath_search",
-    "bm25_search",
-    "ann_cosine_topk",
     # demoted to past-window this round (r3-green, unchanged plans):
     # curation suite (stable_sample, dataset_split, source_quota,
     # normalize_redact, vocabulary_topk, tf_idf, kmv_distinct,
     # gopher_quality, decontaminate), document_stats, sibling_pairs,
-    # same_type_pairs, events_json_extract, events_pivot, and the four
-    # by-design rows-only entries (multimodal_pipeline, curate_corpus,
-    # xml_nodes_roundtrip, dedup_embedding).
+    # same_type_pairs, events_json_extract, events_pivot,
+    # ann_cosine_topk (its exact oracle is exercised in-window by the
+    # exhaustive ann_lsh/ann_ivf twins), bm25_search, xpath_search,
+    # and the three by-design rows-only entries (multimodal_pipeline,
+    # curate_corpus, xml_nodes_roundtrip).
 ]
 
 

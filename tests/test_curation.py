@@ -201,3 +201,53 @@ def test_kmv_estimate_accuracy(spark):
     assert row.n_kept == 256
     # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
     assert abs(row.distinct_estimate - n) / n < 0.2
+
+
+def test_c4_line_filter_rules(spark):
+    text = "\n".join([
+        "This line is long enough and ends properly.",   # keep
+        "Short line.",                                    # < 3 words
+        "No terminal punctuation here at all",            # no punct
+        "A brace {template} line ends fine.",             # brace
+        'He said "stop right there!"',                    # quote after punct -> keep
+        "",                                               # empty: dropped, counted
+    ])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = C.c4_line_filter(df, min_words=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_lines_total == 6
+    assert r.n_lines_kept == 2
+    assert r.clean_text.split("\n") == [
+        "This line is long enough and ends properly.",
+        'He said "stop right there!"',
+    ]
+
+
+def test_c4_line_filter_all_dropped_doc_survives(spark):
+    df = spark.createDataFrame([(1, "tiny."), (2, "Good line with words here.")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in C.c4_line_filter(df, min_words=3).collect()}
+    assert got[1].clean_text == "" and got[1].n_lines_kept == 0
+    assert got[2].n_lines_kept == 1
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    d1 = "alpha beta\nshared line one\nunique to one"
+    d2 = "shared line one\nunique to two\nshared line one"
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in C.line_dedup(df).collect()}
+    # doc 1 owns the first occurrence of the shared line
+    assert got[1].text_deduped.split("\n") == [
+        "alpha beta", "shared line one", "unique to one"
+    ]
+    assert got[1].n_lines_kept == 3
+    # doc 2 loses both copies (its first copy loses to doc 1's)
+    assert got[2].text_deduped.split("\n") == ["unique to two"]
+    assert got[2].n_lines_kept == 1 and got[2].n_lines_total == 3
+
+
+def test_line_dedup_within_doc_repeats(spark):
+    df = spark.createDataFrame([(5, "x y z\nx y z\nx y z")], ["doc_id", "text"])
+    r = C.line_dedup(df).collect()[0]
+    assert r.text_deduped == "x y z"
+    assert r.n_lines_kept == 1 and r.n_lines_total == 3

@@ -439,3 +439,106 @@ def kmv_distinct(
             3,
         ).alias("distinct_estimate"),
     )
+
+
+def _exploded_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, line_idx, line, n_total) — one row per newline-split line,
+    empty/whitespace-only lines dropped but still counted in n_total.
+    posexplode keeps the original ordinal so documents reassemble in
+    order after any per-line decision."""
+    lines = F.split(F.col(text_col), "\n")
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(lines).alias("__n_total"),
+            F.posexplode(lines).alias("line_idx", "line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_brace_lines: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning: drop lines with fewer than
+    ``min_words`` words, lines not ending in terminal punctuation
+    (. ! ? or a closing quote — the C4 heuristic for boilerplate
+    menus/headers), and lines containing curly braces (leaked
+    code/templating). Returns (id, clean_text, n_lines_kept,
+    n_lines_total) with surviving lines rejoined in order; documents
+    whose every line is dropped survive with clean_text = ''.
+
+    Pure map-side except one groupBy on the document id to
+    reassemble — and that shuffle carries only surviving lines.
+    """
+    ln = F.trim(F.col("line"))
+    keep = F.size(F.split(ln, r"\s+")) >= min_words
+    if require_terminal_punct:
+        keep = keep & ln.rlike("[.!?][\"')\\]]?$")
+    if drop_brace_lines:
+        keep = keep & ~ln.contains("{") & ~ln.contains("}")
+
+    kept = F.when(keep, F.struct(F.col("line_idx"), F.col("line")))
+    return (
+        _exploded_lines(df, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            F.first("__n_total").alias("n_lines_total"),
+            F.sort_array(F.collect_list(kept)).alias("__kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws("\n", F.transform("__kept", lambda s: s["line"])).alias(
+                "clean_text"
+            ),
+            F.size("__kept").alias("n_lines_kept"),
+            "n_lines_total",
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the RefinedWeb /
+    CCNet-style pass): every distinct line is kept only at its FIRST
+    occurrence — smallest (document id, line index) — and removed
+    everywhere else; documents reassemble from their surviving lines.
+    Returns (id, text_deduped, n_lines_kept, n_lines_total).
+
+    Shape at scale: one shuffle on the line value to pick winners
+    (window row_number over (id, idx) — map-side partial does not
+    apply to row_number, but the key space is the distinct-line set,
+    and a duplicate-heavy corpus shrinks it), then one shuffle on the
+    document id to reassemble. The window key here is the full line
+    text for exact semantics and oracle parity; at 100 TB, key on a
+    128-bit hash of the line instead to shrink shuffle volume
+    (collision probability ~n^2/2^129).
+    """
+    w = Window.partitionBy("line").orderBy(id_col, "line_idx")
+    first_here = F.row_number().over(w) == 1
+    kept = F.when(F.col("__first"), F.struct(F.col("line_idx"), F.col("line")))
+    return (
+        _exploded_lines(df, id_col, text_col)
+        .withColumn("__first", first_here)
+        .groupBy(id_col)
+        .agg(
+            F.first("__n_total").alias("n_lines_total"),
+            F.sort_array(F.collect_list(kept)).alias("__kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws("\n", F.transform("__kept", lambda s: s["line"])).alias(
+                "text_deduped"
+            ),
+            F.size("__kept").alias("n_lines_kept"),
+            "n_lines_total",
+        )
+    )

@@ -337,3 +337,124 @@ ORACLES = {
     "gopher_quality": GOPHER_ORACLE,
     "decontaminate": DECONTAMINATE_ORACLE,
 }
+
+
+def _wrapped_docs(spark: SparkSession, sf_dir: str, words_per_line: int = 12) -> DataFrame:
+    """The driver's synthetic documents are single-line; wrap each
+    into deterministic 12-word lines so the line-level operators have
+    real multi-line structure to work on in the gate."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(words_per_line)).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * words_per_line + F.lit(1), F.lit(words_per_line))
+        ),
+    )
+    return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+# DuckDB twin of _wrapped_docs (12-word lines joined by \n)
+_WRAPPED_SQL = r"""
+wrapped AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, CAST(ceil(len(w) / 12.0) AS BIGINT) + 1),
+                          i -> array_to_string(w[(i-1)*12+1 : (i-1)*12+12], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+)
+"""
+
+
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup over the wrapped documents:
+    every repeated 12-word line survives only at its first
+    (doc_id, line_idx) occurrence."""
+    return (
+        C.line_dedup(_wrapped_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.md5("text_deduped").alias("text_md5"),
+            "n_lines_kept",
+            "n_lines_total",
+        )
+        .orderBy("doc_id")
+    )
+
+
+LINE_DEDUP_ORACLE = rf"""
+WITH {_WRAPPED_SQL.strip()},
+lines AS (
+  SELECT doc_id, i AS line_idx, l[CAST(i AS INT)] AS line, len(l) AS n_total
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM wrapped),
+       unnest(range(1, len(l) + 1)) AS t(i)
+  WHERE trim(l[CAST(i AS INT)]) <> ''
+), flagged AS (
+  SELECT doc_id, line_idx, line, n_total,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS first_here
+  FROM lines
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN first_here THEN line END, chr(10)
+                               ORDER BY line_idx), '')) AS text_md5,
+       count(*) FILTER (WHERE first_here) AS n_lines_kept,
+       any_value(n_total) AS n_lines_total
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filter over the wrapped documents. The synthetic
+    vocabulary has no punctuation, so the gate exercises the
+    min-words rule (drops each document's short tail line); the
+    terminal-punctuation and brace rules are exercised on punctuated
+    fixtures in tests/test_curation.py."""
+    return (
+        C.c4_line_filter(
+            _wrapped_docs(spark, sf_dir),
+            min_words=12,
+            require_terminal_punct=False,
+            drop_brace_lines=True,
+        )
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("text_md5"),
+            "n_lines_kept",
+            "n_lines_total",
+        )
+        .orderBy("doc_id")
+    )
+
+
+C4_LINE_FILTER_ORACLE = rf"""
+WITH {_WRAPPED_SQL.strip()},
+lines AS (
+  SELECT doc_id, i AS line_idx, trim(l[CAST(i AS INT)]) AS line, len(l) AS n_total
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM wrapped),
+       unnest(range(1, len(l) + 1)) AS t(i)
+  WHERE trim(l[CAST(i AS INT)]) <> ''
+), flagged AS (
+  SELECT doc_id, line_idx, line, n_total,
+         len(string_split_regex(line, '\s+')) >= 12
+           AND NOT contains(line, '{{') AND NOT contains(line, '}}') AS keep
+  FROM lines
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_idx), '')) AS text_md5,
+       count(*) FILTER (WHERE keep) AS n_lines_kept,
+       any_value(n_total) AS n_lines_total
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["line_dedup"] = line_dedup_q
+QUERIES["c4_line_filter"] = c4_line_filter_q
+ORACLES["line_dedup"] = LINE_DEDUP_ORACLE
+ORACLES["c4_line_filter"] = C4_LINE_FILTER_ORACLE

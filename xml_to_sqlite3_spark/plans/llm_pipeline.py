@@ -307,13 +307,43 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 10
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only).
+    """Embedding-cosine near-dup pairs at the exhaustive setting:
+    n_planes=0 collapses the hyperplane LSH to a single bucket, so
+    candidate generation is complete (every pair verified) and the
+    output is exactly the set of pairs with cosine >= threshold —
+    value-checked against a brute-force SQL oracle. Bounded to the
+    first 500 vectors so the all-pairs verify stays gate-sized; the
+    multi-table bucketed configuration (the scale path) keeps its
+    recall proof in tests/test_similarity.py.
 
     The synthetic embeddings are near-orthogonal (nearest-neighbor
     cosines peak ~0.51), so the threshold sits where the operator
     surfaces the genuinely-closest pairs rather than returning an
     empty set."""
-    return S.embedding_near_duplicates(load(spark, sf_dir, "embeddings"), threshold=0.45)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return (
+        S.embedding_near_duplicates(emb, threshold=0.45, n_planes=0, n_tables=1)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 500
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i]))))
+         , 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs
+WHERE cosine >= 0.45
+ORDER BY id_a, id_b
+"""
 
 
 def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +681,7 @@ ORACLES = {
     # exhaustive-probe configs provably equal exact top-k -> same oracle
     "ann_lsh": ANN_ORACLE,
     "ann_ivf": ANN_ORACLE,
+    "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     "dedup_minhash": MINHASH_ORACLE,
     "dedup_simhash": SIMHASH_ORACLE,
     "curate_cheap": CURATE_CHEAP_ORACLE,
