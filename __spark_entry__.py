@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     # -- new operators this round (first driver contact)
     "line_dedup",
     "c4_line_filter",
+    "pack_sequences",
     # -- rotated out of r3's window, stale since r2
     "events_windowed",   # reads ts; never driver-checked on new encoding
     "q3_shipping_priority",
@@ -102,8 +103,8 @@ _GATE_PRIORITY = [
     "broken_references",
     "node_references",
     "attribute_references",
-    "multi_attribute_search",
     # demoted to past-window this round (r3-green, unchanged plans):
+    # multi_attribute_search,
     # curation suite (stable_sample, dataset_split, source_quota,
     # normalize_redact, vocabulary_topk, tf_idf, kmv_distinct,
     # gopher_quality, decontaminate), document_stats, sibling_pairs,

@@ -251,3 +251,31 @@ def test_line_dedup_within_doc_repeats(spark):
     r = C.line_dedup(df).collect()[0]
     assert r.text_deduped == "x y z"
     assert r.n_lines_kept == 1 and r.n_lines_total == 3
+
+
+def test_pack_sequences_two_phase_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for d in range(40):
+        for c in range(rng.randint(1, 5)):
+            rows.append((d, c, rng.randint(5, 64)))
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_chunk_tokens"])
+    # tiny buckets force many phase-2 offsets
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in C.pack_training_sequences(df, seq_len=128, bucket_size=7).collect()
+    }
+    # naive python replay of the defining semantics
+    off = 0
+    for d, c, n in sorted(rows):
+        r = out[(d, c)]
+        assert r.seq_id == off // 128, (d, c)
+        assert r.start_in_seq == off % 128
+        assert r.n_tokens == n
+        assert r.crosses_boundary == ((off + n - 1) // 128 > off // 128)
+        off += n
+    # every sequence is exactly full except the last
+    total = sum(n for _, _, n in rows)
+    assert max(r.seq_id for r in out.values()) == (total - 1) // 128

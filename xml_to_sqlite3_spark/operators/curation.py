@@ -542,3 +542,63 @@ def line_dedup(
             "n_lines_total",
         )
     )
+
+
+def pack_training_sequences(
+    chunks: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """GPT-style sequence packing: lay all chunks end-to-end in
+    (doc, chunk) order and cut every ``seq_len`` tokens. Each chunk
+    learns which training sequence it starts in, at which offset,
+    and whether it straddles a cut. Returns (id, chunk, seq_id,
+    start_in_seq, n_tokens, crosses_boundary).
+
+    The global running offset is the whole computation — and a naive
+    `Window.orderBy(...)` with no partition key would serialize the
+    corpus through ONE task. Instead: two-phase cumulative sum.
+    Phase 1 computes per-bucket running sums (bucket = doc_id div
+    bucket_size — deterministic pure-column partitioning, unlike
+    range-partitioner sampling). Phase 2 computes each bucket's
+    starting offset with a window over the per-bucket totals — rows
+    = number of buckets, thousands at most, so the single-partition
+    window there is over sketch-sized data — and broadcast-joins it
+    back. This is the standard scalable cumsum shape: all heavy
+    windows stay partitioned.
+    """
+    pid = (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("__pid")
+    c = chunks.select(id_col, chunk_col, F.col(tokens_col).alias("n_tokens"), pid)
+
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = c.withColumn("__local_end", F.sum("n_tokens").over(w_in))
+
+    per_pid = c.groupBy("__pid").agg(F.sum("n_tokens").alias("__pid_total"))
+    w_pid = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pid_offsets = per_pid.select(
+        "__pid", F.coalesce(F.sum("__pid_total").over(w_pid), F.lit(0)).alias("__pid_off")
+    )
+
+    off = F.col("__pid_off") + F.col("__local_end") - F.col("n_tokens")
+    seq_id = F.floor(off / F.lit(seq_len))
+    end_seq = F.floor((off + F.col("n_tokens") - 1) / F.lit(seq_len))
+    return (
+        with_local.join(F.broadcast(pid_offsets), "__pid")
+        .select(
+            id_col,
+            chunk_col,
+            seq_id.cast("long").alias("seq_id"),
+            (off % F.lit(seq_len)).cast("long").alias("start_in_seq"),
+            "n_tokens",
+            (end_seq > seq_id).alias("crosses_boundary"),
+        )
+    )

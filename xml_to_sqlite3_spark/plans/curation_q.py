@@ -458,3 +458,47 @@ QUERIES["line_dedup"] = line_dedup_q
 QUERIES["c4_line_filter"] = c4_line_filter_q
 ORACLES["line_dedup"] = LINE_DEDUP_ORACLE
 ORACLES["c4_line_filter"] = C4_LINE_FILTER_ORACLE
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the chunk stream of the first 200 documents into 512-token
+    training sequences (two-phase distributed cumsum; the oracle is
+    the single plain window cumsum the semantics define)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = C.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return (
+        C.pack_training_sequences(chunks, seq_len=512, bucket_size=50)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+PACK_SEQUENCES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+), chunks AS (
+  SELECT doc_id,
+         CAST(s // 48 AS INT) AS chunk_id,
+         len(w[CAST(s AS INT) + 1 : CAST(s AS INT) + 64]) AS n_tokens
+  FROM toks,
+       unnest(range(0,
+                    greatest(0, CAST(ceil((len(w) - 64) / 48.0) AS BIGINT)) * 48 + 1,
+                    48)) AS t(s)
+), laid AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS off
+  FROM chunks
+)
+SELECT doc_id, chunk_id,
+       off // 512 AS seq_id,
+       off % 512 AS start_in_seq,
+       n_tokens,
+       (off + n_tokens - 1) // 512 > off // 512 AS crosses_boundary
+FROM laid ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES["pack_sequences"] = pack_sequences_q
+ORACLES["pack_sequences"] = PACK_SEQUENCES_ORACLE
