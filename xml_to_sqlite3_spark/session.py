@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long single-JVM sessions (the driver runs ~70 gate queries
+        # back to back) accumulate weakly-referenced state — per-level
+        # localCheckpoint blocks from the iterative operators, AQE
+        # plan garbage, shuffle files. The cleaner only reclaims these
+        # after a JVM GC, and with a 48g heap the default 30min
+        # periodic GC never fires inside a bench run — the heap fills
+        # until ONE random query pays a ~60-70s full-GC stall
+        # (observed: hierarchy_levels 70.8s, descendants 71.5s in
+        # otherwise-identical runs). A 2min periodic GC amortizes that
+        # cost into sub-second increments.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         # keep stdout parseable: bench.py's contract is ONE JSON line,
         # and the console progress bar interleaves with it
