@@ -238,3 +238,49 @@ def test_wav_rejects_non_riff_and_compressed():
     )
     with pytest.raises(ValueError, match="format tag"):
         C.decode_wav(wav)
+
+# ------------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, ch), dtype=np.uint8)
+    out = C.decode_png(C.encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    n_ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, n_ch, rate, seed):
+    x = np.random.RandomState(seed).rand(n, n_ch) * 2 - 1
+    got, got_rate = C.decode_wav(C.encode_wav(x, rate))
+    assert got_rate == rate and got.shape == (n, n_ch)
+    assert np.abs(got - x).max() < 1e-3  # 16-bit quantization bound
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_ppm_png_pixel_identity_property(h, w, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (C.decode_pnm(C.encode_ppm(img)) == img).all()
+    assert (C.decode_bmp(C.encode_bmp(img)) == img).all()
+    assert (C.decode_png(C.encode_png(img)) == img).all()

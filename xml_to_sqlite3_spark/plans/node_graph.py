@@ -634,7 +634,11 @@ def hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     full per-node tree is exercised rows-wise in ancestors/
     descendants; the summary keeps the gate's result compact)."""
     nodes, _, _ = get_graph(spark, sf_dir)
-    tree = H.node_tree(spark, nodes, max_depth=10)
+    # iterative frontier variant: measured 6-7s vs 7-11s for the
+    # recursive-CTE form at sf0.1 (UnionLoop re-scans its anchor per
+    # level), and no temp-view mutation; the CTE form stays covered
+    # by tests/test_queries-style parity on node_tree itself.
+    tree = H.node_tree_iterative(nodes, max_depth=10)
     return (
         tree.groupBy("level", "node_type")
         .agg(F.count(F.lit(1)).alias("n"))
