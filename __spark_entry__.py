@@ -63,6 +63,7 @@ _GATE_PRIORITY = [
     "line_dedup",
     "c4_line_filter",
     "pack_sequences",
+    "streaming_dedup",
     # -- rotated out of r3's window, stale since r2
     "events_windowed",   # reads ts; never driver-checked on new encoding
     "q3_shipping_priority",
@@ -101,10 +102,9 @@ _GATE_PRIORITY = [
     "most_connected",
     "bidirectional_refs",
     "broken_references",
-    "node_references",
     "attribute_references",
     # demoted to past-window this round (r3-green, unchanged plans):
-    # multi_attribute_search,
+    # multi_attribute_search, node_references,
     # curation suite (stable_sample, dataset_split, source_quota,
     # normalize_redact, vocabulary_topk, tf_idf, kmv_distinct,
     # gopher_quality, decontaminate), document_stats, sibling_pairs,

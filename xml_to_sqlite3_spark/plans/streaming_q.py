@@ -27,12 +27,12 @@ from ..streaming.ingest import (
 )
 
 
-def _run_to_table(result: DataFrame, prefix: str) -> DataFrame:
-    """Drive a streaming aggregation to completion (AvailableNow) into
-    a memory sink; return the sink as a batch DataFrame."""
+def _run_to_table(result: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion (AvailableNow) into a
+    memory sink; return the sink as a batch DataFrame."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        result.writeStream.outputMode("complete")
+        result.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -99,12 +99,44 @@ ORDER BY user_id, session_start
 """
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful exact dedup (applyInPandasWithState),
+    driven end to end by the streaming engine: only the first-ever
+    occurrence of each document text survives (min doc_id within a
+    micro-batch, earliest batch across batches — deterministic, so
+    the result value-matches the batch dedup-keeper oracle)."""
+    import os
+
+    from ..streaming.stateful import streaming_exact_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    reader = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", os.path.basename(path))
+    )
+    docs = reader.load(os.path.dirname(path)).select("doc_id", "text")
+    out = _run_to_table(streaming_exact_dedup(docs), "__stream_dedup", mode="append")
+    return out.select("doc_id", "text_md5").orderBy("doc_id")
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5
+FROM documents
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "streaming_windowed": streaming_windowed,
     "streaming_sessions": streaming_sessions,
+    "streaming_dedup": streaming_dedup,
 }
 
 ORACLES = {
     "streaming_windowed": STREAMING_WINDOWED_ORACLE,
     "streaming_sessions": STREAMING_SESSIONS_ORACLE,
+    "streaming_dedup": STREAMING_DEDUP_ORACLE,
 }

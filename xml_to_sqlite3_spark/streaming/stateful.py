@@ -29,15 +29,28 @@ _STATE_SCHEMA = "seen boolean"
 def _dedup_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    already_seen = state.exists
-    first_emitted = False
+    if state.exists:
+        return
+    # winner within a micro-batch = smallest doc_id (deterministic
+    # regardless of shuffle arrival order — what makes the streaming
+    # result value-comparable to the batch dedup oracle); across
+    # batches the earliest batch wins via the state bit.
+    best = None
     for pdf in pdfs:
-        if already_seen or first_emitted or len(pdf) == 0:
+        if len(pdf) == 0:
             continue
-        yield pdf.head(1)
-        first_emitted = True
-    if first_emitted and not state.exists:
+        cand = pdf.loc[pdf["doc_id"].idxmin()]
+        if best is None or cand["doc_id"] < best["doc_id"]:
+            best = cand
+    if best is not None:
         state.update((True,))
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(best["doc_id"])],
+                "text": [best["text"]],
+                "text_md5": [best["text_md5"]],
+            }
+        )
 
 
 def streaming_exact_dedup(
