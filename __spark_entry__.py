@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     "c4_line_filter",
     "pack_sequences",
     "streaming_dedup",
+    "events_in_sessions",  # bucketed range join vs BETWEEN oracle
     # -- rotated out of r3's window, stale since r2
     "events_windowed",   # reads ts; never driver-checked on new encoding
     "q3_shipping_priority",
@@ -88,7 +89,6 @@ _GATE_PRIORITY = [
     "asof_join",          # reads ts
     "asof_join_forward",  # reads ts
     "curate_cheap",
-    "dedup_exact",
     "ngram_jaccard",
     "dedup_components",
     "content_similarity",
@@ -104,7 +104,7 @@ _GATE_PRIORITY = [
     "broken_references",
     "attribute_references",
     # demoted to past-window this round (r3-green, unchanged plans):
-    # multi_attribute_search, node_references,
+    # multi_attribute_search, node_references, dedup_exact,
     # curation suite (stable_sample, dataset_split, source_quota,
     # normalize_redact, vocabulary_topk, tf_idf, kmv_distinct,
     # gopher_quality, decontaminate), document_stats, sibling_pairs,

@@ -198,3 +198,62 @@ ORACLES = {
     "running_totals": RUNNING_TOTALS_ORACLE,
     "cheapest_part_supplier": CHEAPEST_PART_ORACLE,
 }
+
+
+def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join gate: assign every event to
+    the session interval containing it via the bucketed range-join
+    operator (operators/range_join.py — interval explode + equi-join
+    on (user, bucket) + exact predicate; never a nested-loop theta
+    join), then count matches per session. The oracle runs the naive
+    BETWEEN theta join, so the bucketed rewrite is value-verified."""
+    from ..operators.range_join import interval_join
+    from .olap import sessionization
+
+    sess = sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    joined = interval_join(
+        ev,
+        sess,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=["user_id"],
+        bucket_seconds=1800,
+    )
+    return (
+        joined.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_IN_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess_rows AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess_rows GROUP BY user_id, session_id
+)
+SELECT s.user_id, s.session_id, count(*) AS n_matched
+FROM sess s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+GROUP BY s.user_id, s.session_id
+ORDER BY s.user_id, s.session_id
+"""
+
+QUERIES["events_in_sessions"] = events_in_sessions
+ORACLES["events_in_sessions"] = EVENTS_IN_SESSIONS_ORACLE
