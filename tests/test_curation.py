@@ -279,3 +279,30 @@ def test_pack_sequences_two_phase_matches_naive(spark):
     # every sequence is exactly full except the last
     total = sum(n for _, _, n in rows)
     assert max(r.seq_id for r in out.values()) == (total - 1) // 128
+
+
+def test_heavy_hitters_guarantee(spark):
+    # zipf-ish: token i appears (200 - i) times for i in 0..99
+    rows = [(f"tok{i}",) for i in range(100) for _ in range(200 - i)]
+    df = spark.createDataFrame(rows, ["t"]).repartition(8)
+    n_total = len(rows)
+    k = 40
+    out = {r.value: r.est_count for r in C.heavy_hitters(df, "t", k=k).collect()}
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    bound = n_total / k
+    for tok, true_cnt in exact.items():
+        # every value with freq > 2n/k must be present...
+        if true_cnt > 2 * bound:
+            assert tok in out, (tok, true_cnt, bound)
+        # ...and any reported estimate is a lower bound within n/k
+        if tok in out:
+            assert out[tok] <= true_cnt
+            assert true_cnt - out[tok] <= bound
+
+
+def test_heavy_hitters_exact_when_k_large(spark):
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)], ["t"])
+    out = {r.value: r.est_count for r in C.heavy_hitters(df, "t", k=100).collect()}
+    assert out == {"a": 5, "b": 3, "c": 1}  # k > domain -> exact

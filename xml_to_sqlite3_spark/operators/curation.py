@@ -602,3 +602,71 @@ def pack_training_sequences(
             (end_seq > seq_id).alias("crosses_boundary"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitters sketch: approximate top
+    frequencies using k counters per partition and O(partitions x k)
+    total state — never a full groupBy over the value domain.
+
+    Phase 1 (mapInPandas, state carried across a partition's Arrow
+    batches): each partition maintains a k-counter Misra-Gries
+    summary — increment a live counter, else open one, else decrement
+    all (the classic stream algorithm). Phase 2: per-partition
+    summaries merge by summing surviving counters per value (the
+    standard mergeability result: combined undercount <= n/k where n
+    is the TOTAL item count).
+
+    Returns (value, est_count, n_total): est_count is a LOWER bound
+    on the true frequency, and true_count - est_count <= n_total / k
+    — so every value with true frequency > 2 * n_total / k is
+    guaranteed present. Exact counts per partition depend on the
+    partitioning, so this is test-verified by its guarantee, not a
+    value-hash oracle (use `vocabulary` when exactness matters).
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    def summarize(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        counters: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            for v in pdf["__v"]:
+                n_seen += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield _pd.DataFrame(
+            {
+                "value": list(counters.keys()),
+                "part_count": list(counters.values()),
+                "part_n": [n_seen] * len(counters),
+            }
+        )
+
+    vals = df.select(F.col(col).cast("string").alias("__v"))
+    summaries = vals.mapInPandas(
+        summarize, schema="value string, part_count long, part_n long"
+    )
+    totals = vals.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        summaries.groupBy("value")
+        .agg(F.sum("part_count").alias("est_count"))
+        .crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("est_count"), "value")
+    )
