@@ -242,3 +242,15 @@ def test_audio_features_content_derived(real_audio):
     # tone -> flat unit-norm envelope; silence -> zero vector
     assert abs(np.linalg.norm(feats[20]) - 1.0) < 1e-6
     assert np.abs(feats[21]).max() == 0.0
+
+
+def test_real_audio_resample(real_audio):
+    out = {
+        r["media_id"]: r.asDict()
+        for r in M.decode_audio(M.resample_audio(real_audio, 4000)).collect()
+    }
+    # half the rate, same duration, tone RMS preserved
+    assert out[20]["sample_rate_real"] == 4000
+    assert out[20]["duration_ms_real"] == pytest.approx(500, abs=2)
+    assert out[20]["rms"] == pytest.approx(0.707, abs=0.02)
+    assert out[21]["rms"] == 0.0

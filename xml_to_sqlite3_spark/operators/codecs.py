@@ -1,10 +1,13 @@
-"""Pure-numpy image codecs.
+"""Pure-numpy media codecs.
 
-The container has no image libraries, but netpbm (P5/P6) and
-uncompressed 24-bit BMP are plain byte grids, and PNG needs nothing
-beyond stdlib zlib — so decode -> resize -> featurize runs on ACTUAL
-pixels for all of ppm/pgm/bmp/png. JPEG (entropy coding + DCT)
-remains behind the optional-PIL stub in multimodal.py.
+The container has no media libraries, but netpbm (P5/P6) and
+uncompressed 24-bit BMP are plain byte grids, PNG needs nothing
+beyond stdlib zlib, RIFF/WAVE is struct parsing, and baseline JPEG
+lives in the sibling jpeg.py (pure-python Huffman + numpy DCT) — so
+decode -> resize/resample -> featurize runs on ACTUAL pixels and
+samples for ppm/pgm/bmp/png/jpeg/wav. Only formats needing real
+external codecs (webp/gif/mp3/video) stay behind the optional-PIL
+stub in multimodal.py.
 
 All functions are plain bytes->ndarray transforms so they vectorize
 naturally inside Arrow-batched mapInPandas workers: per-row
@@ -331,3 +334,23 @@ def grid_pool_features(arr: np.ndarray, dim: int = 64) -> np.ndarray:
         pooled = np.pad(pooled, (0, dim - pooled.size))
     n = np.linalg.norm(pooled)
     return pooled / n if n > 0 else pooled
+
+
+def resample_audio(
+    samples: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample of (n_frames, n_channels) float
+    samples — the audio analogue of nearest_resize (the seam where a
+    polyphase/sinc resampler slots in when a DSP library is present).
+    Duration is preserved: output has round(n * dst/src) frames."""
+    if src_rate == dst_rate:
+        return samples
+    n = samples.shape[0]
+    if n == 0:
+        return samples
+    m = max(int(round(n * dst_rate / src_rate)), 1)
+    src_pos = np.arange(m) * (n - 1) / max(m - 1, 1)
+    lo = np.floor(src_pos).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (src_pos - lo)[:, None]
+    return samples[lo] * (1 - frac) + samples[hi] * frac

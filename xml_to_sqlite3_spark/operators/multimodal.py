@@ -313,3 +313,23 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample for WAV rows: decode, linear-interpolate
+    to ``target_rate``, re-encode 16-bit PCM, rewrite the metadata
+    struct — same shape as resize_image for the image modality."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_data, out_meta = [], []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                x, rate = codecs.decode_wav(bytes(data))
+                y = codecs.resample_audio(x, rate, target_rate)
+                out_data.append(codecs.encode_wav(y, target_rate))
+                m = dict(meta)
+                m["sample_rate"] = target_rate
+                out_meta.append(m)
+            yield pdf.assign(data=out_data, meta=out_meta)
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
