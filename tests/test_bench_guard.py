@@ -1,0 +1,72 @@
+"""Perf-regression guard: rounds 2 and 4 both shipped silent 5-30x
+regressions (ngram_jaccard 45.8s, bidirectional_refs 22.8s) that a
+cheap wall-time tripwire would have caught before the bench did.
+
+Each guarded query runs once at sf0.001 and must finish within
+RATIO_LIMIT x its recorded floor, where the floor is normalized by a
+calibration query measured in the SAME session — so box-speed swings
+(the 3-5x run-to-run variance this host shows) cancel out and only a
+genuine plan regression trips the guard.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (query, floor_seconds) measured on the round-5 plans at sf0.001 on
+# the dev box, rounded UP generously. A >RATIO_LIMIT breach after
+# calibration means the plan regressed structurally (extra scan,
+# lost pushdown, serialization through one task), not that the box
+# is slow today.
+FLOORS = {
+    "bidirectional_refs": 2.0,
+    "relationship_summary": 2.5,
+    "broken_references": 2.5,
+    "ancestors": 3.0,
+    "bm25_search": 3.0,
+    "ngram_jaccard": 4.0,
+    "dedup_minhash": 6.0,
+    "graph_distances": 6.0,
+    "hierarchy_levels": 4.0,
+    "sibling_pairs": 2.0,
+}
+CALIBRATION_FLOOR = 0.5  # q6_revenue at sf0.001 on the dev box
+RATIO_LIMIT = 4.0
+
+
+@pytest.fixture(scope="module")
+def calibrated(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    # warm the JVM + the node-graph materialization outside any
+    # timed region: the guard times QUERY plans, not the one-time
+    # graph build
+    from xml_to_sqlite3_spark.plans.node_graph import get_graph
+
+    for df in get_graph(spark, SF_DIR):
+        df.count()
+    t0 = time.perf_counter()
+    qs["q6_revenue"](spark, SF_DIR).collect()
+    calibration = max(time.perf_counter() - t0, 0.05)
+    speed = max(calibration / CALIBRATION_FLOOR, 0.5)
+    return qs, speed
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_query_within_floor(name, calibrated, spark):
+    qs, speed = calibrated
+    t0 = time.perf_counter()
+    qs[name](spark, SF_DIR).collect()
+    elapsed = time.perf_counter() - t0
+    limit = FLOORS[name] * RATIO_LIMIT * speed
+    assert elapsed <= limit, (
+        f"{name} took {elapsed:.2f}s at sf0.001 — over {limit:.2f}s "
+        f"(floor {FLOORS[name]}s x {RATIO_LIMIT} x box-speed {speed:.2f}); "
+        "the plan likely regressed (extra scan / lost pushdown / "
+        "single-task serialization)"
+    )

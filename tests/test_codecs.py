@@ -177,6 +177,50 @@ def test_jpeg_rejects_garbage_and_progressive():
         J.decode_jpeg(bytes(good))
 
 
+def test_jpeg_malformed_streams_raise_valueerror():
+    """The codec seam's error contract is ValueError everywhere —
+    malformed streams must not leak TypeError/IndexError."""
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    good = bytes(J.encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8)))
+
+    # SOS before SOF: excise the SOF0 segment entirely
+    sof = good.find(b"\xff\xc0")
+    seglen = int.from_bytes(good[sof + 2 : sof + 4], "big")
+    no_sof = good[:sof] + good[sof + 2 + seglen :]
+    with pytest.raises(ValueError, match="SOF"):
+        J.decode_jpeg(no_sof)
+
+    # truncated entropy data: noisy image cut to one entropy byte —
+    # the bit reader runs off the end mid-MCU
+    noisy = bytes(
+        J.encode_jpeg(_rng().randint(0, 256, (32, 32, 3), dtype=np.uint8), quality=95)
+    )
+    sos = noisy.find(b"\xff\xda")
+    sos_len = int.from_bytes(noisy[sos + 2 : sos + 4], "big")
+    truncated = noisy[: sos + 2 + sos_len + 1]
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(truncated)
+
+
+def test_jpeg_rstn_without_dri_does_not_crash():
+    """An RSTn in the entropy stream with no DRI segment previously
+    divided by zero computing the resync count; now it resyncs (or
+    reports a clean ValueError) without crashing."""
+    from xml_to_sqlite3_spark.operators import jpeg as J
+
+    good = bytearray(J.encode_jpeg(np.full((32, 32, 3), 90, dtype=np.uint8)))
+    sos = bytes(good).find(b"\xff\xda")
+    sos_len = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    entropy_at = sos + 2 + sos_len
+    # splice an RST0 a few bytes into the entropy data
+    spliced = bytes(good[: entropy_at + 6]) + b"\xff\xd0" + bytes(good[entropy_at + 6 :])
+    try:
+        J.decode_jpeg(spliced)
+    except ValueError:
+        pass  # clean rejection is acceptable; crashing is not
+
+
 def test_dispatch_supports_jpeg():
     from xml_to_sqlite3_spark.operators import jpeg as J
 

@@ -43,9 +43,39 @@ def media(spark):
 
 def test_compressed_decode_is_gated(media):
     # webp/mp4 rows have no pure-python codec; the decode raises at
-    # execution time inside the UDF
-    with pytest.raises(Exception, match="PIL|pure-python codec"):
+    # execution time inside the UDF (without PIL: the documented
+    # NotImplementedError; with PIL: these fake bytes aren't a real
+    # webp, so PIL's identify error surfaces instead)
+    with pytest.raises(Exception, match="PIL|pure-python codec|identify"):
         M.decode_image(media).collect()
+
+
+@pytest.mark.skipif(not M._HAS_PIL, reason="PIL not installed")
+def test_pil_fallback_decodes_webp(spark):
+    # real webp fixture via PIL itself; the fallback routes any
+    # format outside codecs.SUPPORTED_FORMATS through Image.open
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200  # red-ish
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="WEBP", lossless=True)
+    rows = [
+        Row(
+            media_id=1,
+            kind="image",
+            data=buf.getvalue(),
+            meta=Row(width=6, height=4, sample_rate=None, duration_ms=None, format="webp"),
+        )
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.decode_image(df).collect()[0]
+    assert (out["width"], out["height"]) == (6, 4)
+    assert out["mean_r"] == pytest.approx(200.0, abs=1.0)
+    assert out["mean_g"] == pytest.approx(0.0, abs=1.0)
 
 
 def _ppm(pixels):

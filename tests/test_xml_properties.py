@@ -8,7 +8,7 @@ import os
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from xml_to_sqlite3_spark.sources.xml_source import _parse_one
+from xml_to_sqlite3_spark.sources.xml_source import _parse_one, _parse_one_stream
 
 TAGS = ("node", "item", "entry", "leaf", "branch")
 
@@ -73,3 +73,27 @@ def test_parser_never_crashes_on_garbage(garbage):
     assert rows, "always at least one row (node or error)"
     # either a parse error or a well-formed result — never an exception
     assert all(len(r) == 12 for r in rows)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(xml_tree())
+def test_streaming_parser_parity(xml):
+    """The expat streaming path (large-file route) is row-for-row
+    identical to the DOM path on arbitrary trees."""
+    data = xml.encode()
+    assert _parse_one_stream(data, "/tmp/prop.xml", len(data)) == _parse_one(
+        data, "/tmp/prop.xml", len(data)
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abcdef<>&\"' \n0123456789", max_size=60))
+def test_streaming_parser_garbage_parity(garbage):
+    data = garbage.encode()
+    a = _parse_one(data, "/tmp/garbage.xml", len(data))
+    b = _parse_one_stream(data, "/tmp/garbage.xml", len(data))
+    # same shape; error text may differ only in formatting
+    assert len(b) == len(a)
+    assert [(r[3] is None) for r in a] == [(r[3] is None) for r in b]
+    if a and a[0][3] is None:
+        assert a == b

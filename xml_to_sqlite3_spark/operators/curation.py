@@ -483,8 +483,11 @@ def c4_line_filter(
     if drop_brace_lines:
         keep = keep & ~ln.contains("{") & ~ln.contains("}")
 
-    kept = F.when(keep, F.struct(F.col("line_idx"), F.col("line")))
-    return (
+    # the keep-predicate evaluates the TRIMMED line, so emit the
+    # trimmed form too — surviving text should carry the cleaned
+    # line, and the DuckDB oracle aggregates the trimmed line
+    kept = F.when(keep, F.struct(F.col("line_idx"), ln.alias("line")))
+    agg = (
         _exploded_lines(df, id_col, text_col)
         .groupBy(id_col)
         .agg(
@@ -499,6 +502,21 @@ def c4_line_filter(
             F.size("__kept").alias("n_lines_kept"),
             "n_lines_total",
         )
+    )
+    # _exploded_lines drops whitespace-only lines before the groupBy,
+    # so a document whose EVERY line is blank has no group at all —
+    # left-join the id spine back so such documents survive with
+    # clean_text = '' as documented. The join key is the groupBy key,
+    # so AQE plans it as a cheap (often broadcast-able) id join.
+    spine = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("__nt"),
+    )
+    return spine.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_total", F.col("__nt")).alias("n_lines_total"),
     )
 
 
@@ -570,6 +588,18 @@ def pack_training_sequences(
     back. This is the standard scalable cumsum shape: all heavy
     windows stay partitioned.
     """
+    # a string id_col would cast to null for every row below,
+    # silently collapsing the whole corpus into ONE window partition
+    # — the exact single-task serialization this design exists to
+    # avoid. Require a numeric id; callers with string ids should
+    # derive one (e.g. xxhash64) first.
+    id_type = dict(chunks.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not id_type.startswith("decimal"):
+        raise TypeError(
+            f"pack_training_sequences needs a numeric {id_col!r} for "
+            f"deterministic bucketing, got {id_type}; derive a numeric "
+            "key (e.g. F.xxhash64) first"
+        )
     pid = (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("__pid")
     c = chunks.select(id_col, chunk_col, F.col(tokens_col).alias("n_tokens"), pid)
 

@@ -89,9 +89,18 @@ def ancestors(
     (Catalyst UnionLoop) shuffle-joins the full edge table per level,
     which at 100 TB is ``max_depth`` full-edge shuffles per lookup.
     """
-    edges = xrefs.filter(F.col("reference_type") == "parent_child").select(
-        F.col("source_node_id").alias("parent"),
-        F.col("target_node_id").alias("child"),
+    edges = (
+        xrefs.filter(F.col("reference_type") == "parent_child")
+        .select(
+            F.col("source_node_id").alias("parent"),
+            F.col("target_node_id").alias("child"),
+        )
+        # materialize the 2-column edge projection ONCE: the walk
+        # below scans it per level, and without the checkpoint each
+        # level re-derives it from the full xref table (max_depth
+        # full scans per lookup — see descendants, which already
+        # does this)
+        .localCheckpoint(eager=True)
     )
     frontier = (
         edges.filter(F.col("child") == node_id)

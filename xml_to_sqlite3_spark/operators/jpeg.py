@@ -145,8 +145,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy data")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -190,9 +194,11 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         # skip to the marker (pos may sit on the FF already)
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: expected RSTn marker")
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                break
             self.pos += 1
         self.pos += 2
 
@@ -266,6 +272,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG missing SOF before SOS")
             ns = seg[0]
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -295,11 +303,18 @@ def _decode_scan(data, pos, frame, comps, qt, huff, restart_interval):
     pred = [0] * nc
     reader = _BitReader(data, pos)
     mcu_count = 0
+    just_reset = False  # the except-branch already consumed the RSTn
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+                and not just_reset
+            ):
                 reader.reset_at_restart()
                 pred = [0] * nc
+            just_reset = False
             try:
                 for ci, c in enumerate(comps):
                     for by in range(c["v"]):
@@ -319,7 +334,14 @@ def _decode_scan(data, pos, frame, comps, qt, huff, restart_interval):
                 # stream hit RSTn early (encoder flushed); realign
                 reader.reset_at_restart()
                 pred = [0] * nc
-                mcu_count = (mcu_count // restart_interval + 1) * restart_interval
+                if restart_interval:
+                    mcu_count = (
+                        mcu_count // restart_interval + 1
+                    ) * restart_interval
+                # the RSTn is consumed — the next MCU's scheduled
+                # modulo check must not resync again (it would scan
+                # to and swallow the FOLLOWING interval's marker)
+                just_reset = True
                 continue
             mcu_count += 1
 

@@ -68,8 +68,22 @@ def decode_image(df: DataFrame) -> DataFrame:
                             f"no pure-python codec for format {fmt!r} and PIL "
                             "is not installed; use fake_decode_image"
                         )
-                    raise NotImplementedError("PIL decode path not wired")
-                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                    # PIL fallback for formats outside the pure-python
+                    # codec set (webp/gif/tiff/...): decode to an
+                    # RGB(A)/L raster and continue through the same
+                    # channel-stats path
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(bytes(data)))
+                    if img.mode not in ("RGB", "RGBA", "L", "LA"):
+                        img = img.convert("RGB")
+                    arr = np.asarray(img)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                else:
+                    arr = codecs.decode_image_bytes(bytes(data), fmt)
                 h, w = arr.shape[:2]
                 chan = arr.astype(np.float64)
                 if chan.shape[2] == 2:  # gray+alpha -> gray

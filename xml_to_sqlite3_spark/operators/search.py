@@ -26,20 +26,47 @@ def tokenize(text_col) -> F.Column:
 
 
 def build_text_index(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Inverted index: (token, doc_id, tf, doc_len). One explode +
-    one groupBy; partitioned by token so a query's term lookup is a
-    pruned shuffle read."""
+    one groupBy.
+
+    ``materialize=True`` (the default) eagerly localCheckpoints the
+    built index — an index is a write-once/query-many artifact (the
+    reference roadmap's FTS5 is a *persistent* index), and a lazy
+    index is recomputed from the corpus by every plan branch that
+    touches it: bench r4 measured one bm25_search call re-running
+    the full explode+groupBy 3x (hits, the stats aggregate, and
+    df_per_term are three branches), 9.8s vs 2.1s materialized. At
+    cluster scale the equivalent is writing the index table to the
+    warehouse once."""
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.repartition(par, id_col)
         .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
         .select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("token"))
     )
-    return toks.groupBy("token", "doc_id", "doc_len").agg(
+    idx = toks.groupBy("token", "doc_id", "doc_len").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    return idx.localCheckpoint(eager=True) if materialize else idx
+
+
+def corpus_stats(index: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — the index's scalar metadata, computed once at
+    build time. The 1-row collect is the documented exception to the
+    no-collect rule: two scalars stored alongside the index, exactly
+    as a warehouse would keep table-level stats."""
+    row = (
+        index.select("doc_id", "doc_len")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+        .first()
+    )
+    return int(row["n"]), float(row["avgdl"])
 
 
 def bm25_search(
@@ -58,7 +85,10 @@ def bm25_search(
     broadcast 1-row aggregate — either way no driver-side
     ``collect()`` runs before the scoring query."""
     terms = sorted(set(query.lower().split()))
-    hits = index.filter(F.col("token").isin(terms))
+    # the query-term postings are tiny (|terms| x df rows); pin them
+    # so the two consumers below (df_per_term, scored) don't rescan
+    # the index per branch
+    hits = index.filter(F.col("token").isin(terms)).localCheckpoint(eager=True)
 
     if n_docs is None or avg_len is None:
         stats = (

@@ -442,14 +442,23 @@ lines AS (
          len(string_split_regex(line, '\s+')) >= 12
            AND NOT contains(line, '{{') AND NOT contains(line, '}}') AS keep
   FROM lines
+), agg AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                 ORDER BY line_idx), '')) AS text_md5,
+         count(*) FILTER (WHERE keep) AS n_lines_kept,
+         any_value(n_total) AS n_lines_total
+  FROM flagged
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
-                               ORDER BY line_idx), '')) AS text_md5,
-       count(*) FILTER (WHERE keep) AS n_lines_kept,
-       any_value(n_total) AS n_lines_total
-FROM flagged
-GROUP BY doc_id
+-- all-blank documents have no `lines` rows; the spine join keeps
+-- them alive with clean_text = '' (mirrors the operator)
+SELECT w.doc_id,
+       coalesce(a.text_md5, md5('')) AS text_md5,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(a.n_lines_total,
+                len(string_split(w.text, chr(10)))) AS n_lines_total
+FROM wrapped w LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -491,10 +500,15 @@ WITH toks AS (
            - n_tokens AS off
   FROM chunks
 )
-SELECT doc_id, chunk_id,
-       off // 512 AS seq_id,
-       off % 512 AS start_in_seq,
-       n_tokens,
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       -- the window SUM widens to HUGEINT in DuckDB; Spark emits
+       -- BIGINT, and INT128 serializes differently through the
+       -- driver's hasher even when values are identical (same bug
+       -- class as commit e1680c1) — cast every sum-derived column
+       -- back to the exact Spark dtype
+       CAST(off // 512 AS BIGINT) AS seq_id,
+       CAST(off % 512 AS BIGINT) AS start_in_seq,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
        (off + n_tokens - 1) // 512 > off // 512 AS crosses_boundary
 FROM laid ORDER BY doc_id, chunk_id
 """

@@ -348,9 +348,10 @@ ORDER BY id_a, id_b
 
 def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (operators/pipeline.py): exact dedup
-    -> quality/lang filter -> MinHash near-dup over survivors,
-    one keep/drop decision per document (rows-only: the MinHash stage
-    is hash-dependent)."""
+    -> quality/lang filter -> MinHash near-dup over survivors, one
+    keep/drop decision per document. Value-oracled since round 5: the
+    MinHash stage is deterministic (fixed perm_coeffs replayed in
+    CURATE_CORPUS_ORACLE), so the whole funnel hash-checks."""
     from ..operators.pipeline import curate_corpus
 
     return curate_corpus(
@@ -464,6 +465,104 @@ WITH exact AS (
          q.quality_score, l.predicted_lang
   FROM exact e JOIN quality q ON e.doc_id = q.doc_id
   JOIN lang l ON e.doc_id = l.doc_id
+)
+SELECT doc_id, reason IS NULL AS keep, reason, quality_score, predicted_lang
+FROM decided ORDER BY doc_id
+"""
+
+
+# --- Full-funnel oracle: the cheap stages (exact dedup + quality +
+# lang, with every producible lang allowed so the funnel's near-dup
+# stage actually sees survivors) composed with the SAME deterministic
+# MinHash replay MINHASH_ORACLE uses, at curate_corpus's production
+# thresholds (jaccard >= 0.5 after an est >= 0.5 - 0.2 screen), and
+# the pipeline's drop rule (higher doc_id of each verified pair).
+CURATE_CORPUS_ORACLE = rf"""
+WITH exact AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+  FROM documents
+), qbase AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w IN ({_SW_EN}))) AS n_stop
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+         round(least(n_chars / 2000.0, 1.0) * 0.3
+               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+               + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 2, 1.0) * 0.4,
+               6) AS quality_score
+  FROM qbase
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN hits_en + hits_es + hits_fr + hits_de = 0 THEN 'und'
+              WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+              WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+              WHEN hits_fr >= hits_de THEN 'fr'
+              ELSE 'de' END AS predicted_lang
+  FROM (
+    SELECT doc_id, text,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_EN)}))) AS hits_en,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_ES)}))) AS hits_es,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_FR)}))) AS hits_fr,
+           len(list_filter(w, x -> x IN ({_sw(T.STOPWORDS_DE)}))) AS hits_de
+    FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents)
+  )
+), cheap AS (
+  SELECT e.doc_id,
+         CASE WHEN NOT e.is_keeper THEN 'exact_dup'
+              WHEN q.quality_score < 0.3 THEN 'low_quality'
+              WHEN l.predicted_lang NOT IN ('en','es','fr','de','zh','und')
+                THEN 'wrong_lang'
+              END AS cheap_reason,
+         q.quality_score, l.predicted_lang
+  FROM exact e JOIN quality q ON e.doc_id = q.doc_id
+  JOIN lang l ON e.doc_id = l.doc_id
+), survivors AS (
+  SELECT doc_id FROM cheap WHERE cheap_reason IS NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents SEMI JOIN survivors USING (doc_id))
+  WHERE len(w) > 0
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.g), 1, 15))::BIGINT AS h
+  FROM sh, unnest(sh.s) AS t(g)
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS}
+  FROM (SELECT doc_id, h % {_P31} AS hm FROM tok)
+  GROUP BY doc_id
+), hsets AS (
+  SELECT doc_id, list(h) AS hs, count(*) AS n_sh FROM tok GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round({_MINHASH_EST}, 6) AS est_jaccard
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {_MINHASH_BAND_MATCH}
+), near AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN hsets x ON c.doc_a = x.doc_id
+  JOIN hsets y ON c.doc_b = y.doc_id
+  WHERE c.est_jaccard >= 0.3
+    AND round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (x.n_sh + y.n_sh - len(list_intersect(x.hs, y.hs))), 6) >= 0.5
+), decided AS (
+  SELECT ch.doc_id,
+         coalesce(ch.cheap_reason,
+                  CASE WHEN n.doc_id IS NOT NULL THEN 'near_dup' END) AS reason,
+         ch.quality_score, ch.predicted_lang
+  FROM cheap ch LEFT JOIN near n ON ch.doc_id = n.doc_id
 )
 SELECT doc_id, reason IS NULL AS keep, reason, quality_score, predicted_lang
 FROM decided ORDER BY doc_id
@@ -609,10 +708,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text BM25 top-10 for a fixed two-term query over the
     inverted index (operators/search.py)."""
-    from ..operators.search import build_text_index, bm25_search
+    from ..operators.search import bm25_search, build_text_index, corpus_stats
 
     idx = build_text_index(load(spark, sf_dir, "documents"))
-    return bm25_search(idx, "data query", k=10)
+    n_docs, avg_len = corpus_stats(idx)
+    return bm25_search(idx, "data query", k=10, n_docs=n_docs, avg_len=avg_len)
 
 
 BM25_ORACLE = r"""
@@ -687,4 +787,5 @@ ORACLES = {
     "curate_cheap": CURATE_CHEAP_ORACLE,
     "content_similarity": CONTENT_SIMILAR_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
+    "curate_corpus": CURATE_CORPUS_ORACLE,
 }

@@ -147,6 +147,135 @@ def _parse_one(content: bytes, path: str, size: int) -> list[tuple]:
     return rows
 
 
+# Files at or above this size parse via the expat streaming path —
+# memory stays O(open-element stack + emitted rows + accumulated text
+# of open id-bearing elements) instead of O(whole DOM). A 2 GB
+# document with sparse ids parses in a few hundred MB of Python heap
+# where the DOM path would need ~5-10x the file size.
+STREAM_THRESHOLD_BYTES = 32 * 1024 * 1024
+
+
+def _parse_one_stream(content: bytes, path: str, size: int) -> list[tuple]:
+    """Streaming (expat/SAX) equivalent of _parse_one for large files.
+
+    Row-for-row identical output (tests/test_xml_source.py parity
+    suite). The only deferred decision is the nokogiri-style xpath
+    index (``name[i]`` appears only when an element has 2+ same-named
+    siblings — not knowable until the parent closes), so each row
+    holds segment CELLS finalized at parent close and rendered at
+    document end. Everything else — position among element siblings,
+    preorder ordinal, descendant text — is computable forward-only.
+    """
+    from xml.parsers import expat
+
+    document_id = os.path.splitext(os.path.basename(path))[0]
+
+    # stack entry per open element:
+    # [lname, el_id, cell, child_count, same_counts, texts|None,
+    #  needed_cells, registered]
+    # cell = [lname, ordinal_among_same_named, show_idx]
+    stack: list[list] = []
+    rows: list[list] = []
+    ordinal = 0
+
+    def on_start(name: str, attrs: dict) -> None:
+        nonlocal ordinal
+        lname = name.rsplit("}", 1)[-1]
+        parent = stack[-1] if stack else None
+        if parent is not None:
+            position = parent[3]
+            parent[3] += 1
+            cnt = parent[4].get(lname, 0) + 1
+            parent[4][lname] = cnt
+        else:
+            position = 0
+            cnt = 1
+        cell = [lname, cnt, False]
+        el_id = None
+        props = []
+        for k, v in attrs.items():
+            kl = k.rsplit("}", 1)[-1]
+            if kl == "id":
+                el_id = v
+            else:
+                props.append({"property_name": kl, "property_value": v})
+        entry = [lname, el_id, cell, 0, {}, None, [], False]
+        if el_id is not None:
+            entry[5] = []  # text accumulator — this element emits
+            # register each un-registered ancestor cell with ITS
+            # parent so the parent finalizes the [idx] decision at
+            # close; stops at the first already-registered ancestor
+            prev = entry
+            for anc in reversed(stack):
+                if prev[7]:
+                    break
+                anc[6].append(prev[2])
+                prev[7] = True
+                prev = anc
+            rows.append(
+                [
+                    document_id,
+                    path,
+                    size,
+                    None,
+                    el_id,
+                    lname,
+                    parent[1] if parent is not None else None,
+                    position,
+                    None,  # content filled at close
+                    [e[2] for e in stack] + [cell],  # path cells
+                    ordinal,
+                    props,
+                ]
+            )
+            entry.append(rows[-1])  # back-ref for content fill
+            ordinal += 1
+        stack.append(entry)
+
+    def on_chars(data: str) -> None:
+        for e in stack:
+            if e[5] is not None:
+                e[5].append(data)
+
+    def on_end(_name: str) -> None:
+        e = stack.pop()
+        for cell in e[6]:
+            cell[2] = e[4][cell[0]] > 1
+        if e[5] is not None:
+            e[8][8] = "".join(e[5]).strip()
+
+    parser = expat.ParserCreate(namespace_separator="}")
+    parser.buffer_text = True
+    parser.StartElementHandler = on_start
+    parser.EndElementHandler = on_end
+    parser.CharacterDataHandler = on_chars
+    try:
+        parser.Parse(content, True)
+    except expat.ExpatError as exc:
+        return [(document_id, path, size, f"parse error: {exc}",
+                 None, None, None, None, None, None, None, None)]
+
+    if not rows:
+        return [(document_id, path, size, None,
+                 None, None, None, None, None, None, None, None)]
+    out = []
+    for r in rows:
+        xpath = "/" + "/".join(
+            f"{c[0]}[{c[1]}]" if c[2] else c[0] for c in r[9]
+        )
+        out.append(
+            (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8], xpath,
+             r[10], r[11])
+        )
+    return out
+
+
+def _parse_dispatch(content: bytes, path: str, size: int) -> list[tuple]:
+    if len(content) >= STREAM_THRESHOLD_BYTES:
+        return _parse_one_stream(content, path, size)
+    return _parse_one(content, path, size)
+
+
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = [
         "document_id",
@@ -166,7 +295,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: list[tuple] = []
         for path, size, content in zip(pdf["path"], pdf["length"], pdf["content"]):
             local = path[5:] if path.startswith("file:") else path
-            out.extend(_parse_one(bytes(content), local, int(size)))
+            out.extend(_parse_dispatch(bytes(content), local, int(size)))
         yield pd.DataFrame(out, columns=cols)
 
 
