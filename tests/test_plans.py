@@ -105,21 +105,28 @@ def test_tf_idf_broadcasts_corpus_size(spark):
     assert "EvalPython" not in plan
 
 
-def test_xref_derivation_is_single_scan(spark):
-    """The full xref multiset derives from the stored half via ONE
-    explode over ONE parquet scan — not a union branch per mirror
-    pair (bench r4: the 4-scan formulation made broken_references
-    ~9x slower at sf0.1)."""
+def test_xref_store_is_full_and_prunable(spark):
+    """The cache stores the FULL xref multiset: consumers must see a
+    bare parquet scan — no scan-time explode (Generate) or union —
+    so reference_type predicates and column pruning reach the scan.
+    (Round 4 stored a half set + derive-explode: filters could not
+    push below the explode and self-joins paid the scan twice —
+    bidirectional_refs went 0.99s -> 22.8s.)"""
     from xml_to_sqlite3_spark.plans import node_graph as NG
 
     _, _, xrefs = NG.get_graph(spark, SF_SMOKE)
     plan = _physical(xrefs)
     assert plan.count("Scan parquet") == 1, plan
     assert "Union" not in plan
-    # broken_references consumes the derived set once + nodes once
+    assert "Generate" not in plan, "scan-time explode is back"
+
+    # a type-filtered consumer pushes reference_type into the scan
+    filtered = xrefs.filter(xrefs.reference_type == "parent_child")
+    fplan = _physical(filtered)
+    assert "PushedFilters: [" in fplan
+    pushed = fplan.split("PushedFilters: [")[1].split("]")[0]
+    assert "reference_type" in pushed, fplan
+
+    # broken_references consumes the stored set directly
     plan2 = _physical(NG.broken_references(spark, SF_SMOKE))
-    xref_scans = sum(
-        1 for line in plan2.splitlines()
-        if "Scan parquet" in line and "/xrefs" in line
-    )
-    assert xref_scans == 1, plan2
+    assert "Generate" not in plan2, plan2

@@ -217,7 +217,13 @@ def spherical_kmeans(
             n = np.linalg.norm(vec)
             if n > 0:
                 new[c] = vec / n
+        converged = np.abs(new - cents).max() < 1e-12
         cents = new
+        if converged:
+            # the next round would reproduce these exact centroids —
+            # skipping it changes nothing but saves a full
+            # assign+reduce pass per remaining iteration
+            break
     return cents
 
 
