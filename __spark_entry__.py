@@ -104,10 +104,14 @@ _GATE_PRIORITY = [
     "asof_join",
     "asof_join_forward",
     "q1_pricing_summary",
-    "events_windowed",
-    "sessionization",
+    # -- new operators this round (first driver contact)
+    "dup_spans",
+    "streaming_topk",
     # demoted to past-window this round (all r4-green, unchanged
-    # plans): streaming_windowed, streaming_sessions, streaming_dedup,
+    # plans): sessionization and events_windowed (both re-proven r4
+    # on the new ts encoding; streaming_topk exercises the same ts
+    # machinery in-window),
+    # streaming_windowed, streaming_sessions, streaming_dedup,
     # chunk_documents, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
     # dedup_embedding, line_dedup, events_in_sessions,
     # q3_shipping_priority, q5_local_supplier, q6_revenue,

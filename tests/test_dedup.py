@@ -145,3 +145,35 @@ def test_simhash_banding_complete(spark):
     finally:
         D2.simhash_signatures = orig
     assert expected <= found  # no pair within h=10 is missed
+
+
+def test_duplicated_spans(spark):
+    from xml_to_sqlite3_spark.operators.dedup import duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again today"  # 11 tokens
+    rows = [
+        # doc 1 and 2 share the 10-token boilerplate prefix
+        (1, boiler + " unique tail one aaa bbb ccc ddd eee fff ggg"),
+        (2, boiler + " other ending two hhh iii jjj kkk lll mmm nnn"),
+        # doc 3 repeats an 8-token run internally (self-duplication)
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 sep1 sep2 sep3 sep4 sep5 sep6 sep7 sep8 sep9 x1 x2 x3 x4 x5 x6 x7 x8"),
+        # doc 4 has no duplication anywhere
+        (4, "entirely fresh words that appear nowhere else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicated_spans(df, window_tokens=8, min_count=2).collect()
+    }
+    # docs 1/2: windows 0..3 of the shared 11-token prefix duplicate ->
+    # one span [0, 11) in each
+    for d in (1, 2):
+        span = out[(d, 0)]
+        assert span["span_end"] == 11 and span["span_tokens"] == 11
+        assert span["n_windows"] == 4
+    # doc 3: the 8-token run at 0 and at 17 -> two spans of exactly 8
+    assert out[(3, 0)]["span_end"] == 8
+    assert out[(3, 17)]["span_end"] == 25
+    # doc 4: no spans
+    assert not any(d == 4 for d, _ in out)
+    assert len(out) == 4

@@ -431,3 +431,100 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def positional_windows_udf(length: int = 8):
+    """Vectorized fixed-length token-window extractor: every
+    ``length``-token window of the \\s+-normalized lowercase token
+    stream, in position order (stride 1, NOT deduped — position
+    matters here). Documents shorter than ``length`` tokens emit no
+    windows."""
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def windows(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = ws.sub(" ", t.strip()).lower().split(" ")
+            out.append(
+                [" ".join(words[i : i + length]) for i in range(len(words) - length + 1)]
+            )
+        return pd.Series(out)
+
+    return windows
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication detection — the span-granular pass
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), approximated at fixed token granularity: a
+    position's ``window_tokens``-token window is *duplicated* when
+    the identical window text occurs ``min_count``+ times corpus-wide
+    (across documents OR repeated within one); overlapping duplicated
+    windows merge into maximal spans. Returns one row per span:
+    (doc_id, span_start, span_end, span_tokens, n_windows) with
+    token offsets, span_end exclusive.
+
+    Scale shape: one Arrow-batched window pass over the text (the
+    only Python), explode to (doc, pos, hash) postings, ONE map-side
+    combinable count by hash, semi-join back on the hash (duplicated
+    windows are a small fraction of postings in a healthy corpus),
+    then a per-document gaps-and-islands window merge — every heavy
+    aggregation is partitioned; nothing is quadratic in corpus size.
+    Deterministic (md5-hash windows), so the whole operator replays
+    in ANSI SQL for the oracle gate.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    postings = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            positional_windows_udf(window_tokens)(F.col(text_col)).alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode("w").alias("pos", "win"))
+        .select("doc_id", "pos", _md5_long(F.col("win")).alias("h"))
+    )
+    dup_hashes = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("h")
+    )
+    dup_pos = postings.join(dup_hashes, "h", "left_semi").select("doc_id", "pos")
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window_tokens).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islanded = dup_pos.withColumn(
+        "__new",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window_tokens).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("int").alias("span_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )

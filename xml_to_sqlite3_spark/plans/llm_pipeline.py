@@ -569,6 +569,54 @@ FROM decided ORDER BY doc_id
 """
 
 
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication spans (operators/dedup.py
+    duplicated_spans): maximal merged runs of 8-token windows whose
+    text repeats 2+ times corpus-wide."""
+    return D.duplicated_spans(
+        load(spark, sf_dir, "documents"), window_tokens=8, min_count=2
+    ).orderBy("doc_id", "span_start")
+
+
+DUP_SPANS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), postings AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         ('0x' || substr(md5(array_to_string(w[CAST(t.i AS INT) + 1
+                                               : CAST(t.i AS INT) + 8], ' ')),
+                 1, 15))::BIGINT AS h
+  FROM words, unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS t(i)
+), dup AS (
+  SELECT doc_id, pos FROM postings
+  WHERE h IN (SELECT h FROM postings GROUP BY h HAVING count(*) >= 2)
+), islanded AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), grouped AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM islanded
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 8 AS INT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grouped
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def content_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic content-similarity adapter (semantic_adapter.rb:52-85)
     driven over the documents corpus as single-document nodes: word-set
@@ -767,6 +815,7 @@ QUERIES = {
     "curate_cheap": curate_cheap,
     "content_similarity": content_similar,
     "dedup_components": dedup_components,
+    "dup_spans": dup_spans_q,
 }
 
 ORACLES = {
@@ -788,4 +837,5 @@ ORACLES = {
     "content_similarity": CONTENT_SIMILAR_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "curate_corpus": CURATE_CORPUS_ORACLE,
+    "dup_spans": DUP_SPANS_ORACLE,
 }

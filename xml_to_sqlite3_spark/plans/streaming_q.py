@@ -129,14 +129,66 @@ ORDER BY doc_id
 """
 
 
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k users by total event value: the streaming
+    engine computes the watermarked (window x user) pre-aggregation —
+    the part whose state grows with data volume — and the rank +
+    cut to k runs as a batch query over the materialized sink. This
+    is the canonical streaming top-k topology: ranking inside an
+    unbounded stream would hold every (window, user) pair in ranking
+    state forever, while the pre-agg/serving split keeps streaming
+    state bounded by the watermark and the rank bounded by one
+    window's cardinality.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    pre = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "total_value")
+    )
+    sink = _run_to_table(pre, "__stream_topk")
+    rk = W.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        sink.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+        .orderBy("window_start", "rank")
+    )
+
+
+STREAMING_TOPK_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events, total_value,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY total_value DESC, user_id) AS INT) AS rank
+FROM agg
+QUALIFY rank <= 3
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = {
     "streaming_windowed": streaming_windowed,
     "streaming_sessions": streaming_sessions,
     "streaming_dedup": streaming_dedup,
+    "streaming_topk": streaming_topk,
 }
 
 ORACLES = {
     "streaming_windowed": STREAMING_WINDOWED_ORACLE,
     "streaming_sessions": STREAMING_SESSIONS_ORACLE,
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
+    "streaming_topk": STREAMING_TOPK_ORACLE,
 }
