@@ -437,8 +437,12 @@ def positional_windows_udf(length: int = 8):
     """Vectorized fixed-length token-window extractor: every
     ``length``-token window of the \\s+-normalized lowercase token
     stream, in position order (stride 1, NOT deduped — position
-    matters here). Documents shorter than ``length`` tokens emit no
-    windows."""
+    matters here); documents shorter than ``length`` tokens emit no
+    windows. Arrow-batched pandas UDF: the Column-expression
+    formulation (transform+slice+concat_ws) is interpreted — Catalyst
+    does not codegen higher-order lambdas — and measured 6x slower
+    than this UDF with warm workers (7.1s vs 1.2s for the sf0.1
+    posting build), the same trade word_shingles documents."""
     ws = re.compile(r"\s+")
 
     @F.pandas_udf("array<string>")
@@ -475,7 +479,9 @@ def duplicated_spans(
     token offsets, span_end exclusive.
 
     Scale shape: one Arrow-batched window pass over the text (the
-    only Python), explode to (doc, pos, hash) postings, ONE map-side
+    only Python — see positional_windows_udf for the measured case
+    against the interpreted Column formulation), explode to
+    (doc, pos, hash) postings materialized ONCE, one map-side
     combinable count by hash, semi-join back on the hash (duplicated
     windows are a small fraction of postings in a healthy corpus),
     then a per-document gaps-and-islands window merge — every heavy
@@ -493,6 +499,9 @@ def duplicated_spans(
         .filter(F.size("w") > 0)
         .select("doc_id", F.posexplode("w").alias("pos", "win"))
         .select("doc_id", "pos", _md5_long(F.col("win")).alias("h"))
+        # two consumers below (the count and the semi-join probe) —
+        # without this the window pass over the text runs twice
+        .localCheckpoint(eager=True)
     )
     dup_hashes = (
         postings.groupBy("h")
