@@ -102,15 +102,15 @@ _GATE_PRIORITY = [
     "curate_cheap",
     "ngram_jaccard",
     "asof_join",
-    "asof_join_forward",
     "q1_pricing_summary",
     # -- new operators this round (first driver contact)
     "dup_spans",
     "streaming_topk",
+    "streaming_enriched",
     # demoted to past-window this round (all r4-green, unchanged
-    # plans): sessionization and events_windowed (both re-proven r4
-    # on the new ts encoding; streaming_topk exercises the same ts
-    # machinery in-window),
+    # plans): sessionization, events_windowed and asof_join_forward
+    # (all re-proven r4 on the new ts encoding; streaming_topk /
+    # streaming_enriched exercise the same ts machinery in-window),
     # streaming_windowed, streaming_sessions, streaming_dedup,
     # chunk_documents, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
     # dedup_embedding, line_dedup, events_in_sessions,

@@ -144,26 +144,56 @@ def descendants(
 ) -> DataFrame:
     """All descendants of ``node_id`` (examples/sql_queries.md).
 
-    The parent_child edge projection is localCheckpointed before the
-    recursive CTE runs — UnionLoop rescans its input per iteration,
-    and re-reading the full xref table ``max_depth`` times is the
-    scale killer (see node_tree)."""
-    xrefs.filter(F.col("reference_type") == "parent_child").select(
-        "source_node_id", "target_node_id"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("__h_pc")
-    escaped = node_id.replace("'", "''")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE des AS (
-          SELECT source_node_id AS ancestor_id, target_node_id AS descendant_id,
-                 1 AS depth, target_node_id AS path
-          FROM __h_pc WHERE source_node_id = '{escaped}'
-          UNION ALL
-          SELECT d.ancestor_id, c.target_node_id,
-                 d.depth + 1, CONCAT(d.path, ' -> ', c.target_node_id)
-          FROM des d JOIN __h_pc c ON d.descendant_id = c.source_node_id
-          WHERE d.depth < {int(max_depth)}
+    Iterative downward walk, mirror of ``ancestors``: the
+    parent_child edge projection is localCheckpointed once, then each
+    level is one broadcast hash join — the frontier for a single-node
+    lookup is one subtree level, so the edge blocks stream in place
+    with no shuffle and no per-iteration re-plan. (The recursive-CTE
+    formulation — still used by node_tree, where the anchor is the
+    whole root set — shuffle-joins the full edge table per level; for
+    a one-node lookup that is ``max_depth`` full-edge shuffles.)
+    Emits one row per distinct path, exactly like the reference CTE.
+    """
+    edges = (
+        xrefs.filter(F.col("reference_type") == "parent_child")
+        .select(
+            F.col("source_node_id").alias("parent"),
+            F.col("target_node_id").alias("child"),
         )
-        SELECT descendant_id, depth, path FROM des
-        """
+        .localCheckpoint(eager=True)
     )
+    frontier = (
+        edges.filter(F.col("parent") == node_id)
+        .select(
+            F.col("child").alias("descendant_id"),
+            F.lit(1).alias("depth"),
+            F.col("child").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    for depth in range(2, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            edges.join(
+                F.broadcast(
+                    frontier.select(F.col("descendant_id").alias("parent"), "path")
+                ),
+                "parent",
+            )
+            .select(
+                F.col("child").alias("descendant_id"),
+                F.lit(depth).alias("depth"),
+                F.concat(F.col("path"), F.lit(" -> "), F.col("child")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -183,11 +183,61 @@ ORDER BY window_start, rank
 """
 
 
+def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream broadcast-joins
+    the static customer->nation dimension inside the streaming query
+    (the canonical lookup-table topology — the static side is re-read
+    per micro-batch, never stateful), then a watermarked per-day,
+    per-nation aggregation. Proves the streamed join + agg produce
+    exactly the warehouse answer."""
+    from pyspark.sql import functions as F
+
+    from ..io_util import load
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            load(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "nation")
+    )
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = events.join(F.broadcast(dim), "user_id")
+    pre = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "nation", "n_events", "total_value")
+    )
+    return _run_to_table(pre, "__stream_enriched").orderBy("window_start", "nation")
+
+
+STREAMING_ENRICHED_ORACLE = """
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+       n.n_name AS nation,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "streaming_windowed": streaming_windowed,
     "streaming_sessions": streaming_sessions,
     "streaming_dedup": streaming_dedup,
     "streaming_topk": streaming_topk,
+    "streaming_enriched": streaming_enriched,
 }
 
 ORACLES = {
@@ -195,4 +245,5 @@ ORACLES = {
     "streaming_sessions": STREAMING_SESSIONS_ORACLE,
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
     "streaming_topk": STREAMING_TOPK_ORACLE,
+    "streaming_enriched": STREAMING_ENRICHED_ORACLE,
 }
