@@ -26,6 +26,7 @@ def bfs_distances(
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
     broadcast_frontier: bool = True,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Minimum hop-distance from ``source`` to every node reachable
     within ``max_depth`` directed edges. Returns (node, distance),
@@ -48,11 +49,16 @@ def bfs_distances(
     shuffle hash join per level.
     """
     spark = edges.sparkSession
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if materialize_edges:
+        # derived/filtered edge inputs: evaluate once, then every
+        # level scans materialized blocks instead of re-running the
+        # upstream plan. For edges that are ALREADY a bare (pruned)
+        # table scan, pass materialize_edges=False — copying the
+        # whole edge set into checkpoint blocks costs more than the
+        # max_depth pruned scans it saves, and duplicate (src,dst)
+        # pairs are harmless (the per-level distinct dedups nodes).
+        e = e.distinct().localCheckpoint(eager=True)
 
     visited = spark.createDataFrame([(source, 0)], "node string, distance int")
     visited = visited.localCheckpoint(eager=True)

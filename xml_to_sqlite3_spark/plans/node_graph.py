@@ -1123,7 +1123,12 @@ def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = xrefs.filter(
         F.col("reference_type").isin("parent_child", "child_parent", "attribute_reference")
     )
-    return bfs_distances(edges, "customer_7", max_depth=3).orderBy("node")
+    # the xref store is a bare parquet scan with the type filter
+    # pushed to row groups — per-level pruned scans beat copying the
+    # ~8M-row edge set into checkpoint blocks first
+    return bfs_distances(
+        edges, "customer_7", max_depth=3, materialize_edges=False
+    ).orderBy("node")
 
 
 GRAPH_DISTANCES_ORACLE = GRAPH_PREFIX + """
