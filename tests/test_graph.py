@@ -70,3 +70,46 @@ def test_duplicate_groups_transitive_keeper(spark):
     assert rows[1]["is_keeper"] and not rows[2]["is_keeper"] and not rows[3]["is_keeper"]
     assert rows[2]["component"] == 1 and rows[3]["component"] == 1
     assert rows[10]["is_keeper"] and rows[11]["component"] == 10
+
+
+def test_graph_cache_content_key_and_pruning(spark, tmp_path, monkeypatch):
+    """The persistent node-graph cache is keyed on (input files, build
+    code): same inputs reuse the entry across fresh sessions; touched
+    inputs produce a new key and the stale sibling is pruned after the
+    rebuild."""
+    import os
+    import shutil
+
+    from xml_to_sqlite3_spark.plans import node_graph as NG
+
+    # private sf_dir copy (we must not write to /root/testdata) and
+    # private cache root so this test cannot disturb the shared cache
+    sf_dir = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", str(tmp_path / "cache"))
+
+    key1 = NG._graph_cache_key(sf_dir)
+    n1, p1, x1 = NG.get_graph(spark, sf_dir)
+    count1 = x1.count()
+    root = NG._graph_cache_root()
+    assert os.path.exists(os.path.join(root, key1, "_COMPLETE"))
+
+    # fresh-session reuse: same key, no rebuild (dir untouched)
+    NG._GRAPH_CACHE.clear()
+    mtime_before = os.path.getmtime(os.path.join(root, key1, "_COMPLETE"))
+    _, _, x1b = NG.get_graph(spark, sf_dir)
+    assert x1b.count() == count1
+    assert os.path.getmtime(os.path.join(root, key1, "_COMPLETE")) == mtime_before
+
+    # touching an input changes the key; rebuilding prunes the stale entry
+    victim = os.path.join(sf_dir, "region.parquet")
+    os.utime(victim, (os.path.getatime(victim), os.path.getmtime(victim) + 10))
+    key2 = NG._graph_cache_key(sf_dir)
+    assert key2 != key1
+    NG._GRAPH_CACHE.clear()
+    _, _, x2 = NG.get_graph(spark, sf_dir)
+    assert x2.count() == count1  # same data, same result
+    assert os.path.exists(os.path.join(root, key2, "_COMPLETE"))
+    assert not os.path.exists(os.path.join(root, key1))  # pruned
+
+    NG._GRAPH_CACHE.clear()
