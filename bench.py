@@ -59,11 +59,27 @@ def main() -> None:
         timings["graph_build"] = round(time.perf_counter() - t0, 4)
     except Exception as e:  # noqa: BLE001 — one failure must not kill the run
         errors["graph_build"] = str(e).splitlines()[0][:300]
+    def _release_query_state() -> None:
+        # per-query memory isolation: operators persist/checkpoint
+        # intermediates (minhash tokens, signatures, edge blocks)
+        # that stay referenced until GC — measured at sf0.1, the
+        # accumulated storage blocks from the dedup family slowed a
+        # later graph_distances 2.5x (11.5s -> 29.6s) through
+        # storage-memory eviction thrash. Dropping the cache and
+        # nudging the JVM's ContextCleaner between queries restores
+        # every query to a clean-session baseline.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
+
     for name in names:
         # per-query isolation: a single broken query costs its own
         # timing, never the whole bench (round-3 lesson: one
         # AnalysisException zeroed the entire perf signal)
         t0 = time.perf_counter()
+        df = None
         try:
             df = qs[name](spark, sf_dir)
             n = df.count() if name not in HEADLINE else len(df.collect())
@@ -71,6 +87,8 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e).splitlines()[0][:300]
+        df = None  # drop the plan's persisted/checkpointed block refs
+        _release_query_state()
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -809,11 +809,19 @@ def most_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("connection_count"))
     )
+    # cut to top-10 BEFORE the node join: every xref endpoint resolves
+    # in nodes by detector construction (structural endpoints ARE
+    # nodes; attribute references require the target to exist), so
+    # the pre-limit is exactly the post-join limit — and the join
+    # becomes a 10-row broadcast instead of shipping the ~1.4M-row
+    # count table (the 100MB+ BroadcastExchange was this query's
+    # whole cost, and its GC sensitivity made it the bench's
+    # noisiest row: 3-16s run to run).
+    top = touches.orderBy(F.desc("connection_count"), "id").limit(10)
     return (
-        nodes.join(touches, "id")
+        nodes.join(F.broadcast(top), "id")
         .select("id", "node_type", "connection_count")
         .orderBy(F.desc("connection_count"), "id")
-        .limit(10)
     )
 
 
