@@ -60,13 +60,20 @@ def calibrated(spark):
 @pytest.mark.parametrize("name", sorted(FLOORS))
 def test_query_within_floor(name, calibrated, spark):
     qs, speed = calibrated
-    t0 = time.perf_counter()
-    qs[name](spark, SF_DIR).collect()
-    elapsed = time.perf_counter() - t0
     limit = FLOORS[name] * RATIO_LIMIT * speed
+    # best of two: a transient GC/contention spike mid-suite must not
+    # red the guard — a real plan regression is slow BOTH times
+    elapsed = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        run = time.perf_counter() - t0
+        elapsed = run if elapsed is None else min(elapsed, run)
+        if elapsed <= limit:
+            break
     assert elapsed <= limit, (
-        f"{name} took {elapsed:.2f}s at sf0.001 — over {limit:.2f}s "
-        f"(floor {FLOORS[name]}s x {RATIO_LIMIT} x box-speed {speed:.2f}); "
-        "the plan likely regressed (extra scan / lost pushdown / "
-        "single-task serialization)"
+        f"{name} took {elapsed:.2f}s (best of 2) at sf0.001 — over "
+        f"{limit:.2f}s (floor {FLOORS[name]}s x {RATIO_LIMIT} x "
+        f"box-speed {speed:.2f}); the plan likely regressed (extra "
+        "scan / lost pushdown / single-task serialization)"
     )
