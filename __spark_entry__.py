@@ -92,25 +92,28 @@ _GATE_PRIORITY = [
     "multimodal_pipeline",  # rows-only by design
     "curate_corpus",
     "xml_nodes_roundtrip",  # rows-only by design
+    # -- new operator this round (first driver contact)
+    "mix_sources",
     # -- freshest-needed of the r4-green remainder
-    "content_similarity",
     "type_inference",
     "nodes_by_type",
     "attribute_search",
     "content_search",
     "dedup_components",
-    "curate_cheap",
     "ngram_jaccard",
     "asof_join",
     "q1_pricing_summary",
     # -- new operators this round (first driver contact)
     "dup_spans",
+    "dedup_spans_apply",
     "streaming_topk",
     "streaming_enriched",
     # demoted to past-window this round (all r4-green, unchanged
-    # plans): sessionization, events_windowed and asof_join_forward
+    # plans): sessionization, events_windowed, asof_join_forward
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
+    # curate_cheap (its stages run in-window inside curate_corpus),
+    # content_similarity,
     # streaming_windowed, streaming_sessions, streaming_dedup,
     # chunk_documents, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
     # dedup_embedding, line_dedup, events_in_sessions,

@@ -306,3 +306,30 @@ def test_heavy_hitters_exact_when_k_large(spark):
     df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)], ["t"])
     out = {r.value: r.est_count for r in C.heavy_hitters(df, "t", k=100).collect()}
     assert out == {"a": 5, "b": 3, "c": 1}  # k > domain -> exact
+
+
+def test_mix_sources(spark):
+    from xml_to_sqlite3_spark.operators.curation import mix_sources
+
+    rows = [(i, f"src{i % 4}", f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_sources(
+        df, weights={"src0": 2.0, "src1": 1.0, "src2": 1.0}, sample_fraction=0.5
+    )
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    # src3 absent from weights -> dropped entirely
+    assert "src3" not in by_src
+    # src0 target = 0.5*400*0.5 = 100 = its whole population (rate 1)
+    assert by_src["src0"] == 100
+    # src1/src2 target = 0.5*400*0.25 = 50 of 100 -> hash-thinned
+    for s in ("src1", "src2"):
+        assert 30 <= by_src[s] <= 70
+    # deterministic: second run identical
+    again = {
+        r["source"]: r["count"]
+        for r in mix_sources(
+            df, weights={"src0": 2.0, "src1": 1.0, "src2": 1.0}, sample_fraction=0.5
+        ).groupBy("source").count().collect()
+    }
+    assert again == by_src

@@ -177,3 +177,24 @@ def test_duplicated_spans(spark):
     # doc 4: no spans
     assert not any(d == 4 for d, _ in out)
     assert len(out) == 4
+
+
+def test_remove_duplicated_spans(spark):
+    from xml_to_sqlite3_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again today"  # 11 tokens
+    rows = [
+        (1, boiler + " unique tail one aaa bbb ccc ddd eee fff ggg"),
+        (2, boiler + " other ending two hhh iii jjj kkk lll mmm nnn"),
+        (3, "entirely fresh words that appear nowhere else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window_tokens=8).collect()}
+    # doc 1 holds the FIRST occurrence of the shared prefix -> intact
+    assert out[1]["text_deduped"] == rows[0][1].lower()
+    assert out[1]["n_tokens_kept"] == out[1]["n_tokens_total"] == 21
+    # doc 2's copy of the 11-token prefix is removed, tail survives
+    assert out[2]["text_deduped"] == "other ending two hhh iii jjj kkk lll mmm nnn"
+    assert out[2]["n_tokens_kept"] == 10 and out[2]["n_tokens_total"] == 21
+    # doc 3 untouched
+    assert out[3]["text_deduped"] == rows[2][1].lower()

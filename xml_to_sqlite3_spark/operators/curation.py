@@ -700,3 +700,57 @@ def heavy_hitters(
         .crossJoin(F.broadcast(totals))
         .orderBy(F.desc("est_count"), "value")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    sample_fraction: float = 1.0,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: deterministically resample so the kept corpus
+    approaches the RELATIVE ``weights`` across sources, at overall
+    size ~``sample_fraction`` x the input. Per-source keep rate =
+    min(1, sample_fraction * N_total * share_s / n_s) where share_s
+    is the normalized weight — i.e. each source is hash-thinned
+    toward its target share (sources under their target keep
+    everything; no upsampling). Sources absent from ``weights`` get
+    weight 0 and are dropped.
+
+    The decision is a pure function of the row key (stable_unit), so
+    the mix is reproducible across runs, partitionings and cluster
+    sizes, and consistent with every other stable_* decision made on
+    the same key. Shape: one map-side-combinable per-source count,
+    broadcast back as a tiny rate table, one map-side filter — no
+    data shuffle at all. Returns the kept rows with a ``keep_rate``
+    column for auditability.
+    """
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("mix_sources needs at least one positive weight")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
+    totals = counts.agg(F.sum("__n_src").alias("__n_total"))
+    share = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]) / total_w)]
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(sample_fraction))
+                    * F.col("__n_total")
+                    * F.coalesce(share[F.col(source_col)], F.lit(0.0))
+                    / F.col("__n_src"),
+                ),
+                9,
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(stable_unit(F.col(key_col)) < F.col("keep_rate"))
+    )

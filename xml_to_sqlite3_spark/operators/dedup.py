@@ -537,3 +537,90 @@ def duplicated_spans(
             F.col("n_windows").cast("long").alias("n_windows"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY substring-level dedup (the removal step of Lee et al.
+    2022): corpus-wide, every ``window_tokens``-token window that
+    repeats ``min_count``+ times keeps only its FIRST occurrence
+    (minimum (doc_id, pos)); a token is removed when at least one
+    non-first duplicated window covers it. Returns
+    (id, text_deduped, n_tokens_kept, n_tokens_total) with surviving
+    tokens rejoined in original order — documents whose every token
+    is removed survive with text_deduped = ''.
+
+    Fully deterministic, so the whole pass replays in ANSI SQL.
+    Scale shape mirrors duplicated_spans: one Arrow window pass,
+    postings materialized once, a map-side-combinable min/count per
+    hash, semi-join probe, one explode of removal windows into token
+    indices (bounded by window_tokens x duplicated windows), and one
+    reassembly shuffle per document.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        positional_windows_udf(1)(F.col(text_col)).alias("toks"),
+        positional_windows_udf(window_tokens)(F.col(text_col)).alias("w"),
+    )
+    postings = (
+        base.filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode("w").alias("pos", "win"))
+        .select("doc_id", "pos", _md5_long(F.col("win")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    # per-hash: occurrence count and the first (doc, pos); the struct
+    # min orders lexicographically on (doc_id, pos)
+    firsts = postings.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    ).filter(F.col("__n") >= min_count)
+    non_first = (
+        postings.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("__first.doc_id"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # removal token indices: each non-first duplicated window covers
+    # [pos, pos + window_tokens)
+    removed = (
+        non_first.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (window_tokens - 1))
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens_total"),
+        F.posexplode("toks").alias("tok_idx", "tok"),
+    )
+    kept = toks.join(removed, ["doc_id", "tok_idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.first("n_tokens_total").alias("n_tokens_total"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tok_idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    # spine join: fully-removed documents survive with ''
+    spine = base.select("doc_id", F.size("toks").alias("__nt"))
+    return spine.join(agg, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        F.coalesce("n_tokens_total", F.col("__nt")).cast("int").alias("n_tokens_total"),
+    )

@@ -516,3 +516,46 @@ FROM laid ORDER BY doc_id, chunk_id
 
 QUERIES["pack_sequences"] = pack_sequences_q
 ORACLES["pack_sequences"] = PACK_SEQUENCES_ORACLE
+
+
+def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing toward target source proportions (operators/
+    curation.py mix_sources): weights 5/3/1/1 over four sources at
+    overall fraction 0.4 — src0 saturates (rate capped at 1), the
+    others thin fractionally, unlisted sources drop."""
+    out = C.mix_sources(
+        load(spark, sf_dir, "documents"),
+        weights={"src0": 5.0, "src1": 3.0, "src2": 1.0, "src3": 1.0},
+        sample_fraction=0.4,
+    )
+    return out.select("doc_id", "source", "keep_rate").orderBy("doc_id")
+
+
+MIX_SOURCES_ORACLE = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n) AS n_total FROM counts
+), rates AS (
+  SELECT source,
+         round(least(1.0,
+                     0.4 * t.n_total
+                     * CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.1
+                                   WHEN 'src3' THEN 0.1
+                                   ELSE 0.0 END
+                     / n),
+               9) AS keep_rate
+  FROM counts, tot t
+)
+SELECT d.doc_id, d.source, r.keep_rate
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 < r.keep_rate
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["mix_sources"] = mix_sources_q
+ORACLES["mix_sources"] = MIX_SOURCES_ORACLE

@@ -617,6 +617,69 @@ ORDER BY doc_id, span_start
 """
 
 
+def dedup_spans_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup REMOVAL pass (operators/dedup.py
+    remove_duplicated_spans): corpus-wide, repeated 8-token windows
+    keep only their first (doc, pos) occurrence; covered tokens are
+    dropped elsewhere and documents reassemble. Text is md5'd to keep
+    the gate row compact."""
+    return (
+        D.remove_duplicated_spans(
+            load(spark, sf_dir, "documents"), window_tokens=8, min_count=2
+        )
+        .select(
+            "doc_id",
+            F.md5("text_deduped").alias("text_md5"),
+            "n_tokens_kept",
+            "n_tokens_total",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPANS_APPLY_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), postings AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         ('0x' || substr(md5(array_to_string(w[CAST(t.i AS INT) + 1
+                                               : CAST(t.i AS INT) + 8], ' ')),
+                 1, 15))::BIGINT AS h
+  FROM words, unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS t(i)
+), marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS n,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM postings
+), non_first AS (
+  SELECT doc_id, pos FROM marked WHERE n >= 2 AND rn > 1
+), removed AS (
+  SELECT DISTINCT doc_id, CAST(pos + t.j AS INT) AS tok_idx
+  FROM non_first, unnest(range(0, 8)) AS t(j)
+), toks AS (
+  SELECT doc_id, CAST(t.i AS INT) - 1 AS tok_idx, w[CAST(t.i AS INT)] AS tok,
+         len(w) AS n_total
+  FROM words, unnest(range(1, len(w) + 1)) AS t(i)
+), kept AS (
+  SELECT k.doc_id, k.tok_idx, k.tok, k.n_total
+  FROM toks k ANTI JOIN removed r
+    ON k.doc_id = r.doc_id AND k.tok_idx = r.tok_idx
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_idx) AS text_deduped,
+         count(*) AS n_kept, any_value(n_total) AS n_total
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       md5(coalesce(a.text_deduped, '')) AS text_md5,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(coalesce(a.n_total, len(w.w)) AS INT) AS n_tokens_total
+FROM words w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def content_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic content-similarity adapter (semantic_adapter.rb:52-85)
     driven over the documents corpus as single-document nodes: word-set
@@ -816,6 +879,7 @@ QUERIES = {
     "content_similarity": content_similar,
     "dedup_components": dedup_components,
     "dup_spans": dup_spans_q,
+    "dedup_spans_apply": dedup_spans_apply_q,
 }
 
 ORACLES = {
@@ -838,4 +902,5 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "curate_corpus": CURATE_CORPUS_ORACLE,
     "dup_spans": DUP_SPANS_ORACLE,
+    "dedup_spans_apply": DEDUP_SPANS_APPLY_ORACLE,
 }
