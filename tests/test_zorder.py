@@ -1,0 +1,78 @@
+"""Z-ordered parquet layout: row-group min/max statistics must serve
+predicates on EVERY z-ordered dimension, not just a leading sort key.
+
+The test measures actual prunability from the written files' parquet
+footers (pyarrow): for a small 2-D box predicate, the fraction of row
+groups whose [min, max] ranges overlap the box — what Spark's scan
+would have to read — must be far smaller under the Z layout than
+under a layout sorted on one column only.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from xml_to_sqlite3_spark.sinks.parquet_sink import write_zordered
+
+
+def _overlap_fraction(path: str, x_rng, y_rng) -> float:
+    """Fraction of row groups whose (x, y) stat ranges intersect the
+    query box — the lower bound on what any stats-based reader scans."""
+    hit = total = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sx = g.column(names["x"]).statistics
+            sy = g.column(names["y"]).statistics
+            total += 1
+            if (
+                sx.min <= x_rng[1]
+                and sx.max >= x_rng[0]
+                and sy.min <= y_rng[1]
+                and sy.max >= y_rng[0]
+            ):
+                hit += 1
+    assert total >= 8, f"need enough row groups to measure, got {total}"
+    return hit / total
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    # two independent pseudo-shuffled dimensions over [0, 1000)
+    df = (
+        spark.range(200_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("x"),
+            ((F.col("id") * 7919) % 1000).alias("y"),
+        )
+    )
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zordered")
+    # baseline: sorted on x only — serves x, blind on y
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+
+    box = ((100, 150), (100, 150))  # ~0.25% of the 2-D space
+    plain_frac = _overlap_fraction(plain, *box)
+    z_frac = _overlap_fraction(zpath, *box)
+    # x-sorted layout: every row group spans all of y -> only the x
+    # bound prunes (~95% skipped at best); z-order must prune on BOTH
+    assert z_frac < plain_frac, (z_frac, plain_frac)
+    assert z_frac <= 0.5 * plain_frac, (z_frac, plain_frac)
+
+    # and the data itself round-trips
+    back = spark.read.parquet(zpath)
+    assert back.count() == 200_000
+    assert back.filter((F.col("x") == 123) & (F.col("y") == 437)).count() == (
+        df.filter((F.col("x") == 123) & (F.col("y") == 437)).count()
+    )

@@ -47,3 +47,74 @@ def write_corpus_parquet(
     _write(nodes, "nodes", "document_id")
     _write(properties, "node_properties", "node_id")
     _write(corpus.errors, "errors")
+
+
+def zorder_key(cols: list, bits_per_dim: int = 8, ranges: dict | None = None):
+    """Morton (Z-order) interleave of linearly-bucketed column values
+    — the multi-dimensional file-clustering key. ``ranges`` maps
+    column name -> (min, max); values are binned to ``bits_per_dim``
+    bits and their bits interleaved, so rows close in EVERY dimension
+    get close keys and land in the same row groups. Pure Column
+    bit-arithmetic (codegen), no UDF.
+    """
+    n_buckets = (1 << bits_per_dim) - 1
+    bucketed = []
+    for c in cols:
+        lo, hi = ranges[c]
+        span = float(hi - lo) if hi > lo else 1.0
+        b = F.least(
+            F.lit(n_buckets),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * n_buckets).cast("long"),
+            ),
+        )
+        bucketed.append(b)
+    z = F.lit(0).cast("long")
+    ndim = len(bucketed)
+    for bit in range(bits_per_dim):
+        for d, b in enumerate(bucketed):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(b, bit).bitwiseAND(F.lit(1)),
+                    bit * ndim + d,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: list,
+    bits_per_dim: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order curve of ``cols`` so
+    min/max row-group statistics prune multi-dimensional predicates
+    (the lakehouse OPTIMIZE ZORDER BY layout, expressed as plain
+    DataFrame ops): per-column (min, max) come from one tiny
+    aggregate, rows get a Morton key, and a range partition + local
+    sort on that key gives every file/row group a tight bounding box
+    in every Z-ordered dimension. A filter on ANY subset of the
+    columns then skips most row groups — single-column sorting can
+    only serve its leading column.
+
+    Scale shape: one 1-row min/max aggregate (the model parameters),
+    one range shuffle on the key, local sorts. No sampling-dependent
+    nondeterminism beyond Spark's range partitioner itself.
+    """
+    stats = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))]
+    ).first()
+    ranges = {c: (stats[f"__lo_{c}"], stats[f"__hi_{c}"]) for c in cols}
+    keyed = df.withColumn("__z", zorder_key(cols, bits_per_dim, ranges))
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
