@@ -107,3 +107,54 @@ def test_streaming_xml_matches_batch_parse(spark, tmp_path):
         r["id"] for r in batch_nodes.select("id").collect()
     }
     assert len(batches) >= 2  # the late file triggered another micro-batch
+
+
+def test_stream_corpus_to_sqlite_incremental(spark, tmp_path):
+    """Watch-directory -> SQLite maintenance: files arriving across
+    micro-batches upsert into one database; re-parsed duplicates
+    converge (INSERT OR REPLACE), and the final contents equal the
+    batch pipeline's output over the same files."""
+    import shutil
+    import sqlite3
+
+    from xml_to_sqlite3_spark.streaming.ingest import stream_corpus_to_sqlite
+
+    in_dir = tmp_path / "xml_in"
+    in_dir.mkdir()
+    db = str(tmp_path / "live.sqlite3")
+    ckpt = str(tmp_path / "ckpt")
+
+    (in_dir / "a.xml").write_text(
+        '<catalog id="cat1"><item id="i1" kind="x">one</item></catalog>'
+    )
+    q = stream_corpus_to_sqlite(
+        spark, str(in_dir), db, ckpt, max_files_per_trigger=1, available_now=True
+    )
+    q.awaitTermination()
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nodes").fetchone()[0] == 2
+    con.close()
+
+    # second wave: a new file AND an update to the first document
+    (in_dir / "b.xml").write_text('<root id="r1"><leaf id="l1">two</leaf></root>')
+    (in_dir / "a2.xml").write_text(
+        '<catalog id="cat1"><item id="i1" kind="y">one-updated</item></catalog>'
+    )
+    q = stream_corpus_to_sqlite(
+        spark, str(in_dir), db, ckpt, max_files_per_trigger=1, available_now=True
+    )
+    q.awaitTermination()
+
+    con = sqlite3.connect(db)
+    # 2 (cat1 tree, upserted) + 2 (r1 tree)
+    assert con.execute("SELECT COUNT(*) FROM nodes").fetchone()[0] == 4
+    # the duplicate-id upsert kept exactly one i1 row, with the
+    # later file's attribute value
+    kinds = con.execute(
+        "SELECT property_value FROM node_properties np JOIN nodes n"
+        " ON np.node_id = n.id WHERE n.id = 'i1' AND property_name = 'kind'"
+    ).fetchall()
+    assert kinds == [("y",)]
+    assert con.execute("SELECT COUNT(*) FROM documents").fetchone()[0] == 3
+    con.close()
+    shutil.rmtree(ckpt, ignore_errors=True)

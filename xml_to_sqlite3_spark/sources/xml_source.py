@@ -318,7 +318,14 @@ def read_xml_corpus(
     parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
     # The parse feeds three projections — materialize it once.
     parsed = parsed.persist()
+    return corpus_from_parsed(parsed)
 
+
+def corpus_from_parsed(parsed: DataFrame) -> XmlCorpus:
+    """Project raw parsed node rows (_PARSE_SCHEMA) into the
+    reference's relational model — shared by the batch reader and the
+    streaming foreachBatch sink, so both paths produce byte-identical
+    tables from the same parse."""
     documents = (
         parsed.groupBy("document_id")
         .agg(

@@ -138,3 +138,53 @@ def stream_xml_corpus(
         .foreachBatch(on_batch)
         .start()
     )
+
+
+def stream_corpus_to_sqlite(
+    spark: SparkSession,
+    input_dir: str,
+    db_path: str,
+    checkpoint_dir: str,
+    glob: str = "*.xml",
+    max_files_per_trigger: int = 100,
+    available_now: bool = False,
+):
+    """Continuous reference-database maintenance: watch ``input_dir``
+    for new XML files and upsert each micro-batch into the
+    reference-schema SQLite at ``db_path`` — the end-to-end form of
+    the reference's async pipeline (main.rb: watch -> parse ->
+    database_writer), kept current instead of rebuilt.
+
+    Effectively exactly-once: the file source tracks processed files
+    in the checkpoint, and the sink is INSERT OR REPLACE on primary
+    keys, so a batch replayed after a crash converges to the same
+    database state. ``available_now=True`` drains the current backlog
+    and stops (the testable/batch-catchup mode).
+    """
+    from ..sinks.sqlite_sink import write_corpus_sqlite
+    from ..sources.xml_source import corpus_from_parsed
+
+    def on_batch(parsed, batch_id: int) -> None:
+        if parsed.isEmpty():
+            return
+        write_corpus_sqlite(corpus_from_parsed(parsed), db_path, optimize=False)
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
