@@ -198,3 +198,70 @@ def test_remove_duplicated_spans(spark):
     assert out[2]["n_tokens_kept"] == 10 and out[2]["n_tokens_total"] == 21
     # doc 3 untouched
     assert out[3]["text_deduped"] == rows[2][1].lower()
+
+
+def _py_span_model(texts, L=4, min_count=2):
+    """Pure-python reference model for duplicated_spans /
+    remove_duplicated_spans (same normalization and tie-breaks)."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    toks = {d: _re.sub(r"\s+", " ", t.strip()).lower().split(" ") for d, t in texts}
+    wins = {
+        d: [" ".join(w[i : i + L]) for i in range(len(w) - L + 1)]
+        for d, w in toks.items()
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    first = {}
+    for d in sorted(wins):
+        for p, w in enumerate(wins[d]):
+            if counts[w] >= min_count and w not in first:
+                first[w] = (d, p)
+    spans = defaultdict(list)   # doc -> merged [start, end)
+    removed = defaultdict(set)  # doc -> removed token indices
+    for d in sorted(wins):
+        dup_pos = [p for p, w in enumerate(wins[d]) if counts[w] >= min_count]
+        for p in dup_pos:
+            if first[wins[d][p]] != (d, p):
+                removed[d].update(range(p, p + L))
+        cur = None
+        for p in dup_pos:
+            if cur and p <= cur[1]:
+                cur[1] = max(cur[1], p + L)
+            else:
+                cur = [p, p + L]
+                spans[d].append(cur)
+    kept = {
+        d: " ".join(t for i, t in enumerate(w) if i not in removed[d])
+        for d, w in toks.items()
+    }
+    return spans, kept
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_span_operators_match_python_model(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]  # tiny vocab -> dense duplication
+    texts = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24))))
+        for d in range(5)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    exp_spans, exp_kept = _py_span_model(texts, L=4)
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in D.duplicated_spans(df, window_tokens=4).collect()
+    }
+    want_spans = {
+        (d, s, e) for d, ss in exp_spans.items() for s, e in ss
+    }
+    assert got_spans == want_spans
+
+    got_kept = {
+        r["doc_id"]: r["text_deduped"]
+        for r in D.remove_duplicated_spans(df, window_tokens=4).collect()
+    }
+    assert got_kept == exp_kept
