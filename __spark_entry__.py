@@ -92,12 +92,12 @@ _GATE_PRIORITY = [
     "multimodal_pipeline",  # rows-only by design
     "curate_corpus",
     "xml_nodes_roundtrip",  # rows-only by design
-    # -- new operator this round (first driver contact)
+    # -- new operators this round (first driver contact)
     "mix_sources",
+    "orders_cube",
+    "events_deltas",
     # -- freshest-needed of the r4-green remainder
     "type_inference",
-    "nodes_by_type",
-    "attribute_search",
     "content_search",
     "dedup_components",
     "ngram_jaccard",
@@ -113,7 +113,7 @@ _GATE_PRIORITY = [
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),
-    # content_similarity,
+    # content_similarity, nodes_by_type, attribute_search,
     # streaming_windowed, streaming_sessions, streaming_dedup,
     # chunk_documents, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
     # dedup_embedding, line_dedup, events_in_sessions,

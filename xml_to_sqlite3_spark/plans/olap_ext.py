@@ -257,3 +257,78 @@ ORDER BY s.user_id, s.session_id
 
 QUERIES["events_in_sessions"] = events_in_sessions
 ORACLES["events_in_sessions"] = EVENTS_IN_SESSIONS_ORACLE
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over status x priority: every subtotal combination
+    (both one-dimension margins + grand total) in one pass — the
+    complement of orders_rollup's hierarchy-only subtotals."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def events_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-value deltas via lag: each event paired with
+    the time gap and value change from the user's previous event —
+    the change-detection window idiom (partitioned window, no global
+    ordering)."""
+    from pyspark.sql import Window as W
+
+    from ..io_util import ts_seconds
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            (ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w))
+            .cast("long")
+            .alias("secs_since_prev"),
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVENTS_DELTAS_ORACLE = """
+SELECT event_id, user_id, value,
+       -- floor each side BEFORE differencing: Spark's ts_seconds
+       -- truncates each timestamp to whole seconds (cast long), so
+       -- sub-second parts must not flow into the subtraction
+       CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT)
+         AS secs_since_prev,
+       round(value - lag(value) OVER w, 2) AS value_delta
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+QUERIES["orders_cube"] = orders_cube
+ORACLES["orders_cube"] = ORDERS_CUBE_ORACLE
+QUERIES["events_deltas"] = events_deltas
+ORACLES["events_deltas"] = EVENTS_DELTAS_ORACLE
