@@ -90,6 +90,7 @@ _GATE_PRIORITY = [
     "events_pivot",
     "ann_cosine_topk",
     "multimodal_pipeline",  # rows-only by design
+    "image_dedup",          # rows-only by design (new this round)
     "curate_corpus",
     "xml_nodes_roundtrip",  # rows-only by design
     # -- new operators this round (first driver contact)
@@ -98,7 +99,6 @@ _GATE_PRIORITY = [
     "events_deltas",
     # -- freshest-needed of the r4-green remainder
     "type_inference",
-    "content_search",
     "dedup_components",
     "ngram_jaccard",
     "asof_join",
@@ -113,7 +113,7 @@ _GATE_PRIORITY = [
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),
-    # content_similarity, nodes_by_type, attribute_search,
+    # content_similarity, nodes_by_type, attribute_search, content_search,
     # streaming_windowed, streaming_sessions, streaming_dedup,
     # chunk_documents, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
     # dedup_embedding, line_dedup, events_in_sessions,

@@ -284,3 +284,48 @@ def test_real_audio_resample(real_audio):
     assert out[20]["duration_ms_real"] == pytest.approx(500, abs=2)
     assert out[20]["rms"] == pytest.approx(0.707, abs=0.02)
     assert out[21]["rms"] == 0.0
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """dHash is stable across lossless re-encoding and small noise;
+    hamming_pairs over the signatures finds image near-dups."""
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators.codecs import encode_png, encode_ppm
+    from xml_to_sqlite3_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-6, 7, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+    def row(mid, data, fmt):
+        return Row(
+            media_id=mid,
+            kind="image",
+            data=data,
+            meta=Row(width=32, height=32, sample_rate=None, duration_ms=None, format=fmt),
+        )
+
+    rows = [
+        row(1, encode_ppm(base), "ppm"),
+        row(2, encode_png(base), "png"),            # same pixels, different codec
+        row(3, encode_jpeg(base, quality=95), "jpeg"),  # lossy but close
+        row(4, encode_ppm(noisy), "ppm"),           # mild noise
+        row(5, encode_ppm(other), "ppm"),           # unrelated
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    sigs = {r["media_id"]: r["dhash"] for r in M.image_dhash(df).collect()}
+    assert sigs[1] == sigs[2]  # lossless re-encode -> identical hash
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_near_dup_pairs(df, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 10
+    assert (1, 5) not in pairs and (2, 5) not in pairs

@@ -392,19 +392,33 @@ def simhash_pairs(
     therefore COMPLETE for the requested threshold, at the cost of
     narrower chunks (64/(h+1) bits) and hence more hash-collision
     candidates as h grows — the inherent LSH recall/cost trade."""
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    return hamming_pairs(sigs, max_hamming=max_hamming, sig_col="simhash")
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Threshold-complete Hamming-distance pairs over ANY 64-bit
+    signature column (SimHash text signatures, image dHashes, ...):
+    the pigeonhole banding + popcount-verify core shared by every
+    64-bit-signature dedup path. Returns (doc_a, doc_b, hamming)."""
     n_chunks = min(int(max_hamming) + 1, 64)
     widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
-    banded = sigs.select(
+    base = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig"))
+    banded = base.select(
         "doc_id",
-        "simhash",
+        "__sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), offsets[c])
+                        F.shiftrightunsigned(F.col("__sig"), offsets[c])
                         .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("val"),
                     )
@@ -412,7 +426,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("cb"),
-    ).select("doc_id", "simhash", "cb.chunk", "cb.val")
+    ).select("doc_id", "__sig", "cb.chunk", "cb.val")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -426,7 +440,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

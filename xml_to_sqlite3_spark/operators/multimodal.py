@@ -347,3 +347,60 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
             yield pdf.assign(data=out_data, meta=out_meta)
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """64-bit difference hash (dHash) per image: decode the real
+    raster, grayscale, nearest-resize to 9x8, set bit (r*8+c) when
+    pixel[r][c] > pixel[r][c+1]. The standard perceptual signature —
+    stable under re-encoding, mild noise and scaling — feeding
+    ``dedup.hamming_pairs`` for corpus-wide image near-dup pairs
+    exactly the way SimHash feeds text near-dup.
+
+    Arrow-batched mapInPandas over the binary column; per-row
+    independent, scales with partitions. Unsupported formats raise
+    (same gating as decode_image)."""
+    schema = f"{id_col} long, dhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, data, meta in zip(pdf[id_col], pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] if meta is not None else "") or ""
+                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                gray = arr.astype(np.float64)
+                if gray.ndim == 3:
+                    if gray.shape[2] >= 3:
+                        gray = (
+                            0.299 * gray[:, :, 0]
+                            + 0.587 * gray[:, :, 1]
+                            + 0.114 * gray[:, :, 2]
+                        )
+                    else:
+                        gray = gray[:, :, 0]
+                small = codecs.nearest_resize(
+                    gray[:, :, None].astype(np.uint8), 9, 8
+                )[:, :, 0].astype(np.int32)
+                bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).ravel()
+                h = np.uint64(0)
+                for i, b in enumerate(bits):
+                    h |= b << np.uint64(i)
+                signed = int(h) - (1 << 64) if int(h) >= (1 << 63) else int(h)
+                ids.append(int(mid))
+                hashes.append(signed)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_near_dup_pairs(df: DataFrame, max_hamming: int = 6, id_col: str = "media_id") -> DataFrame:
+    """Image near-duplicate pairs: dHash signatures through the
+    threshold-complete Hamming banding (dedup.hamming_pairs). Returns
+    (doc_a, doc_b, hamming) over media ids."""
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        image_dhash(df, id_col=id_col), max_hamming=max_hamming, id_col=id_col, sig_col="dhash"
+    )

@@ -802,6 +802,53 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the synthesized raster corpus
+    (multimodal_pipeline's text->image rendering): perceptual dHash
+    signatures through the threshold-complete Hamming banding
+    (operators/multimodal.image_near_dup_pairs). Rows-only by
+    declared design — the signatures come from REAL codec decodes
+    (PNG inflate, JPEG IDCT), which have no SQL replay; the operator
+    is value-proven on planted re-encoded/noised images in
+    tests/test_multimodal.py. Exact-duplicate documents render to
+    identical images, so every text dup group resurfaces here as a
+    hamming-0 image pair."""
+    from ..operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+
+    def to_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[: 8 * 8 * 3]
+                raw = raw + b"\x00" * (8 * 8 * 3 - len(raw))
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        encode_ppm(arr),
+                        {
+                            "width": 8,
+                            "height": 8,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "format": "ppm",
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    media = docs.mapInPandas(to_media, schema=M.MEDIA_SCHEMA)
+    return M.image_near_dup_pairs(media, max_hamming=4).orderBy("doc_a", "doc_b")
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at the exhaustive-probe setting: n_probe ==
     n_centroids means every query scans every inverted list, so the
@@ -874,6 +921,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "multimodal_pipeline": multimodal_pipeline,
+    "image_dedup": image_dedup,
     "curate_corpus": curate_corpus_q,
     "curate_cheap": curate_cheap,
     "content_similarity": content_similar,
