@@ -62,17 +62,26 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
     write_zordered(df, zpath, ["x", "y"], n_files=8)
 
+    # The sharp, deterministic property: the x-sorted layout is
+    # completely BLIND on y — every row group spans all of y, so a
+    # y-only predicate prunes nothing (fraction exactly 1.0) — while
+    # the Z layout fixes y's high bits per z-range and prunes most
+    # groups. A 2-D-box comparison at 8-row-group granularity is a
+    # coin flip on range-partitioner boundary placement (both
+    # layouts quantize to multiples of 1/8 and measured equal in
+    # shared-suite runs), so assert the y-only property instead.
+    y_only = ((0, 1000), (100, 150))  # x unconstrained, y selective
+    plain_frac = _overlap_fraction(plain, *y_only)
+    z_frac = _overlap_fraction(zpath, *y_only)
+    assert plain_frac == 1.0, plain_frac
+    # y buckets 25..38 pin y7=y6=0; any contiguous 1/8 z-range fixes
+    # (y7, x7, y6) -> 2 of 8 partitions ideally, <=0.5 with a
+    # sampling-shifted boundary adding one group.
+    assert z_frac <= 0.5, (z_frac, plain_frac)
+
+    # and the 2-D box never does WORSE under z than under x-sort
     box = ((100, 150), (100, 150))  # ~0.25% of the 2-D space
-    plain_frac = _overlap_fraction(plain, *box)
-    z_frac = _overlap_fraction(zpath, *box)
-    # x-sorted layout: every row group spans all of y -> only the x
-    # bound prunes; z-order must prune on BOTH. Isolated runs measure
-    # 0.125 vs 0.25 consistently; the 0.7 factor absorbs layout
-    # variation from range-partitioner sampling / row-group flushing
-    # differences in a shared suite session without weakening the
-    # property (no-z-benefit would fail the strict < outright).
-    assert z_frac < plain_frac, (z_frac, plain_frac)
-    assert z_frac <= 0.7 * plain_frac, (z_frac, plain_frac)
+    assert _overlap_fraction(zpath, *box) <= _overlap_fraction(plain, *box)
 
     # and the data itself round-trips
     back = spark.read.parquet(zpath)
