@@ -26,6 +26,7 @@ from xml_to_sqlite3_spark.plans import (
     olap,
     olap_ext,
     streaming_q,
+    tpch_shapes,
 )
 
 
@@ -77,17 +78,12 @@ _GATE_PRIORITY = [
     "multi_attribute_search",
     "xpath_search",
     "dedup_exact",
-    "stable_sample",
-    "dataset_split",
-    "source_quota",
     "normalize_redact",
     "vocabulary_topk",
     "tf_idf",
     "kmv_distinct",
     "gopher_quality",
     "decontaminate",
-    "events_json_extract",
-    "events_pivot",
     "ann_cosine_topk",
     "multimodal_pipeline",  # rows-only by design
     "image_dedup",          # rows-only by design (new this round)
@@ -97,19 +93,28 @@ _GATE_PRIORITY = [
     "mix_sources",
     "orders_cube",
     "events_deltas",
-    # -- freshest-needed of the r4-green remainder
-    "type_inference",
-    "dedup_components",
-    "ngram_jaccard",
-    "asof_join",
-    "q1_pricing_summary",
-    # -- new operators this round (first driver contact)
     "dup_spans",
     "dedup_spans_apply",
     "streaming_topk",
     "streaming_enriched",
+    # -- new join-strategy OLAP + event-analytics surface (first
+    # driver contact; plans/tpch_shapes.py)
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_ship_latency",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q22_inactive_customers",
+    "funnel_conversion",
+    "cohort_retention",
     # demoted to past-window this round (all r4-green, unchanged
-    # plans): sessionization, events_windowed, asof_join_forward
+    # plans): type_inference, dedup_components, ngram_jaccard,
+    # asof_join, q1_pricing_summary (entry() itself still smoke-runs
+    # it), events_json_extract, events_pivot, stable_sample,
+    # dataset_split, source_quota — displaced by the 10 never-checked
+    # tpch_shapes entries; sessionization, events_windowed, asof_join_forward
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),
@@ -130,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     full.update(olap.QUERIES)
     full.update(olap_ext.QUERIES)
+    full.update(tpch_shapes.QUERIES)
     full.update(node_graph.QUERIES)
     full.update(llm_pipeline.QUERIES)
     full.update(streaming_q.QUERIES)
@@ -158,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(olap.ORACLES)
     out.update(olap_ext.ORACLES)
+    out.update(tpch_shapes.ORACLES)
     out.update(node_graph.ORACLES)
     out.update(llm_pipeline.ORACLES)
     out.update(streaming_q.ORACLES)

@@ -1,0 +1,527 @@
+"""Join-strategy OLAP shapes (TPC-H Q4/Q7/Q10/Q12/Q13/Q14/Q18/Q22)
+plus event funnel / cohort-retention analytics.
+
+The core surface (plans/olap.py) covers the scan/agg/snowflake
+shapes (Q1/Q3/Q5/Q6); this module adds the query shapes whose value
+is the JOIN STRATEGY they force Catalyst to pick:
+
+- left-semi with a non-equi residual (Q4: EXISTS over lineitem)
+- left-anti + a 1-row scalar-subquery broadcast (Q22: NOT EXISTS)
+- left-outer feeding a second aggregation (Q13: order-count
+  distribution — the outer join must preserve order-less customers)
+- self-aliased dimension reused on two join paths (Q7: supplier
+  nation x customer nation)
+- group-filter (HAVING) before the enrichment join (Q18)
+- conditional aggregation after a fact-fact join (Q12, Q14)
+
+All are declarative DataFrame plans: equi-keys drive shuffle or
+broadcast joins (nation is hinted broadcast; everything else is left
+to AQE so the same plan scales to a 100 TB fact side), residual
+predicates ride along as join conditions, and every aggregate is
+map-side partial first. Oracle parity notes: DuckDB widens sum(int)
+to HUGEINT and EXTRACT(year) to BIGINT — every such column is CAST
+back to the exact Spark dtype in the oracle SQL (same class as
+commit e1680c1).
+
+Reference anchor: the reference's query surface is "run SQL over the
+extracted graph" (README Example Queries, examples/sql_queries.md);
+these are the standard relational shapes that surface generalizes to
+on the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io_util import load
+
+
+def _exact_disc_price():
+    """Discounted price as EXACT decimal arithmetic.
+
+    The testdata's prices/discounts are 2-decimal values stored as
+    doubles; a double SUM over them is accumulation-order-dependent,
+    so Spark and DuckDB can disagree in the last rounded cent (and at
+    1000 executors the Spark result would not even be stable run to
+    run). Casting both factors to decimal(18,4) is value-exact here,
+    and a decimal SUM is associative — deterministic at any scale.
+    The oracle SQL mirrors the same casts.
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    keep = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return price * keep
+
+
+_EXACT_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+)
+
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders (one quarter) with at least one lineitem
+    shipped >30 days after the order date, counted by priority.
+
+    LEFT SEMI join — the equi-key (orderkey) drives the shuffle; the
+    date residual rides as the join condition, so no fact-fact
+    materialization and each order is counted once no matter how
+    many lineitems are late.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nation pairs by year.
+
+    The nation dimension is aliased TWICE — once on the supplier
+    path, once on the customer path — and broadcast on both; the
+    cross-pair predicate applies after both joins resolve.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") < F.col("cust_nation"))
+        | (F.col("supp_nation") > F.col("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_exact_disc_price()), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(round(sum({disc}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""".format(disc=_EXACT_DISC_PRICE_SQL)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Multi-join fact aggregation with a deterministic top-k
+    (unique custkey tie-break below the rounded revenue sort).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(_exact_disc_price()), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum({disc}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""".format(disc=_EXACT_DISC_PRICE_SQL)
+
+
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (adapted — the driver schema has no l_shipmode):
+    conditional priority counts per ship-latency bucket. The
+    CASE-sum aggregation runs after an orderkey equi-join.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lat <= 30, "0-30d").when(lat <= 90, "31-90d").otherwise("90d+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("latency_bucket")
+    )
+
+
+Q12_ORACLE = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN '0-30d'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN '31-90d'
+            ELSE '90d+' END AS latency_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts.
+
+    LEFT OUTER join with the filter ON THE JOIN (not a WHERE — a
+    where-filter would silently turn the join inner and drop
+    zero-order customers), then a second aggregation over the first.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share for one ship-month —
+    conditional aggregation over a part equi-join, 1-row result.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc = _exact_disc_price()
+    zero = F.lit(0).cast("decimal(18,4)") * F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+                .cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN {disc}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) * CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum({disc}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""".format(disc=_EXACT_DISC_PRICE_SQL)
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold,
+    enriched with the customer. The HAVING-filter aggregation runs
+    FIRST so only the (few) qualifying orderkeys reach the joins —
+    at scale the filtered aggregate is broadcast-sized.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average balance and NO urgent
+    orders, per nation. Two strategies in one plan: the global
+    average is a 1-row broadcast (scalar subquery), the NOT EXISTS
+    is a LEFT ANTI join against the filtered orders side.
+    """
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            # acctbal is 2-decimal data in a double column — sum it
+            # as exact decimal for order-independence (same reason
+            # as _exact_disc_price)
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: view -> click -> purchase per user,
+    each later stage strictly after the user's earliest completion
+    of the previous one. Returns one row of stage-reach counts.
+
+    Shape: three stage aggregations, each one hash-agg over the
+    (already user-partitioned) events plus an equi-join on user_id —
+    never a cross-stage window over the whole corpus. At 100 TB each
+    stage's output is |users| rows, and the joins co-partition on
+    user_id so AQE folds them into one shuffle exchange chain.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.select(F.lit(1).alias("__k"), F.col("user_id").alias("u1"))
+        .groupBy("__k").agg(F.count("u1").alias("n_view"))
+        .join(
+            t2.select(F.lit(1).alias("__k"), F.col("user_id").alias("u2"))
+            .groupBy("__k").agg(F.count("u2").alias("n_click")),
+            "__k",
+        )
+        .join(
+            t3.select(F.lit(1).alias("__k"), F.col("user_id").alias("u3"))
+            .groupBy("__k").agg(F.count("u3").alias("n_purchase")),
+            "__k",
+        )
+        .select("n_view", "n_click", "n_purchase")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+     t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY e.user_id),
+     t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM t1) AS n_view,
+       (SELECT count(*) FROM t2) AS n_click,
+       (SELECT count(*) FROM t3) AS n_purchase
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort week, weeks-since) cell, how many
+    distinct cohort members were active.
+
+    One window-min per user partition assigns cohorts without a
+    second scan-join; both week columns truncate to Monday so the
+    day-difference is an exact multiple of 7.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    cohort = F.date_trunc("week", first_ts).cast("date")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            (F.datediff(week, cohort) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', first_ts),
+                      date_trunc('week', ts)) / 7 AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS active_users
+FROM firsts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "q4_late_shipments": q4_late_shipments,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q12_ship_latency": q12_ship_latency,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume": q18_large_volume,
+    "q22_inactive_customers": q22_inactive_customers,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "q4_late_shipments": Q4_ORACLE,
+    "q7_volume_shipping": Q7_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
+    "q12_ship_latency": Q12_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
+    "q14_promo_effect": Q14_ORACLE,
+    "q18_large_volume": Q18_ORACLE,
+    "q22_inactive_customers": Q22_ORACLE,
+    "funnel_conversion": FUNNEL_ORACLE,
+    "cohort_retention": COHORT_ORACLE,
+}
