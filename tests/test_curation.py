@@ -333,3 +333,70 @@ def test_mix_sources(spark):
         ).groupBy("source").count().collect()
     }
     assert again == by_src
+
+
+def test_cms_estimate_upper_bounds_and_exact_without_collisions(spark):
+    from xml_to_sqlite3_spark.operators.curation import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    truth = {"a": 50, "b": 20, "c": 5, "d": 1}
+
+    # tiny width forces collisions: estimates only ever overshoot
+    tiny = count_min_sketch(df, "v", width=2, depth=3)
+    probes = spark.createDataFrame([(k,) for k in truth] + [("zz",)], ["v"])
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(tiny, probes, "v", width=2, depth=3).collect()
+    }
+    for k, true_cnt in truth.items():
+        assert est[k] >= true_cnt, (k, est[k], true_cnt)
+    # total mass bounds any single estimate
+    assert max(est.values()) <= sum(truth.values())
+
+    # wide sketch: 4 values over 1024 buckets x 4 rows — md5 is not
+    # adversarial here, estimates are exact, unseen values read 0
+    wide = count_min_sketch(df, "v", width=1024, depth=4)
+    est_w = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(wide, probes, "v", width=1024, depth=4).collect()
+    }
+    assert est_w == {**truth, "zz": 0}
+
+
+def test_cms_merges_by_cell_sum(spark):
+    from xml_to_sqlite3_spark.operators.curation import count_min_sketch
+
+    import pyspark.sql.functions as F
+
+    base = spark.range(200).select(
+        F.concat(F.lit("k"), (F.col("id") % 7)).alias("v"), "id"
+    )
+    half1 = base.filter("id < 120").select("v")
+    half2 = base.filter("id >= 120").select("v")
+    whole = count_min_sketch(base.select("v"), "v", width=16, depth=3)
+    s1 = count_min_sketch(half1, "v", width=16, depth=3)
+    s2 = count_min_sketch(half2, "v", width=16, depth=3)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_skew_report_values(spark):
+    from xml_to_sqlite3_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["key"]: r for r in skew_report(df, "k", top=3).collect()}
+    assert out["hot"]["cnt"] == 90
+    # mean load = 100/3; hot's ratio = 90/(100/3) = 2.7
+    assert abs(out["hot"]["skew_ratio"] - 2.7) < 1e-9
+    assert out["hot"]["suggested_salt"] == 3
+    assert abs(out["hot"]["share"] - 0.9) < 1e-9
+    assert out["cold"]["suggested_salt"] == 1

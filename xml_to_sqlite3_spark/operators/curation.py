@@ -754,3 +754,81 @@ def mix_sources(
         df.join(F.broadcast(rates), source_col)
         .filter(stable_unit(F.col(key_col)) < F.col("keep_rate"))
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch of the value frequencies in ``col``:
+    ``depth`` independent hash rows of ``width`` counters each.
+    Returns (row, bucket, cnt) — only non-zero counters, so the
+    sketch is at most depth x width rows regardless of input size.
+
+    Point-estimate guarantee: for any value v,
+    ``min_d cnt[d][h_d(v)]`` >= true_count(v), overshooting by more
+    than 2N/width with probability <= 2^-depth. Unlike heavy_hitters
+    (Misra-Gries, partition-order-dependent), the CMS is a pure
+    function of the value multiset: the hash rows derive from the
+    portable 60-bit md5 (stable_hash60 with a per-row tag), so the
+    sketch itself is value-oracle-checkable in SQL, mergeable across
+    corpus shards by summing matching (row, bucket) cells, and
+    identical on 1 or 1000 executors.
+
+    Shape: one explode (xdepth) + one map-side-combinable hash agg;
+    output is sketch-sized. No UDF, no driver state.
+    """
+    v = F.col(col).cast("string")
+    cells = [
+        F.struct(
+            F.lit(d).alias("row"),
+            (stable_hash60(F.concat(F.lit(f"cms{d}|"), v)) % width).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("__c"))
+        .groupBy(
+            F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point estimates from a count_min_sketch built with the same
+    (width, depth): for each probe value, min over hash rows of its
+    counter. An absent (row, bucket) cell means that counter is 0 —
+    the left join + coalesce keeps unseen values at estimate 0
+    instead of overestimating from the cells that do exist.
+    The sketch side is at most depth x width rows and broadcasts.
+    """
+    v = F.col(col).cast("string")
+    probes = values.select(
+        v.alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        (stable_hash60(F.concat(F.lit(f"cms{d}|"), v)) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__p"),
+    ).select("value", F.col("__p.row").alias("row"), F.col("__p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )

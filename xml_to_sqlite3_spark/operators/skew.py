@@ -78,3 +78,36 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/agg key:
+    the ``top`` hottest keys with their row count, share of all rows,
+    skew ratio vs the mean key load, and the salt factor that would
+    level that key (the ``salt`` argument salted_join needs).
+
+    This is the measurement half of the skew toolkit: run it on the
+    join key BEFORE a 100 TB join; a skew_ratio near 1 means hash
+    partitioning is already balanced, a 1000x key either gets salted
+    (salted_join) or AQE skew-join handles it. Shape: one hash agg to
+    key counts (map-side partial), a 1-row stats broadcast, top-k.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    mean_load = F.col("__total") / F.col("__n_keys")
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cnt") / mean_load, 4).alias("skew_ratio"),
+            F.ceil(F.col("cnt") / mean_load).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top)
+    )

@@ -559,3 +559,32 @@ ORDER BY d.doc_id
 
 QUERIES["mix_sources"] = mix_sources_q
 ORACLES["mix_sources"] = MIX_SOURCES_ORACLE
+
+
+def cms_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 64) of event user_id
+    frequencies — every non-zero counter cell. The sketch is a pure
+    function of the value multiset (portable md5 hash rows), so the
+    cells themselves are value-oracled; estimate/merge guarantees
+    are property-tested in tests/test_curation.py."""
+    ev = load(spark, sf_dir, "events")
+    return C.count_min_sketch(ev, "user_id", width=64, depth=4).orderBy(
+        "row", "bucket"
+    )
+
+
+CMS_SKETCH_ORACLE = """
+WITH cells AS (
+  SELECT CAST(d.r AS INTEGER) AS row,
+         ('0x' || substr(md5('cms' || d.r || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+  FROM events, (SELECT unnest(range(4)) AS r) d
+)
+SELECT row, bucket, count(*) AS cnt
+FROM cells
+GROUP BY row, bucket
+ORDER BY row, bucket
+"""
+
+
+QUERIES["cms_sketch"] = cms_sketch_q
+ORACLES["cms_sketch"] = CMS_SKETCH_ORACLE

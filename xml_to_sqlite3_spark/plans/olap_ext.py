@@ -332,3 +332,34 @@ QUERIES["orders_cube"] = orders_cube
 ORACLES["orders_cube"] = ORDERS_CUBE_ORACLE
 QUERIES["events_deltas"] = events_deltas
 ORACLES["events_deltas"] = EVENTS_DELTAS_ORACLE
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/skew.py skew_report) on
+    the events user_id key — the measurement half of the salting
+    toolkit, run before committing a join strategy at scale."""
+    from ..operators.skew import skew_report
+
+    ev = load(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top=15)
+
+
+KEY_SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts
+)
+SELECT key, cnt,
+       round(cnt / CAST(total AS DOUBLE), 6) AS share,
+       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS skew_ratio,
+       CAST(ceil(cnt / (CAST(total AS DOUBLE) / n_keys)) AS INTEGER) AS suggested_salt
+FROM counts, stats
+ORDER BY cnt DESC, key
+LIMIT 15
+"""
+
+
+QUERIES["key_skew_report"] = key_skew_report
+ORACLES["key_skew_report"] = KEY_SKEW_REPORT_ORACLE
