@@ -120,12 +120,15 @@ def test_xref_store_is_full_and_prunable(spark):
     assert "Union" not in plan
     assert "Generate" not in plan, "scan-time explode is back"
 
-    # a type-filtered consumer pushes reference_type into the scan
+    # a type-filtered consumer prunes at the DIRECTORY level — the
+    # store is partitioned by reference_type, so the predicate must
+    # appear as a partition filter on the scan (file-skip, stronger
+    # than row-group stats pushdown)
     filtered = xrefs.filter(xrefs.reference_type == "parent_child")
     fplan = _physical(filtered)
-    assert "PushedFilters: [" in fplan
-    pushed = fplan.split("PushedFilters: [")[1].split("]")[0]
-    assert "reference_type" in pushed, fplan
+    assert "PartitionFilters: [" in fplan, fplan
+    part = fplan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "reference_type" in part, fplan
 
     # broken_references consumes the stored set directly
     plan2 = _physical(NG.broken_references(spark, SF_SMOKE))
