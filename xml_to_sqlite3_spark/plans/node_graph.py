@@ -1189,8 +1189,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph.py."""
     from ..operators.graph import pagerank
 
-    from ..operators.curation import stable_unit
-
     _, _, xrefs = get_graph(spark, sf_dir)
     # the attribute-reference LINK graph — "which entities are most
     # referenced" is the centrality question; the structural
@@ -1199,8 +1197,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the full sf0.1 link graph cost ~40s of pure round
     # overhead, and the operator's plan shape is identical at any
     # edge count (tests prove values against a naive implementation).
+    # xxhash64, not the portable-md5 stable_unit: this gate is
+    # rows-only by design, so the subsample needs determinism but
+    # not SQL replay — the native hash skips 2M conv(md5) calls
+    # (~3s at sf0.1).
     edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
-        stable_unit(F.concat("source_node_id", F.lit("|"), "target_node_id")) < 0.3
+        F.pmod(
+            F.xxhash64(F.concat("source_node_id", F.lit("|"), "target_node_id")),
+            F.lit(10),
+        )
+        < 3
     )
     return (
         pagerank(edges, n_iter=6)
