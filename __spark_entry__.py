@@ -77,7 +77,6 @@ _GATE_PRIORITY = [
     # -- rotated out of r4's window, stale since r3
     "multi_attribute_search",
     "xpath_search",
-    "dedup_exact",
     "normalize_redact",
     "kmv_distinct",
     "gopher_quality",
@@ -109,12 +108,13 @@ _GATE_PRIORITY = [
     "cohort_retention",
     "cms_sketch",
     "key_skew_report",
+    "random_projection",
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
-    # dataset_split, source_quota, vocabulary_topk, tf_idf —
-    # displaced by the 12 never-checked r5 entries; sessionization, events_windowed, asof_join_forward
+    # dataset_split, source_quota, vocabulary_topk, tf_idf,
+    # dedup_exact — displaced by the 13 never-checked r5 entries; sessionization, events_windowed, asof_join_forward
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),

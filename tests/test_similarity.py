@@ -94,3 +94,38 @@ def test_embedding_near_duplicates(vectors):
     assert (1, 101) in pairs and pairs[(1, 101)] == pytest.approx(1.0)
     assert (1, 100) in pairs
     assert (100, 101) in pairs
+
+
+def test_random_sign_projection_exact_and_jl(spark):
+    """Components equal an independent python decimal model, and the
+    projection roughly preserves pairwise distance ordering (JL)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators.similarity import random_sign_projection
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_sign_projection(df, out_dims=4, in_dims=8)
+    got = {(r["vec_id"], r["dim"]): r["component"] for r in out.collect()}
+
+    def sign(j, i):
+        return 1 if int(hashlib.md5(f"rp{j}|{i}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+
+    q = Decimal("0.000000001")
+    for v in range(6):
+        for j in range(4):
+            want = float(
+                sum(
+                    Decimal(repr(float(np.float64(vecs[v][i])))).quantize(q, ROUND_HALF_UP)
+                    * sign(j, i)
+                    for i in range(8)
+                )
+            )
+            assert got[(v, j)] == want, (v, j, got[(v, j)], want)

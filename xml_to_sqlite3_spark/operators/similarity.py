@@ -357,3 +357,58 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _sign_md5(tag: str) -> int:
+    """+-1 from the portable md5 hash (parity of the same 60-bit
+    integer DuckDB derives with ('0x' || substr(md5(tag), 1, 15)))."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+
+
+def random_sign_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 16,
+    in_dims: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a +-1 sign
+    matrix (Achlioptas 2003): component j = sum_i sign(j,i) * v[i].
+    Returns long form (id, dim, component) — ``out_dims`` rows per
+    vector.
+
+    Deterministic end to end: the sign matrix derives from the
+    portable md5 (tag "rp{j}|{i}"), and the accumulation runs in
+    EXACT decimal arithmetic — a double sum would be
+    summation-order-dependent and differ between engines/cluster
+    sizes; decimal addition is associative, so the projection is
+    bit-identical on 1 or 1000 executors AND SQL-replayable (the
+    oracle recomputes the same signs from the same md5). The sign
+    matrix is baked into the plan as literal arrays (out_dims x
+    in_dims ints — trivially broadcast with the task binary); no
+    shuffle at all, one narrow pass over the vectors.
+    """
+    comps = []
+    for j in range(out_dims):
+        signs = ",".join(
+            str(_sign_md5(f"rp{j}|{i}")) for i in range(in_dims)
+        )
+        agg = (
+            f"CAST(aggregate(zip_with({vec_col}, array({signs}), "
+            f"(e, s) -> CAST(CAST(e AS DOUBLE) AS DECIMAL(18,9)) * s), "
+            # accumulator stays at precision 28: a (38,9) accumulator
+            # would make acc+x exceed Spark's precision-38 cap, which
+            # silently REDUCES THE SCALE to 8 and rounds every
+            # intermediate sum (measured 4e-8 drift over 64 adds);
+            # (28,9)+(29,9) -> (30,9) stays exact
+            f"CAST(0 AS DECIMAL(28,9)), "
+            f"(acc, x) -> CAST(acc + x AS DECIMAL(28,9))) AS DOUBLE)"
+        )
+        comps.append(
+            F.struct(F.lit(j).alias("dim"), F.expr(agg).alias("component"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*comps)).alias("__p")
+    ).select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.component").alias("component"))

@@ -952,3 +952,32 @@ ORACLES = {
     "dup_spans": DUP_SPANS_ORACLE,
     "dedup_spans_apply": DEDUP_SPANS_APPLY_ORACLE,
 }
+
+
+def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection of the embeddings to 16 dims
+    (operators/similarity.py random_sign_projection), long form."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.random_sign_projection(emb, out_dims=16, in_dims=64).orderBy(
+        "vec_id", "dim"
+    )
+
+
+RANDOM_PROJECTION_ORACLE = """
+WITH sig AS (
+  SELECT CAST(j.j AS INTEGER) AS j, CAST(i.i AS INTEGER) AS i,
+         CASE WHEN ('0x' || substr(md5('rp' || j.j || '|' || i.i), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range(64)) AS i) i
+), comps AS (
+  SELECT em.vec_id, sig.j AS dim,
+         CAST(sum(CAST(CAST(em.embedding[sig.i + 1] AS DOUBLE) AS DECIMAL(18,9)) * sig.s) AS DOUBLE) AS component
+  FROM embeddings em CROSS JOIN sig
+  GROUP BY em.vec_id, sig.j
+)
+SELECT vec_id, dim, component FROM comps ORDER BY vec_id, dim
+"""
+
+
+QUERIES["random_projection"] = random_projection_q
+ORACLES["random_projection"] = RANDOM_PROJECTION_ORACLE
