@@ -80,7 +80,6 @@ _GATE_PRIORITY = [
     "normalize_redact",
     "kmv_distinct",
     "gopher_quality",
-    "decontaminate",
     "ann_cosine_topk",
     "multimodal_pipeline",  # rows-only by design
     "image_dedup",          # rows-only by design (new this round)
@@ -109,12 +108,14 @@ _GATE_PRIORITY = [
     "cms_sketch",
     "key_skew_report",
     "random_projection",
+    "bpe_merges",       # rows-only by design (iterative trainer)
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
     # dataset_split, source_quota, vocabulary_topk, tf_idf,
-    # dedup_exact — displaced by the 13 never-checked r5 entries; sessionization, events_windowed, asof_join_forward
+    # dedup_exact, decontaminate — displaced by the 14 never-checked
+    # r5 entries; sessionization, events_windowed, asof_join_forward
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),

@@ -12,6 +12,8 @@ that surface, built Spark-first.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -133,3 +135,138 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("full_md5"),
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
     )
+
+
+def _merge_pair_in_symbols(symbols: list, left: str, right: str) -> list:
+    """One BPE merge applied to one symbol sequence (left-to-right,
+    non-overlapping — the Sennrich et al. 2016 rule)."""
+    out = []
+    i = 0
+    n = len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus
+    (Sennrich et al. 2016). Returns (rank, left, right, pair_count):
+    the ``rank``-th merge joined symbols ``left``+``right``, which
+    co-occurred adjacently ``pair_count`` times (word-frequency
+    weighted) at the time of the merge.
+
+    Deterministic at any cluster size: pair counts are exact integer
+    sums and the argmax tie-breaks lexicographically — but the
+    training loop is inherently iterative (each merge changes the
+    next round's pair counts), so there is no SQL replay; the gate is
+    rows-only and tests/test_text_bpe.py proves the merge sequence
+    against an independent pure-python reference.
+
+    Scale shape (the standard distributed-BPE factorization): the
+    corpus collapses ONCE to a (word, count, symbols) vocabulary —
+    corpus-size work happens once, every iteration after that is
+    vocabulary-sized. Per merge: one explode of adjacent pairs
+    weighted by word count, one map-side-combinable sum, one
+    1-ROW collect (the argmax IS the model parameter — same driver
+    posture as the k-means codebook), and one Arrow-batched merge
+    apply over the vocab. localCheckpoint every 4 rounds caps the
+    plan's lineage growth.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("symbols"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(slice(symbols, 1, size(symbols) - 1), "
+                    "(s, i) -> struct(s AS l, symbols[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((left, right, n))
+
+        def _make(_l: str, _r: str):
+            @pandas_udf("array<string>")
+            def apply_merge(col: pd.Series) -> pd.Series:
+                return col.map(lambda s: _merge_pair_in_symbols(list(s), _l, _r))
+
+            return apply_merge
+
+        vocab = vocab.select("cnt", _make(left, right)("symbols").alias("symbols"))
+        if (rank + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment text with a learned merge table: (id, n_bpe_tokens,
+    tokens). ``merges`` is the [(left, right), ...] list in rank
+    order (broadcast with the task binary — a merge table is
+    vocabulary-sized, never data-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(l, r) for l, r, *_ in (list(m) for m in merges)]
+
+    @pandas_udf("array<string>")
+    def segment(col: pd.Series) -> pd.Series:
+        def one(text: str) -> list:
+            toks: list = []
+            for w in str(text).lower().split():
+                sym = list(w) + ["</w>"]
+                for l, r in ordered:
+                    sym = _merge_pair_in_symbols(sym, l, r)
+                toks.extend(sym)
+            return toks
+
+        return col.map(one)
+
+    return df.select(
+        F.col(id_col),
+        segment(F.col(text_col)).alias("tokens"),
+    ).select(id_col, F.size("tokens").alias("n_bpe_tokens"), "tokens")

@@ -981,3 +981,18 @@ SELECT vec_id, dim, component FROM comps ORDER BY vec_id, dim
 
 QUERIES["random_projection"] = random_projection_q
 ORACLES["random_projection"] = RANDOM_PROJECTION_ORACLE
+
+
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table learned from the documents corpus
+    (operators/text.py train_bpe). Rows-only by declared design: the
+    merge sequence is deterministic (exact integer pair counts,
+    lexicographic tie-break) but inherently iterative — each merge
+    reshapes the next round's pair counts — so there is no SQL
+    replay; tests/test_text_bpe.py proves the sequence against an
+    independent pure-python reference implementation."""
+    docs = load(spark, sf_dir, "documents")
+    return T.train_bpe(docs, n_merges=12).orderBy("rank")
+
+
+QUERIES["bpe_merges"] = bpe_merges_q
