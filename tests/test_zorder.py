@@ -89,3 +89,26 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert back.filter((F.col("x") == 123) & (F.col("y") == 437)).count() == (
         df.filter((F.col("x") == 123) & (F.col("y") == 437)).count()
     )
+
+
+def test_compact_parquet_binpacks_small_files(spark, tmp_path):
+    from xml_to_sqlite3_spark.sinks.parquet_sink import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(100_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    import glob
+    import os
+
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 60
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{src}/*.parquet"))
+    target = total // 4  # aim for ~4-5 files
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert n_out <= 6, n_out
+    assert n_out >= 2, n_out
+    # data round-trips exactly
+    back = spark.read.parquet(dst)
+    assert back.count() == 100_000
+    assert back.agg(F.sum("v")).first()[0] == spark.read.parquet(src).agg(F.sum("v")).first()[0]

@@ -118,3 +118,52 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_col: str | None = None,
+) -> int:
+    """Bin-pack a parquet dataset into ~``target_file_bytes`` files;
+    returns the file count written. The small-files problem:
+    streaming micro-batches and fine-grained partitioned writes leave
+    thousands of KB-sized files, and at 100 TB the per-file open/
+    footer cost dominates scans. Compaction = size the output file
+    count from the INPUT's on-disk bytes (compressed, from the
+    filesystem listing — no data read), then one round-robin
+    ``repartition(n)`` rewrite for evenly-sized files.
+
+    With ``partition_col`` the directory layout is preserved and each
+    output file holds one partition value (repartition BY COLUMN so
+    the writer task and the directory agree — round-robin would make
+    every task write every directory).
+
+    This is the maintenance half of the lakehouse OPTIMIZE pattern
+    (write_zordered is the clustering half; compose by compacting
+    into a z-ordered rewrite).
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if partition_col is not None:
+        (
+            df.repartition(n, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
+    written = 0
+    for root, _dirs, files in os.walk(out_path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written
