@@ -996,3 +996,82 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_merges"] = bpe_merges_q
+
+
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality audit: what fraction of TRUE
+    near-duplicate pairs (exact 3-gram Jaccard >= 0.05, inverted-index
+    brute-force) does MinHash(16 bands x 4 rows) banding + verify
+    actually recover? One row: (n_exact, n_caught, recall).
+
+    At threshold 0.05 the (16,4) S-curve is far from saturation, so
+    recall is a real measurement, not 1.0 by construction — this is
+    the query a pipeline owner runs on a sample before trusting
+    banded dedup at 100 TB (both sides here are banded/indexed joins;
+    nothing all-pairs at corpus scale except the oracle's replay)."""
+    docs = load(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.05, n=3).select("doc_a", "doc_b")
+    caught = D.minhash_lsh_pairs(docs, threshold=0.05).select("doc_a", "doc_b")
+    hit = caught.join(exact, ["doc_a", "doc_b"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_c = hit.agg(F.count(F.lit(1)).alias("n_caught"))
+    return n_e.crossJoin(n_c).select(
+        "n_exact",
+        "n_caught",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_caught") / F.col("n_exact"), 6),
+        ).alias("recall"),
+    )
+
+
+DEDUP_RECALL_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.05
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.g), 1, 15))::BIGINT AS h
+  FROM sh, unnest(sh.s) AS t(g)
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS}
+  FROM (SELECT doc_id, h % {_P31} AS hm FROM tok)
+  GROUP BY doc_id
+), hsets AS (
+  SELECT doc_id, list(h) AS hs, count(*) AS n_sh FROM tok GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {_MINHASH_BAND_MATCH}
+), caught AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN hsets x ON c.doc_a = x.doc_id
+  JOIN hsets y ON c.doc_b = y.doc_id
+  WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (x.n_sh + y.n_sh - len(list_intersect(x.hs, y.hs))), 6) >= 0.05
+), hit AS (
+  SELECT * FROM caught INTERSECT SELECT * FROM exact
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_caught,
+       CASE WHEN (SELECT count(*) FROM exact) > 0
+            THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                       / (SELECT count(*) FROM exact), 6)
+            END AS recall
+"""
+
+
+QUERIES["dedup_recall_audit"] = dedup_recall_audit
+ORACLES["dedup_recall_audit"] = DEDUP_RECALL_ORACLE
