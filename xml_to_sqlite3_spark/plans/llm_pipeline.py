@@ -375,7 +375,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs).orderBy("doc_id")
 
 
-DEDUP_COMPONENTS_ORACLE = r"""
+# shared duplicate-closure CTE chain (exact jaccard pairs -> recursive
+# reachability); DEDUP_COMPONENTS and NEAR_DEDUP tails both build on it
+_DUP_REACH_CTES = r"""
 WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -399,6 +401,9 @@ WITH RECURSIVE sh AS MATERIALIZED (
   UNION
   SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
 )
+"""
+
+DEDUP_COMPONENTS_ORACLE = _DUP_REACH_CTES + """
 SELECT src AS doc_id,
        least(src, min(dst)) AS component,
        src = least(src, min(dst)) AS is_keeper
@@ -1075,3 +1080,36 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 
 QUERIES["dedup_recall_audit"] = dedup_recall_audit
 ORACLES["dedup_recall_audit"] = DEDUP_RECALL_ORACLE
+
+
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dedup story: the corpus that survives.
+    Transitive duplicate groups (connected components over exact
+    Jaccard>=0.3 pairs) keep only their minimum doc_id; everything
+    else passes through untouched. One anti-join against the
+    (tiny) drop-list — at 100 TB the corpus is only ever filtered,
+    never reshuffled."""
+    from ..operators.graph import duplicate_groups
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    drop = duplicate_groups(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+NEAR_DEDUP_CORPUS_ORACLE = _DUP_REACH_CTES + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT src FROM reach GROUP BY src
+  HAVING src <> least(src, min(dst)))
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["near_dedup_corpus"] = near_dedup_corpus
+ORACLES["near_dedup_corpus"] = NEAR_DEDUP_CORPUS_ORACLE
