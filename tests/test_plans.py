@@ -133,3 +133,75 @@ def test_xref_store_is_full_and_prunable(spark):
     # broken_references consumes the stored set directly
     plan2 = _physical(NG.broken_references(spark, SF_SMOKE))
     assert "Generate" not in plan2, plan2
+
+
+def test_q4_semi_join_with_pushed_date_filter(spark):
+    """Q4 must be a LEFT SEMI (never a fact-fact materialization) and
+    the orders quarter filter must reach the parquet scan."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as TS
+
+    plan = _physical(TS.q4_late_shipments(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: the 1-row average broadcasts; the urgent-orders side is a
+    LEFT ANTI with its priority filter pushed down."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as TS
+
+    plan = _physical(TS.q22_inactive_customers(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "o_orderpriority" in plan  # filter present on the anti side
+
+
+def test_q13_stays_left_outer(spark):
+    """Q13's join-side predicate must NOT degrade the join to inner —
+    zero-order customers are the point of the query."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as TS
+
+    plan = _physical(TS.q13_customer_distribution(spark, SF_SMOKE))
+    assert "LeftOuter" in plan, plan
+
+
+def test_q18_aggregates_before_joining(spark):
+    """The HAVING aggregation must run below the joins so only
+    qualifying orderkeys are joined (agg-first shape)."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as TS
+
+    plan = _physical(TS.q18_large_volume(spark, SF_SMOKE))
+    # the per-orderkey aggregate appears deeper in the plan (printed
+    # later) than the first join operator
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if i >= 0
+    )
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    assert agg_pos > first_join >= 0, plan
+
+
+def test_q7_broadcasts_nation_twice(spark):
+    from xml_to_sqlite3_spark.plans import tpch_shapes as TS
+
+    plan = _physical(TS.q7_volume_shipping(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_projection_and_cms_have_no_python_and_no_shuffle(spark):
+    """random_sign_projection is a pure narrow Column pass; the CMS is
+    one explode + one partial-aggregated hash agg — neither may pull
+    in a Python eval."""
+    from xml_to_sqlite3_spark.operators.curation import count_min_sketch
+    from xml_to_sqlite3_spark.operators.similarity import random_sign_projection
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _physical(random_sign_projection(emb))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan, "projection must not shuffle"
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan2 = _physical(count_min_sketch(ev, "user_id"))
+    assert "EvalPython" not in plan2
+    assert "partial_count" in plan2 or "HashAggregate" in plan2
