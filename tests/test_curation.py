@@ -400,3 +400,57 @@ def test_skew_report_values(spark):
     assert out["hot"]["suggested_salt"] == 3
     assert abs(out["hot"]["share"] - 0.9) < 1e-9
     assert out["cold"]["suggested_salt"] == 1
+
+
+def test_merge_upsert_insert_update_delete_and_last_writer(spark):
+    from xml_to_sqlite3_spark.operators.curation import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "upsert"),   # update
+            (3, None, "delete"),   # delete
+            (4, "d", "upsert"),    # insert (new key)
+            (4, "d2", "upsert"),   # later change to same key wins
+        ],
+        ["doc_id", "v", "op"],
+    )
+    out = {r["doc_id"]: r["v"] for r in merge_upsert(base, changes).collect()}
+    assert out == {1: "a", 2: "b2", 4: "d2"}
+
+
+def test_merge_upsert_rejects_missing_value_columns(spark):
+    import pytest as _pytest
+
+    from xml_to_sqlite3_spark.operators.curation import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", "x")], ["doc_id", "v", "w"])
+    changes = spark.createDataFrame([(1, "b", "upsert")], ["doc_id", "v", "op"])
+    with _pytest.raises(ValueError, match="missing value columns"):
+        merge_upsert(base, changes)
+
+
+def test_scd2_ranges_are_contiguous_and_versioned(spark):
+    from datetime import datetime
+
+    from xml_to_sqlite3_spark.operators.curation import scd2_build
+
+    rows = [
+        (1, datetime(2024, 1, 1), "bronze"),
+        (1, datetime(2024, 2, 1), "silver"),
+        (1, datetime(2024, 3, 1), "gold"),
+        (2, datetime(2024, 1, 15), "bronze"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"])
+    out = scd2_build(df).orderBy("key", "valid_from").collect()
+    u1 = [r for r in out if r["key"] == 1]
+    assert [r["value"] for r in u1] == ["bronze", "silver", "gold"]
+    # each version closes exactly where the next opens
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"]
+    u2 = [r for r in out if r["key"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]

@@ -832,3 +832,75 @@ def cms_estimate(
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC MERGE: apply a change set (op in 'upsert' | 'delete') to a
+    base table — the lakehouse MERGE INTO expressed as one
+    full-precedence join. Change rows win over base rows on the same
+    key; 'delete' ops drop the key; unmatched base rows pass through.
+
+    Shape: the change set (usually a tiny fraction of the base)
+    broadcasts when small, else one co-partitioned equi-join on the
+    key; the base is never reshuffled beyond that join. With multiple
+    change rows per key the LAST by change order (max ordinal) wins —
+    callers supply a deterministic ordering column via pre-dedup, or
+    rely on the built-in last-writer-wins over a monotonic __seq.
+    """
+    value_cols = [c for c in base.columns if c != key_col]
+    ch_cols = set(changes.columns)
+    missing = [c for c in value_cols if c not in ch_cols]
+    if missing:
+        raise ValueError(f"changes missing value columns: {missing}")
+
+    w = Window.partitionBy(key_col).orderBy(F.col("__seq").desc())
+    latest = (
+        changes.withColumn("__seq", F.monotonically_increasing_id())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+    joined = base.alias("b").join(
+        latest.alias("c"), F.col(f"b.{key_col}") == F.col(f"c.{key_col}"), "full"
+    )
+    has_change = F.col(f"c.{key_col}").isNotNull()
+    keep = ~has_change | (F.col(f"c.{op_col}") != "delete")
+    pick = [
+        F.coalesce(F.col(f"c.{key_col}"), F.col(f"b.{key_col}")).alias(key_col)
+    ] + [
+        F.when(has_change, F.col(f"c.{v}")).otherwise(F.col(f"b.{v}")).alias(v)
+        for v in value_cols
+    ]
+    return joined.filter(keep).select(*pick)
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change log
+    (key, ts, values...) into versioned rows with effective ranges —
+    (key, values..., valid_from, valid_to, is_current), valid_to =
+    next change's ts (NULL while current).
+
+    One window per key ordered by ts (lead for the closing
+    timestamp); ties on (key, ts) are resolved deterministically by
+    the full value tuple so the build is stable under any partition
+    order. This is the standard warehouse dimension-history build —
+    one shuffle on the key, nothing else.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in value_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *value_cols, "valid_from", "valid_to", "is_current")
+    )

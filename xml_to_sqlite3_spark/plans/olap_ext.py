@@ -363,3 +363,70 @@ LIMIT 15
 
 QUERIES["key_skew_report"] = key_skew_report
 ORACLES["key_skew_report"] = KEY_SKEW_REPORT_ORACLE
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO (operators/curation.py merge_upsert): a change
+    set derived deterministically from the documents table (doc_id%10
+    == 0 -> delete, == 1 -> source rewritten '_v2') applied to the
+    base — one full-outer equi-join, change rows win, deletes drop."""
+    from ..operators.curation import merge_upsert
+
+    docs = load(spark, sf_dir, "documents")
+    changes = docs.filter(F.col("doc_id") % 10 <= 1).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.when(F.col("doc_id") % 10 == 1, F.concat("source", F.lit("_v2")))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "n_chars",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return (
+        merge_upsert(docs, changes, key_col="doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CDC_MERGE_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 10 = 1 THEN source || '_v2' ELSE source END AS source,
+       n_chars
+FROM documents
+WHERE doc_id % 10 <> 0
+ORDER BY doc_id
+"""
+
+
+def scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build over the event stream: each user's
+    event_type becomes a versioned dimension row with
+    [valid_from, valid_to) effective ranges (operators/curation.py
+    scd2_build) — the standard warehouse dimension-history shape,
+    one shuffle on the key."""
+    from ..operators.curation import scd2_build
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_build(
+        ev, key_col="user_id", ts_col="ts", value_cols=("event_type",)
+    ).orderBy("user_id", "valid_from", "event_type")
+
+
+SCD2_EVENTS_ORACLE = """
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
+FROM events
+ORDER BY user_id, valid_from, event_type
+"""
+
+
+QUERIES["cdc_merge"] = cdc_merge
+ORACLES["cdc_merge"] = CDC_MERGE_ORACLE
+QUERIES["scd2_events"] = scd2_events
+ORACLES["scd2_events"] = SCD2_EVENTS_ORACLE
