@@ -171,3 +171,45 @@ def test_pagerank_matches_naive_on_random_graph(spark):
     assert set(got) == set(exp)
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-7, (v, got[v], exp[v])
+
+
+def test_triangle_count_known_graphs(spark):
+    from xml_to_sqlite3_spark.operators.graph import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["source_node_id", "target_node_id"])
+        r = triangle_count(df).collect()[0]
+        return r["n_edges"], r["n_triangles"]
+
+    # K4: 6 edges, 4 triangles
+    k4 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    assert run(k4) == (6, 4)
+    # 5-cycle: 5 edges, 0 triangles
+    c5 = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "1")]
+    assert run(c5) == (5, 0)
+    # duplicate + reversed + self-loop edges collapse to the simple graph
+    messy = k4 + [(b, a) for a, b in k4] + [("1", "1"), ("2", "2")]
+    assert run(messy) == (6, 4)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from xml_to_sqlite3_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.15]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, ["source_node_id", "target_node_id"])
+    r = triangle_count(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (len(edges), want)

@@ -254,3 +254,67 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+) -> DataFrame:
+    """Global triangle count over the undirected simple graph of
+    ``edges``. Returns one row: (n_edges, n_triangles).
+
+    The scale-critical trick is DEGREE ORIENTATION (the standard
+    distributed formulation): orient every undirected edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties by id).
+    Every triangle then has exactly one 'pivot' vertex with two
+    out-edges, so counting wedges (u->v, u->w) that close with an
+    oriented edge (v->w) counts each triangle EXACTLY once — and the
+    wedge join's fan-out per vertex is bounded by the oriented
+    out-degree, which is O(sqrt(m)) for any graph, so a celebrity
+    vertex with 10M neighbors contributes sqrt-bounded work instead
+    of 10M^2 wedge candidates. Three hash joins, no cross product,
+    no driver state.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+    e2 = oriented.select(F.col("u"), F.col("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    # close the wedge with an oriented edge between v and w (either
+    # orientation — degree order between v and w is not known here)
+    closing = oriented.select(
+        F.least("u", "w").alias("v"), F.greatest("u", "w").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_e = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_e.crossJoin(F.broadcast(tri))

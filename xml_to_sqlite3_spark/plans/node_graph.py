@@ -1268,3 +1268,42 @@ ORACLES = {
     "asof_join_forward": ASOF_FORWARD_ORACLE,
     "graph_distances": GRAPH_DISTANCES_ORACLE,
 }
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the mixed reference graph (attribute +
+    multi-attribute refs + sibling adjacency — e.g. two adjacent
+    lineitems referencing the same part close a triangle; the pure
+    attribute-ref graph is bipartite and trivially triangle-free) —
+    degree-oriented distributed counting (operators/graph.py
+    triangle_count: oriented wedge join, per-vertex fan-out
+    O(sqrt(m)))."""
+    from ..operators.graph import triangle_count
+
+    _, _, xrefs = get_graph(spark, sf_dir)
+    edges = xrefs.filter(
+        F.col("reference_type").isin(
+            "attribute_reference", "next_sibling", "multi_attribute_reference"
+        )
+    )
+    return triangle_count(edges)
+
+
+GRAPH_TRIANGLES_ORACLE = GRAPH_PREFIX + """
+, und AS (
+  SELECT DISTINCT least(source_node_id, target_node_id) AS a,
+                  greatest(source_node_id, target_node_id) AS b
+  FROM cross_references
+  WHERE reference_type IN ('attribute_reference', 'next_sibling',
+                           'multi_attribute_reference')
+    AND source_node_id <> target_node_id
+)
+SELECT (SELECT count(*) FROM und) AS n_edges,
+       (SELECT count(*)
+        FROM und ab JOIN und bc ON ab.b = bc.a
+                    JOIN und ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles
+"""
+
+
+QUERIES["graph_triangles"] = graph_triangles
+ORACLES["graph_triangles"] = GRAPH_TRIANGLES_ORACLE
