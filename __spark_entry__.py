@@ -76,7 +76,6 @@ _GATE_PRIORITY = [
     "bm25_search",
     # -- rotated out of r4's window, stale since r3
     "multi_attribute_search",
-    "ann_cosine_topk",
     "multimodal_pipeline",  # rows-only by design
     "image_dedup",          # rows-only by design (new this round)
     "curate_corpus",
@@ -109,15 +108,17 @@ _GATE_PRIORITY = [
     "cdc_merge",
     "scd2_events",
     "graph_triangles",
+    "streaming_attribution",
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
     # dataset_split, source_quota, vocabulary_topk, tf_idf,
     # dedup_exact, decontaminate, xpath_search, normalize_redact, gopher_quality,
+    # ann_cosine_topk,
     # kmv_distinct, xml_nodes_roundtrip (rows-only — its
     # driver row is just "it runs", which pytest covers) — displaced by
-    # the 19 never-checked r5 entries; sessionization, events_windowed, asof_join_forward
+    # the 20 never-checked r5 entries; sessionization, events_windowed, asof_join_forward
     # (all re-proven r4 on the new ts encoding; streaming_topk /
     # streaming_enriched exercise the same ts machinery in-window),
     # curate_cheap (its stages run in-window inside curate_corpus),

@@ -20,6 +20,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..io_util import ts_seconds
 from ..streaming.ingest import (
     read_event_stream,
     sessionize_stream,
@@ -247,3 +248,71 @@ ORACLES = {
     "streaming_topk": STREAMING_TOPK_ORACLE,
     "streaming_enriched": STREAMING_ENRICHED_ORACLE,
 }
+
+
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases attributed to the same
+    user's views from the preceding hour — two watermarked file
+    streams joined on user_id with an event-time range condition.
+
+    The range condition + both-side watermarks are what let the
+    engine BOUND the join state (views older than the watermark minus
+    the interval are evicted); without them a stream-stream join
+    buffers forever. Inner-join matches emit as soon as both sides
+    arrive, so the memory sink holds the complete answer under
+    AvailableNow and hash-matches the batch SQL oracle —
+    stream-batch unification for the join operator itself.
+    """
+    from pyspark.sql import functions as F
+
+    views = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = buys.join(
+        views,
+        F.expr(
+            "p_user = v_user AND "
+            "view_ts >= purchase_ts - INTERVAL 1 HOUR AND view_ts < purchase_ts"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (ts_seconds(F.col("purchase_ts")) - ts_seconds(F.col("view_ts"))).alias(
+            "seconds_before"
+        ),
+    )
+    out = _run_to_table(joined, "__stream_attr", mode="append")
+    return out.orderBy("user_id", "purchase_id", "view_id")
+
+
+STREAMING_ATTRIBUTION_ORACLE = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS seconds_before
+FROM events p
+JOIN events v ON v.user_id = p.user_id
+            AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY user_id, purchase_id, view_id
+"""
+
+
+QUERIES["streaming_attribution"] = streaming_attribution
+ORACLES["streaming_attribution"] = STREAMING_ATTRIBUTION_ORACLE
