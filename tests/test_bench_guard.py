@@ -33,6 +33,14 @@ FLOORS = {
     "graph_distances": 6.0,
     "hierarchy_levels": 4.0,
     "sibling_pairs": 2.0,
+    # round-5 additions (floors measured best-of-2 on the dev box)
+    "dedup_recall_audit": 6.0,
+    "near_dedup_corpus": 4.0,
+    "bpe_merges": 9.0,
+    "graph_triangles": 1.5,
+    "streaming_attribution": 7.0,
+    "graph_pagerank": 2.5,
+    "q7_volume_shipping": 1.5,
 }
 CALIBRATION_FLOOR = 0.5  # q6_revenue at sf0.001 on the dev box
 RATIO_LIMIT = 4.0
