@@ -67,15 +67,12 @@ _GATE_PRIORITY = [
     "descendants",
     "hierarchy_levels",
     "most_connected",
-    "node_connection_counts",
     "multi_references",
     "same_type_pairs",     # also stale-since-r3
     "graph_distances",
     "asof_join_tables",
     # -- index materialization change; also stale-since-r3
     "bm25_search",
-    # -- rotated out of r4's window, stale since r3
-    "multi_attribute_search",
     "multimodal_pipeline",  # rows-only by design
     "image_dedup",          # rows-only by design (new this round)
     "curate_corpus",
@@ -109,13 +106,17 @@ _GATE_PRIORITY = [
     "scd2_events",
     "graph_triangles",
     "streaming_attribution",
+    "phrase_pmi",
+    "orders_profile",
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
     # dataset_split, source_quota, vocabulary_topk, tf_idf,
     # dedup_exact, decontaminate, xpath_search, normalize_redact, gopher_quality,
-    # ann_cosine_topk,
+    # ann_cosine_topk, multi_attribute_search (plan unchanged since its
+    # r3-green), node_connection_counts (r4-green xref consumer, the
+    # simplest aggregate of the family; local parity still hash-proves it),
     # kmv_distinct, xml_nodes_roundtrip (rows-only — its
     # driver row is just "it runs", which pytest covers) — displaced by
     # the 20 never-checked r5 entries; sessionization, events_windowed, asof_join_forward

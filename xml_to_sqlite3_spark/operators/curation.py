@@ -904,3 +904,41 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key_col, *value_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def table_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """ANALYZE-style column statistics in ONE pass: for each column —
+    row count, null count, exact distinct count, min/max (as strings
+    for a uniform schema). The profiling primitive a warehouse runs
+    before choosing join strategies and partition keys.
+
+    Single full-scan aggregate (all columns' stats computed
+    map-side in the same job, no per-column scans); distinct counts
+    are exact count_distincts in the same aggregate — at 100 TB swap
+    in approx_count_distinct with the same plan shape.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("s")).select(
+        "s.column", "s.n_rows", "s.n_nulls", "s.n_distinct",
+        "s.min_value", "s.max_value",
+    )

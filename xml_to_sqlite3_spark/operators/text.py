@@ -270,3 +270,71 @@ def apply_bpe(
         F.col(id_col),
         segment(F.col(text_col)).alias("tokens"),
     ).select(id_col, F.size("tokens").alias("n_bpe_tokens"), "tokens")
+
+
+def phrase_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Collocation (phrase) detection by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent word pairs —
+    the word2phrase/Mikolov-style first pass a tokenizer pipeline
+    runs to promote 'new york'-style bigrams to single tokens.
+    Returns the ``top`` bigrams by PMI (ties by pair) with counts.
+
+    Two map-side-combinable aggregations (unigrams, bigrams) and one
+    broadcast of the tiny totals row; the unigram join runs on the
+    bigram table (vocabulary-sized, not corpus-sized). ``min_count``
+    kills the hapax noise that dominates raw PMI.
+    """
+    words = df.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w") != "")
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_uni = uni.agg(F.sum("cnt").alias("n_words"))
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    bigrams = (
+        df.select(
+            F.explode(
+                F.expr(
+                    "transform(slice({t}, 1, size({t}) - 1), "
+                    "(w, i) -> struct(w AS a, {t}[i + 1] AS b))".format(
+                        t=f"split(trim(lower({text_col})), '\\\\s+')"
+                    )
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    n_bi = bigrams.agg(F.sum("pair_cnt").alias("n_pairs"))
+    ua = uni.select(F.col("w").alias("a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cnt").alias("cnt_b"))
+    return (
+        bigrams.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "a",
+            "b",
+            "pair_cnt",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt") / F.col("n_pairs"))
+                    / (
+                        (F.col("cnt_a") / F.col("n_words"))
+                        * (F.col("cnt_b") / F.col("n_words"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(top)
+    )

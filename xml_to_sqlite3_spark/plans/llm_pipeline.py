@@ -1113,3 +1113,43 @@ ORDER BY d.doc_id
 
 QUERIES["near_dedup_corpus"] = near_dedup_corpus
 ORACLES["near_dedup_corpus"] = NEAR_DEDUP_CORPUS_ORACLE
+
+
+def phrase_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI over the documents corpus
+    (operators/text.py phrase_pmi, min pair count 5)."""
+    return T.phrase_pmi(load(spark, sf_dir, "documents"), min_count=5, top=50)
+
+
+PHRASE_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), uni AS (
+  SELECT u.x AS w, count(*) AS cnt
+  FROM toks, unnest(toks.w) AS u(x) WHERE u.x <> '' GROUP BY u.x
+), n_uni AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_words FROM uni
+), bi AS (
+  SELECT w[CAST(i.i AS INT)] AS a, w[CAST(i.i AS INT) + 1] AS b, count(*) AS pair_cnt
+  FROM toks, unnest(range(1, len(toks.w))) AS i(i)
+  WHERE w[CAST(i.i AS INT)] <> '' AND w[CAST(i.i AS INT) + 1] <> ''
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+), n_bi AS (
+  SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM bi
+)
+SELECT bi.a, bi.b, bi.pair_cnt,
+       round(ln((bi.pair_cnt / CAST(n_pairs AS DOUBLE))
+                / ((ua.cnt / CAST(n_words AS DOUBLE))
+                   * (ub.cnt / CAST(n_words AS DOUBLE)))), 6) AS pmi
+FROM bi
+JOIN uni ua ON bi.a = ua.w
+JOIN uni ub ON bi.b = ub.w
+CROSS JOIN n_uni CROSS JOIN n_bi
+ORDER BY pmi DESC, a, b
+LIMIT 50
+"""
+
+
+QUERIES["phrase_pmi"] = phrase_pmi_q
+ORACLES["phrase_pmi"] = PHRASE_PMI_ORACLE

@@ -430,3 +430,53 @@ QUERIES["cdc_merge"] = cdc_merge
 ORACLES["cdc_merge"] = CDC_MERGE_ORACLE
 QUERIES["scd2_events"] = scd2_events
 ORACLES["scd2_events"] = SCD2_EVENTS_ORACLE
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style single-pass column statistics over orders
+    (operators/curation.py table_profile) — null rates, exact
+    distincts, min/max per column (double columns excluded from the
+    gate: float->string formatting differs between engines; the
+    operator itself is column-generic)."""
+    from ..operators.curation import table_profile
+
+    orders = load(spark, sf_dir, "orders")
+    return table_profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    ).orderBy("column")
+
+
+ORDERS_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_value,
+       CAST(max(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+       count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+ORDER BY "column"
+"""
+
+
+QUERIES["orders_profile"] = orders_profile
+ORACLES["orders_profile"] = ORDERS_PROFILE_ORACLE
