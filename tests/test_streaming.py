@@ -156,5 +156,17 @@ def test_stream_corpus_to_sqlite_incremental(spark, tmp_path):
     ).fetchall()
     assert kinds == [("y",)]
     assert con.execute("SELECT COUNT(*) FROM documents").fetchone()[0] == 3
+    # relationships are maintained per batch too: each 2-node tree
+    # contributes one parent_child + one child_parent edge, and
+    # re-ingesting a2.xml REPLACED a.xml's rows (delete-by-source
+    # -then-insert, no duplicate accumulation)
+    xr = dict(
+        con.execute(
+            "SELECT source_file, COUNT(*) FROM cross_references GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(xr) == {"a", "b", "a2"}, xr
+    for n in xr.values():
+        assert n == 2, xr
     con.close()
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -214,3 +214,30 @@ def write_corpus_sqlite(
         con.execute("VACUUM")
     con.close()
     return counts
+
+
+def delete_xrefs_for_sources(db_path: str, source_files: list) -> int:
+    """Drop the cross_references rows previously written for these
+    source files. cross_references has a synthetic autoincrement PK
+    (db/migrate/001, matching the reference), so INSERT OR REPLACE
+    cannot dedupe a replayed batch — idempotent relationship
+    maintenance is delete-then-insert keyed on source_file. Returns
+    rows deleted; a missing database (first batch) deletes nothing.
+    """
+    import os
+
+    if not source_files or not os.path.exists(db_path):
+        return 0
+    con = sqlite3.connect(db_path)
+    try:
+        cur = con.execute(
+            "DELETE FROM cross_references WHERE source_file IN (%s)"
+            % ",".join("?" * len(source_files)),
+            list(source_files),
+        )
+        con.commit()
+        return cur.rowcount
+    except sqlite3.OperationalError:
+        return 0  # table not created yet
+    finally:
+        con.close()

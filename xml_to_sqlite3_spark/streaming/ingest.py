@@ -161,13 +161,32 @@ def stream_corpus_to_sqlite(
     database state. ``available_now=True`` drains the current backlog
     and stops (the testable/batch-catchup mode).
     """
-    from ..sinks.sqlite_sink import write_corpus_sqlite
+    from pyspark.sql import functions as F
+
+    from ..operators.relationships import detect_all_relationships
+    from ..sinks.sqlite_sink import delete_xrefs_for_sources, write_corpus_sqlite
     from ..sources.xml_source import corpus_from_parsed
 
     def on_batch(parsed, batch_id: int) -> None:
         if parsed.isEmpty():
             return
-        write_corpus_sqlite(corpus_from_parsed(parsed), db_path, optimize=False)
+        corpus = corpus_from_parsed(parsed)
+        # every reference type is WITHIN-document (sibling/parent
+        # joins and attribute refs all require document_id equality),
+        # so per-batch detection over the batch's own documents is
+        # exactly the full-corpus answer for those documents — the
+        # reference's per-document relationship_processor model.
+        # cross_references has a synthetic PK (no natural upsert
+        # key), so idempotence under batch replay is delete-by-
+        # source_file THEN insert.
+        xrefs = detect_all_relationships(corpus.nodes, corpus.properties).withColumn(
+            "source_file", F.col("document_id")
+        )
+        doc_ids = [r["id"] for r in corpus.documents.select("id").collect()]
+        delete_xrefs_for_sources(db_path, doc_ids)
+        write_corpus_sqlite(
+            corpus, db_path, cross_references=xrefs, optimize=False
+        )
 
     files = (
         spark.readStream.format("binaryFile")
