@@ -70,10 +70,8 @@ _GATE_PRIORITY = [
     "multi_references",
     "same_type_pairs",     # also stale-since-r3
     "graph_distances",
-    "asof_join_tables",
     # -- index materialization change; also stale-since-r3
     "bm25_search",
-    "multimodal_pipeline",  # rows-only by design
     "image_dedup",          # rows-only by design (new this round)
     "curate_corpus",
     # -- new operators this round (first driver contact)
@@ -108,13 +106,18 @@ _GATE_PRIORITY = [
     "streaming_attribution",
     "phrase_pmi",
     "orders_profile",
+    "events_moving_avg",
+    "source_distinct_sketch",
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
     # dataset_split, source_quota, vocabulary_topk, tf_idf,
     # dedup_exact, decontaminate, xpath_search, normalize_redact, gopher_quality,
-    # ann_cosine_topk, multi_attribute_search (plan unchanged since its
+    # ann_cosine_topk, asof_join_tables (node-table consumer, plan
+    # unchanged since r4-green), multimodal_pipeline (rows-only; the
+    # in-window image_dedup drives the same codec decode path),
+    # multi_attribute_search (plan unchanged since its
     # r3-green), node_connection_counts (r4-green xref consumer, the
     # simplest aggregate of the family; local parity still hash-proves it),
     # kmv_distinct, xml_nodes_roundtrip (rows-only — its

@@ -480,3 +480,107 @@ ORDER BY "column"
 
 QUERIES["orders_profile"] = orders_profile
 ORACLES["orders_profile"] = ORDERS_PROFILE_ORACLE
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window analytics: per-user 5-row moving average
+    and rolling peak of event values (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) — the bounded-frame complement of running_totals'
+    unbounded cumulative frame. One shuffle on user_id; the frame is
+    O(1) state per row."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("moving_avg_5"),
+            F.round(F.max("value").over(w), 2).alias("rolling_peak_5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVENTS_MOVING_AVG_ORACLE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg_5,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS rolling_peak_5
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def source_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct sketch: for each document source, the
+    k=64 minimum text-hashes and the KMV cardinality estimate —
+    the GROUPED form of the global kmv_distinct. The sketch is a
+    pure function of each group's value set (sorted k-min of the
+    portable md5), so it is mergeable across shards by re-minning
+    and fully value-oracled. Scale shape: the k-cut is a rank
+    window BEFORE any collect — per-group state is k rows, never
+    the group's full distinct set (a collect_set-then-slice would
+    buffer a billion-distinct group in one task)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.curation import HASH_SPACE, stable_hash60
+
+    docs = load(spark, sf_dir, "documents")
+    k = 64
+    w = W.partitionBy("source").orderBy("h")
+    per = (
+        docs.select("source", stable_hash60(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    )
+    n_seen = F.size("kmin")
+    kth = F.element_at("kmin", k)
+    est = F.when(
+        n_seen < k, n_seen.cast("double")
+    ).otherwise(F.round((k - 1) / (kth / F.lit(HASH_SPACE)), 4))
+    return per.select(
+        "source",
+        n_seen.alias("n_kept"),
+        est.alias("distinct_estimate"),
+        F.element_at("kmin", 1).alias("min_hash"),
+    ).orderBy("source")
+
+
+SOURCE_DISTINCT_SKETCH_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+), ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+), kept AS (
+  SELECT source, h, rn FROM ranked WHERE rn <= 64
+)
+SELECT source,
+       CAST(count(*) AS INT) AS n_kept,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(63 / (max(CASE WHEN rn = 64 THEN h END)
+                             / 1152921504606846976.0), 4) END AS distinct_estimate,
+       min(h) AS min_hash
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["events_moving_avg"] = events_moving_avg
+ORACLES["events_moving_avg"] = EVENTS_MOVING_AVG_ORACLE
+QUERIES["source_distinct_sketch"] = source_distinct_sketch
+ORACLES["source_distinct_sketch"] = SOURCE_DISTINCT_SKETCH_ORACLE
