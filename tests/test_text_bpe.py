@@ -81,3 +81,35 @@ def test_merge_rule_non_overlapping():
     assert _merge_pair_in_symbols(["a", "a", "a"], "a", "a") == ["aa", "a"]
     assert _merge_pair_in_symbols(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
     assert _merge_pair_in_symbols(["x"], "a", "b") == ["x"]
+
+
+def test_unicode_quality_flags_mojibake(spark):
+    from xml_to_sqlite3_spark.operators.text import unicode_quality
+
+    rows = [
+        (1, "plain ascii text"),
+        (2, "café naïve résumé"),
+        (3, "broken �� decode"),
+        (4, "ctl\x07chars\x1f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unicode_quality(df).collect()}
+    assert out[1]["non_ascii_ratio"] == 0.0 and out[1]["encoding_clean"]
+    assert out[2]["non_ascii_ratio"] > 0 and out[2]["encoding_clean"]
+    assert out[3]["replacement_chars"] == 2 and not out[3]["encoding_clean"]
+    assert out[4]["control_chars"] == 2 and not out[4]["encoding_clean"]
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    import zlib
+
+    from xml_to_sqlite3_spark.operators.text import compression_ratio
+
+    prose = "the quick brown fox jumps over the lazy dog " * 3
+    junk = "ab" * 500
+    df = spark.createDataFrame([(1, prose), (2, junk)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert out[2] < out[1] < 1.0
+    # exact replica of the UDF's arithmetic
+    want = round(len(zlib.compress(prose.encode(), 6)) / len(prose.encode()), 6)
+    assert out[1] == want

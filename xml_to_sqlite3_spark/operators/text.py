@@ -338,3 +338,57 @@ def phrase_pmi(
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(top)
     )
+
+
+def unicode_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-health signals for a crawled corpus: non-ASCII ratio,
+    U+FFFD replacement-character count (the mojibake tell — a decoder
+    already gave up once), and control-character count. Pure Column
+    regex counts (JVM codegen), SQL-mirrored exactly.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def count_of(pattern: str):
+        return n - F.length(F.regexp_replace(text, pattern, ""))
+
+    non_ascii = count_of(r"[^\x00-\x7f]")
+    repl = count_of("�")
+    ctl = count_of(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    return df.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(non_ascii / F.greatest(n, F.lit(1)), 6).alias("non_ascii_ratio"),
+        repl.alias("replacement_chars"),
+        ctl.alias("control_chars"),
+        ((repl == 0) & (ctl == 0)).alias("encoding_clean"),
+    )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """zlib compression ratio per document — the classic cheap entropy
+    proxy for machine-generated/repetitive text (ratios near 0 mean
+    highly repetitive; natural prose sits ~0.3-0.6). Deterministic
+    (fixed zlib level 6) but not SQL-expressible — unit-tested, not
+    oracle-gated. Arrow-batched pandas UDF; per-row independent, so
+    it scales with partitions like every other map-side signal.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(col: pd.Series) -> pd.Series:
+        def one(t) -> float:
+            b = str(t).encode("utf-8", "replace")
+            if not b:
+                return 1.0
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return col.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        ratio(F.col(text_col)).alias("compression_ratio"),
+    )

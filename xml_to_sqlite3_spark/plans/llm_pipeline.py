@@ -1153,3 +1153,26 @@ LIMIT 50
 
 QUERIES["phrase_pmi"] = phrase_pmi_q
 ORACLES["phrase_pmi"] = PHRASE_PMI_ORACLE
+
+
+def unicode_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health signals (operators/text.py unicode_quality)."""
+    return T.unicode_quality(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+UNICODE_QUALITY_ORACLE = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       round((length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS non_ascii_ratio,
+       length(text) - length(regexp_replace(text, '�', '', 'g')) AS replacement_chars,
+       length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS control_chars,
+       (length(text) - length(regexp_replace(text, '�', '', 'g'))) = 0
+         AND (length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))) = 0
+         AS encoding_clean
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES["unicode_quality"] = unicode_quality_q
+ORACLES["unicode_quality"] = UNICODE_QUALITY_ORACLE
