@@ -223,7 +223,7 @@ def pagerank(
 
     ranks = spine.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n_total
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         # dangling nodes redistribute their whole rank uniformly
         dangling = (
             ranks.filter(F.col("__deg").isNull())
@@ -251,8 +251,13 @@ def pagerank(
                     * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n_total)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every OTHER round: two rounds of lineage stay
+        # cheap to replan, and halving the eager materializations
+        # halves the fixed per-round job overhead that dominates on
+        # sketch-sized rank vectors
+        if _i % 2 == 1 or _i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
