@@ -64,7 +64,6 @@ _GATE_PRIORITY = [
     "node_references",     # also stale-since-r3
     "document_stats",      # also stale-since-r3
     "ancestors",           # + edge-projection checkpoint
-    "descendants",
     "hierarchy_levels",
     "most_connected",
     "multi_references",
@@ -108,13 +107,16 @@ _GATE_PRIORITY = [
     "events_moving_avg",
     "source_distinct_sketch",
     "unicode_quality",
+    "price_histogram",
     # demoted to past-window this round (all r4-green, unchanged
     # plans): type_inference, dedup_components, ngram_jaccard,
     # asof_join, q1_pricing_summary (entry() itself still smoke-runs
     # it), events_json_extract, events_pivot, stable_sample,
     # dataset_split, source_quota, vocabulary_topk, tf_idf,
     # dedup_exact, decontaminate, xpath_search, normalize_redact, gopher_quality,
-    # ann_cosine_topk, same_type_pairs (nodes-table self-join, not an
+    # ann_cosine_topk, descendants (its store + frontier machinery stays
+    # in-window via ancestors/hierarchy_levels/graph_distances),
+    # same_type_pairs (nodes-table self-join, not an
     # xref consumer — plan unchanged since r3-green), asof_join_tables (node-table consumer, plan
     # unchanged since r4-green), multimodal_pipeline (rows-only; the
     # in-window image_dedup drives the same codec decode path),

@@ -454,3 +454,24 @@ def test_scd2_ranges_are_contiguous_and_versioned(spark):
     assert not u1[0]["is_current"]
     u2 = [r for r in out if r["key"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_equi_depth_histogram_exact(spark):
+    from xml_to_sqlite3_spark.operators.curation import equi_depth_histogram
+
+    # 100 rows of values 0..99 -> 4 buckets of exactly 25
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    rows = equi_depth_histogram(df, "x", n_buckets=4, round_to=0).collect()
+    assert [(r["bucket"], r["lo"], r["hi"], r["n_rows"]) for r in rows] == [
+        (0, 0.0, 24.0, 25),
+        (1, 25.0, 49.0, 25),
+        (2, 50.0, 74.0, 25),
+        (3, 75.0, 99.0, 25),
+    ]
+    # a heavy value straddling a boundary lands wholly in one bucket
+    skewed = spark.createDataFrame(
+        [(float(v),) for v in [1] * 60 + [2] * 20 + [3] * 20], ["x"]
+    )
+    rows = {r["bucket"]: r for r in equi_depth_histogram(skewed, "x", n_buckets=2, round_to=0).collect()}
+    assert rows[0]["n_rows"] == 60 and rows[0]["hi"] == 1.0
+    assert rows[1]["n_rows"] == 40 and rows[1]["lo"] == 2.0

@@ -942,3 +942,53 @@ def table_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         "s.column", "s.n_rows", "s.n_nulls", "s.n_distinct",
         "s.min_value", "s.max_value",
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    round_to: int = 2,
+) -> DataFrame:
+    """EXACT equi-depth histogram of a numeric column: ``n_buckets``
+    buckets of (as close as discreteness allows) equal row count,
+    each reported as (bucket, lo, hi, n_rows). The ANALYZE histogram
+    a cost-based optimizer keeps — and the exact-quantile primitive
+    (bucket edges ARE exact percentile thresholds, unlike
+    approx_percentile's sketch, whose merge is partition-order-
+    dependent and so un-oracle-able).
+
+    Scale shape: the data-sized work is ONE map-side-combinable
+    count by (rounded) distinct value; everything after operates on
+    the distinct-value table, which is model-sized (bounded by the
+    value domain at ``round_to`` precision, not by row count) — the
+    single-partition cumulative window there is over sketch-sized
+    data by construction. A value whose count straddles a boundary
+    lands wholly in one bucket (standard discrete equi-depth).
+    """
+    vals = (
+        df.select(F.round(F.col(col), round_to).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    total = vals.agg(F.sum("cnt").alias("__n"))
+    cum = vals.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    # assign by the value group's FIRST row position (cum - cnt):
+    # assigning by the last position would push a heavy first value
+    # entirely out of bucket 0, leaving it empty
+    bucket = F.floor(
+        (F.col("cum") - F.col("cnt")) * F.lit(n_buckets) / F.col("__n")
+    ).cast("int")
+    return (
+        cum.select(bucket.alias("bucket"), "v", "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

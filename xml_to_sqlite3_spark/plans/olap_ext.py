@@ -584,3 +584,35 @@ QUERIES["events_moving_avg"] = events_moving_avg
 ORACLES["events_moving_avg"] = EVENTS_MOVING_AVG_ORACLE
 QUERIES["source_distinct_sketch"] = source_distinct_sketch
 ORACLES["source_distinct_sketch"] = SOURCE_DISTINCT_SKETCH_ORACLE
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-bucket equi-depth histogram of l_extendedprice
+    (operators/curation.py equi_depth_histogram) — the ANALYZE
+    statistic + exact-percentile primitive."""
+    from ..operators.curation import equi_depth_histogram
+
+    li = load(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", n_buckets=10)
+
+
+PRICE_HISTOGRAM_ORACLE = """
+WITH vals AS (
+  SELECT round(l_extendedprice, 2) AS v, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         (SELECT sum(cnt) FROM vals) AS n
+  FROM vals
+)
+SELECT CAST(floor((cum - cnt) * 10 / CAST(n AS DOUBLE)) AS INT) AS bucket,
+       min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["price_histogram"] = price_histogram
+ORACLES["price_histogram"] = PRICE_HISTOGRAM_ORACLE
