@@ -1281,10 +1281,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     _, _, xrefs = get_graph(spark, sf_dir)
+    # the store holds the DEFAULT adapter registration (structural +
+    # attribute refs — main.rb:104-110); multi/semantic example
+    # adapters are opt-in and not stored, so the mix here is the two
+    # stored types that actually close triangles
     edges = xrefs.filter(
-        F.col("reference_type").isin(
-            "attribute_reference", "next_sibling", "multi_attribute_reference"
-        )
+        F.col("reference_type").isin("attribute_reference", "next_sibling")
     )
     return triangle_count(edges)
 
@@ -1294,8 +1296,7 @@ GRAPH_TRIANGLES_ORACLE = GRAPH_PREFIX + """
   SELECT DISTINCT least(source_node_id, target_node_id) AS a,
                   greatest(source_node_id, target_node_id) AS b
   FROM cross_references
-  WHERE reference_type IN ('attribute_reference', 'next_sibling',
-                           'multi_attribute_reference')
+  WHERE reference_type IN ('attribute_reference', 'next_sibling')
     AND source_node_id <> target_node_id
 )
 SELECT (SELECT count(*) FROM und) AS n_edges,
