@@ -101,16 +101,31 @@ def test_graph_cache_content_key_and_pruning(spark, tmp_path, monkeypatch):
     assert x1b.count() == count1
     assert os.path.getmtime(os.path.join(root, key1, "_COMPLETE")) == mtime_before
 
-    # touching an input changes the key; rebuilding prunes the stale entry
+    # touching an input changes the key; rebuilding prunes a COLD
+    # stale entry (an hour untouched) but spares a fresh one — a
+    # concurrent session from moments ago may still be reading it
     victim = os.path.join(sf_dir, "region.parquet")
     os.utime(victim, (os.path.getatime(victim), os.path.getmtime(victim) + 10))
     key2 = NG._graph_cache_key(sf_dir)
     assert key2 != key1
+    # age the key1 entry past the grace window
+    old = os.path.getmtime(os.path.join(root, key1)) - 7200
+    os.utime(os.path.join(root, key1), (old, old))
     NG._GRAPH_CACHE.clear()
     _, _, x2 = NG.get_graph(spark, sf_dir)
     assert x2.count() == count1  # same data, same result
     assert os.path.exists(os.path.join(root, key2, "_COMPLETE"))
-    assert not os.path.exists(os.path.join(root, key1))  # pruned
+    assert not os.path.exists(os.path.join(root, key1))  # cold entry pruned
+
+    # a WARM stale sibling survives the next rebuild (live-reader grace)
+    victim2 = os.path.join(sf_dir, "nation.parquet")
+    os.utime(victim2, (os.path.getatime(victim2), os.path.getmtime(victim2) + 10))
+    key3 = NG._graph_cache_key(sf_dir)
+    assert key3 not in (key1, key2)
+    NG._GRAPH_CACHE.clear()
+    _, _, x3 = NG.get_graph(spark, sf_dir)
+    assert x3.count() == count1
+    assert os.path.exists(os.path.join(root, key2))  # fresh -> spared
 
     NG._GRAPH_CACHE.clear()
 

@@ -495,11 +495,26 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         # prune stale entries for this sf_dir (older code / older
-        # testdata) so the cache root stays one entry per sf_dir
+        # testdata) so the cache root stays bounded — but only
+        # entries COLD for an hour. Pruning a sibling immediately
+        # deleted parquet out from under any concurrent session
+        # still holding DataFrames built from the OLD code version
+        # (observed: an editing session's rebuild crashed a parallel
+        # test session's graph queries mid-flight). An hour of grace
+        # keeps live readers safe; disk stays bounded because stale
+        # keys stop being touched and age out on the next build.
+        import time as _time
+
         prefix = ck.rsplit("_", 1)[0] + "_"
         for name in os.listdir(root):
             if name.startswith(prefix) and name != ck and ".tmp." not in name:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                path = os.path.join(root, name)
+                try:
+                    cold = _time.time() - os.path.getmtime(path) > 3600
+                except OSError:
+                    cold = True
+                if cold:
+                    shutil.rmtree(path, ignore_errors=True)
 
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
