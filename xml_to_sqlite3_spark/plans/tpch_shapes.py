@@ -425,20 +425,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
+    # GLOBAL aggregates, not groupBy-on-a-literal: a global agg
+    # returns its 1 row (count = 0) even over an empty stage, so a
+    # corpus with zero purchases still yields (n, m, 0) — matching
+    # the oracle's scalar subqueries — instead of vanishing.
     return (
-        t1.select(F.lit(1).alias("__k"), F.col("user_id").alias("u1"))
-        .groupBy("__k").agg(F.count("u1").alias("n_view"))
-        .join(
-            t2.select(F.lit(1).alias("__k"), F.col("user_id").alias("u2"))
-            .groupBy("__k").agg(F.count("u2").alias("n_click")),
-            "__k",
-        )
-        .join(
-            t3.select(F.lit(1).alias("__k"), F.col("user_id").alias("u3"))
-            .groupBy("__k").agg(F.count("u3").alias("n_purchase")),
-            "__k",
-        )
-        .select("n_view", "n_click", "n_purchase")
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase")))
     )
 
 
