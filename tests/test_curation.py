@@ -475,3 +475,52 @@ def test_equi_depth_histogram_exact(spark):
     rows = {r["bucket"]: r for r in equi_depth_histogram(skewed, "x", n_buckets=2, round_to=0).collect()}
     assert rows[0]["n_rows"] == 60 and rows[0]["hi"] == 1.0
     assert rows[1]["n_rows"] == 40 and rows[1]["lo"] == 2.0
+
+
+def test_decimal_sum_exactness_property(spark):
+    """The decimal-accumulation policy (tpch_shapes._exact_disc_price,
+    similarity's JL accumulator) must equal an independent python
+    Decimal model on arbitrary 2-decimal inputs — the invariant that
+    makes revenue sums bit-identical at any cluster size."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    q2 = Decimal("0.01")
+    q4 = Decimal("0.0001")
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.decimals(min_value=0, max_value=99999, places=2),
+                st.decimals(min_value=0, max_value=Decimal("0.10"), places=2),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(float(p), float(d)) for p, d in rows],
+            "l_extendedprice double, l_discount double",
+        )
+        got = (
+            df.agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+        want = sum(
+            Decimal(repr(float(p))).quantize(q4, ROUND_HALF_UP)
+            * Decimal(repr(1 - float(d))).quantize(q4, ROUND_HALF_UP)
+            for p, d in rows
+        )
+        assert got == want, (got, want)
+
+    check()
