@@ -761,6 +761,7 @@ def count_min_sketch(
     col: str,
     width: int = 256,
     depth: int = 4,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Count-Min sketch of the value frequencies in ``col``:
     ``depth`` independent hash rows of ``width`` counters each.
@@ -779,6 +780,11 @@ def count_min_sketch(
 
     Shape: one explode (xdepth) + one map-side-combinable hash agg;
     output is sketch-sized. No UDF, no driver state.
+
+    ``group_cols`` produces one independent sketch per group (e.g.
+    per event-time window) in the same single pass — grouped sketches
+    merge across groups by summing matching cells, which is how a
+    per-day sketch rolls up to per-week without touching the data.
     """
     v = F.col(col).cast("string")
     cells = [
@@ -788,10 +794,11 @@ def count_min_sketch(
         )
         for d in range(depth)
     ]
+    gcols = list(group_cols)
     return (
-        df.select(F.explode(F.array(*cells)).alias("__c"))
+        df.select(*gcols, F.explode(F.array(*cells)).alias("__c"))
         .groupBy(
-            F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket")
+            *gcols, F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

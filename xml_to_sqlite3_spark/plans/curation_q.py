@@ -588,3 +588,33 @@ ORDER BY row, bucket
 
 QUERIES["cms_sketch"] = cms_sketch_q
 ORACLES["cms_sketch"] = CMS_SKETCH_ORACLE
+
+
+def cms_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Count-Min sketches of event-type frequencies (grouped
+    form of cms_sketch: one independent sketch per event-time day in
+    a single pass; days roll up to weeks by summing matching cells)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return C.count_min_sketch(
+        ev, "event_type", width=16, depth=3, group_cols=("day",)
+    ).orderBy("day", "row", "bucket")
+
+
+CMS_DAILY_ORACLE = """
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(d.r AS INTEGER) AS row,
+         ('0x' || substr(md5('cms' || d.r || '|' || event_type), 1, 15))::BIGINT % 16 AS bucket
+  FROM events, (SELECT unnest(range(3)) AS r) d
+)
+SELECT day, row, bucket, count(*) AS cnt
+FROM cells
+GROUP BY day, row, bucket
+ORDER BY day, row, bucket
+"""
+
+
+QUERIES["cms_daily"] = cms_daily_q
+ORACLES["cms_daily"] = CMS_DAILY_ORACLE
