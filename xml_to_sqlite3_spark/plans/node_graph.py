@@ -465,12 +465,26 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # partial cache because the _COMPLETE marker is written last
         tmp = f"{final}.tmp.{os.getpid()}"
         try:
-            build_nodes(spark, sf_dir).write.mode("overwrite").parquet(
-                f"{tmp}/nodes"
-            )
-            build_properties(spark, sf_dir).write.mode("overwrite").parquet(
-                f"{tmp}/properties"
-            )
+            # the nodes and properties writes are independent jobs —
+            # submit them from two threads so the scheduler overlaps
+            # them (neither alone saturates the executor cores;
+            # measured ~7s + ~11s sequential -> ~11s overlapped).
+            # xrefs must wait: detection reads both back.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fn = pool.submit(
+                    lambda: build_nodes(spark, sf_dir)
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/nodes")
+                )
+                fp = pool.submit(
+                    lambda: build_properties(spark, sf_dir)
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/properties")
+                )
+                fn.result()
+                fp.result()
             nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
             props_tmp = spark.read.parquet(f"{tmp}/properties")
             # Full xref set, PARTITIONED by reference_type: type
