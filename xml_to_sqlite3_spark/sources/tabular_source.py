@@ -1,0 +1,114 @@
+"""Tabular (CSV / JSON / parquet-of-records) ingestion into the SAME
+node model the XML path produces — so the entire downstream surface
+(typed properties, relationship detection, the §2.3 query plans, the
+SQLite sink) applies to non-XML record data unchanged.
+
+Mapping (mirrors the reference's element semantics,
+lib/document_parser.rb:26-53, re-expressed for rows):
+  - each record        -> a node; ``node_type`` = the given type name
+  - the ``id_col``     -> node id (records without one are dropped to
+                          errors, like id-less XML elements)
+  - ``parent_col``     -> parent_id (optional — flat tables produce
+                          root-level nodes, exactly like root XML
+                          elements with no id-bearing ancestor)
+  - ``content_col``    -> node content (optional)
+  - every other column -> a node_properties row, typed by the SAME
+                          infer_type chain the XML attributes use
+  - position           -> ordinal among siblings (per parent, ordered
+                          by id — deterministic without any input
+                          row-order assumption)
+
+Scale: one narrow scan; the per-parent position window is the only
+shuffle; the property unpivot is an in-task explode of column
+structs (one scan for ALL properties, never per-column scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.type_inference import infer_type
+
+
+def read_records(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    **options,
+) -> DataFrame:
+    """Read a record file (csv defaults: header on, no inference —
+    values stay strings so infer_type decides, like XML attributes)."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def records_to_graph(
+    records: DataFrame,
+    node_type: str,
+    document_id: str,
+    id_col: str = "id",
+    parent_col: str | None = None,
+    content_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, properties) in the XML path's exact schemas."""
+    if id_col not in records.columns:
+        raise ValueError(f"records need an {id_col!r} column")
+    keyed = records.filter(
+        F.col(id_col).isNotNull() & (F.col(id_col).cast("string") != "")
+    )
+    parent = (
+        F.col(parent_col).cast("string")
+        if parent_col is not None
+        else F.lit(None).cast("string")
+    )
+    w = Window.partitionBy(
+        parent if parent_col is not None else F.lit("__root")
+    ).orderBy(F.col(id_col).cast("string"))
+    nodes = keyed.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.lit(node_type).alias("node_type"),
+        F.lit(document_id).alias("document_id"),
+        parent.alias("parent_id"),
+        (F.row_number().over(w) - 1).alias("position"),
+        (
+            F.col(content_col).cast("string")
+            if content_col is not None
+            else F.lit(None).cast("string")
+        ).alias("content"),
+        F.concat(
+            F.lit(f"/{document_id}/{node_type}[@id='"),
+            F.col(id_col).cast("string"),
+            F.lit("']"),
+        ).alias("xpath"),
+    )
+
+    skip = {id_col, parent_col, content_col} - {None}
+    prop_cols = [c for c in records.columns if c not in skip]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("property_name"),
+                F.col(c).cast("string").alias("property_value"),
+            )
+            for c in prop_cols
+        ]
+    )
+    properties = (
+        keyed.select(
+            F.col(id_col).cast("string").alias("node_id"),
+            F.explode(entries).alias("p"),
+        )
+        .filter(F.col("p.property_value").isNotNull())
+        .select(
+            "node_id",
+            F.col("p.property_name").alias("property_name"),
+            F.col("p.property_value").alias("property_value"),
+            infer_type(F.col("p.property_value")).alias("data_type"),
+        )
+    )
+    return nodes, properties
