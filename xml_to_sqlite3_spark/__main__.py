@@ -31,10 +31,19 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-c", "--concurrency", type=int, default=None, help="local parallelism (default: all cores)")
     parser.add_argument("--no-relationships", action="store_true", help="disable relationship detection")
     parser.add_argument("--batch-size", type=int, default=1000, help="SQLite insert batch size")
+    parser.add_argument("--format", default="xml", choices=("xml", "csv", "json"),
+                        help="input format: xml directory (default) or a csv/json record file routed through the same node model")
+    parser.add_argument("--node-type", default="record", help="[csv/json] node_type for each record")
+    parser.add_argument("--id-col", default="id", help="[csv/json] record id column")
+    parser.add_argument("--parent-col", default=None, help="[csv/json] optional parent-id column")
+    parser.add_argument("--content-col", default=None, help="[csv/json] optional content column")
     args = parser.parse_args(argv)
 
-    if not os.path.isdir(args.input):
+    if args.format == "xml" and not os.path.isdir(args.input):
         print(f"error: input directory not found: {args.input}", file=sys.stderr)
+        return 2
+    if args.format != "xml" and not os.path.exists(args.input):
+        print(f"error: input not found: {args.input}", file=sys.stderr)
         return 2
 
     from .session import get_spark
@@ -49,7 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="xml_to_sqlite3_spark_cli", master=master)
     t0 = time.perf_counter()
 
-    corpus = read_xml_corpus(spark, args.input)
+    if args.format == "xml":
+        corpus = read_xml_corpus(spark, args.input)
+    else:
+        from .sources.tabular_source import read_tabular_corpus
+
+        corpus = read_tabular_corpus(
+            spark, args.input, fmt=args.format, node_type=args.node_type,
+            id_col=args.id_col, parent_col=args.parent_col,
+            content_col=args.content_col,
+        )
 
     xrefs = None
     if not args.no_relationships:

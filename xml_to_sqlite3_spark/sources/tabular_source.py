@@ -85,6 +85,13 @@ def records_to_graph(
             F.col(id_col).cast("string"),
             F.lit("']"),
         ).alias("xpath"),
+        # the sinks' INSERT OR REPLACE dedupe orders on ``ordinal``;
+        # rows have no file position after a parallel read, so the
+        # tie-break is a deterministic hash of the whole record —
+        # stable across runs and partitionings
+        F.xxhash64(*[F.col(c).cast("string") for c in records.columns]).alias(
+            "ordinal"
+        ),
     )
 
     skip = {id_col, parent_col, content_col} - {None}
@@ -109,6 +116,65 @@ def records_to_graph(
             F.col("p.property_name").alias("property_name"),
             F.col("p.property_value").alias("property_value"),
             infer_type(F.col("p.property_value")).alias("data_type"),
+            F.xxhash64("node_id", "p.property_name", "p.property_value").alias(
+                "ordinal"
+            ),
         )
     )
     return nodes, properties
+
+
+def read_tabular_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    node_type: str = "record",
+    id_col: str = "id",
+    parent_col: str | None = None,
+    content_col: str | None = None,
+):
+    """Full-corpus form for the CLI: tabular records as an XmlCorpus
+    (documents = one row for the input path; errors = the id-less
+    records, mirroring the XML path's id-less-element handling) so
+    the SQLite/parquet sinks and stats report work unchanged."""
+    import os
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .xml_source import XmlCorpus
+
+    records = read_records(spark, path, fmt)
+    nodes, properties = records_to_graph(
+        records,
+        node_type=node_type,
+        document_id=os.path.splitext(os.path.basename(path))[0],
+        id_col=id_col,
+        parent_col=parent_col,
+        content_col=content_col,
+    )
+    doc_id = os.path.splitext(os.path.basename(path))[0]
+    size = os.path.getsize(path) if os.path.isfile(path) else 0
+    documents = spark.createDataFrame(
+        [(doc_id, os.path.basename(path), size)],
+        "id string, filename string, file_size long",
+    )
+    n_err = records.filter(
+        F.col(id_col).isNull() | (F.col(id_col).cast("string") == "")
+    ).count()
+    err_schema = StructType(
+        [
+            StructField("filename", StringType()),
+            StructField("parse_error", StringType()),
+        ]
+    )
+    errors = spark.createDataFrame(
+        [(os.path.basename(path), f"{n_err} records without {id_col!r}")]
+        if n_err
+        else [],
+        err_schema,
+    )
+    return XmlCorpus(documents, nodes, properties, errors)
