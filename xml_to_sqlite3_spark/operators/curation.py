@@ -846,6 +846,7 @@ def merge_upsert(
     changes: DataFrame,
     key_col: str = "doc_id",
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """CDC MERGE: apply a change set (op in 'upsert' | 'delete') to a
     base table — the lakehouse MERGE INTO expressed as one
@@ -855,9 +856,12 @@ def merge_upsert(
     Shape: the change set (usually a tiny fraction of the base)
     broadcasts when small, else one co-partitioned equi-join on the
     key; the base is never reshuffled beyond that join. With multiple
-    change rows per key the LAST by change order (max ordinal) wins —
-    callers supply a deterministic ordering column via pre-dedup, or
-    rely on the built-in last-writer-wins over a monotonic __seq.
+    change rows per key, ``seq_col`` (a real change sequence — LSN,
+    commit timestamp) picks the winner; without one, the tie-break is
+    the full value tuple — arbitrary but a PURE FUNCTION OF THE DATA.
+    (A monotonically_increasing_id tie-break would encode partition
+    layout in its high bits and make the winner depend on file
+    assignment — run-to-run nondeterminism.)
     """
     value_cols = [c for c in base.columns if c != key_col]
     ch_cols = set(changes.columns)
@@ -865,12 +869,15 @@ def merge_upsert(
     if missing:
         raise ValueError(f"changes missing value columns: {missing}")
 
-    w = Window.partitionBy(key_col).orderBy(F.col("__seq").desc())
+    if seq_col is not None:
+        order = [F.col(seq_col).desc()]
+    else:
+        order = [F.col(c).desc_nulls_last() for c in changes.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
     latest = (
-        changes.withColumn("__seq", F.monotonically_increasing_id())
-        .withColumn("__rn", F.row_number().over(w))
+        changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__seq")
+        .drop("__rn")
     )
     joined = base.alias("b").join(
         latest.alias("c"), F.col(f"b.{key_col}") == F.col(f"c.{key_col}"), "full"

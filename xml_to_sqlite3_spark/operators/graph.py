@@ -207,6 +207,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_total = nodes.count()
+    if n_total == 0:
+        # empty graph degrades to an empty result like bfs/triangles
+        # (1.0 / n_total below would raise on the driver otherwise)
+        return spark.createDataFrame([], "node string, rank double")
     # static (node, out-degree) spine, built once — the rank vector
     # CARRIES the degree between rounds, so each round is one
     # edge join + one spine join instead of three joins

@@ -44,6 +44,33 @@ except Exception:
     _HAS_PIL = False
 
 
+def _decode_raster(data, fmt: str):
+    """Decode to an HxWxC uint8 array via the pure-python codecs,
+    falling back to PIL for formats outside the codec set — the ONE
+    gating seam every raster consumer (decode_image, image_dhash)
+    shares, so adding a format helps them all at once."""
+    import numpy as np
+
+    if fmt.lower() not in codecs.SUPPORTED_FORMATS:
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                f"no pure-python codec for format {fmt!r} and PIL "
+                "is not installed; use fake_decode_image"
+            )
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(data)))
+        if img.mode not in ("RGB", "RGBA", "L", "LA"):
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+    return codecs.decode_image_bytes(bytes(data), fmt)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode (PPM/PGM/BMP/PNG/JPEG via the pure-python
     codecs): emits true pixel dimensions and channel means from the
@@ -62,28 +89,7 @@ def decode_image(df: DataFrame) -> DataFrame:
             ws, hs, mr, mg, mb = [], [], [], [], []
             for data, meta in zip(pdf["data"], pdf["meta"]):
                 fmt = (meta["format"] if meta is not None else "") or ""
-                if fmt.lower() not in codecs.SUPPORTED_FORMATS:
-                    if not _HAS_PIL:
-                        raise NotImplementedError(
-                            f"no pure-python codec for format {fmt!r} and PIL "
-                            "is not installed; use fake_decode_image"
-                        )
-                    # PIL fallback for formats outside the pure-python
-                    # codec set (webp/gif/tiff/...): decode to an
-                    # RGB(A)/L raster and continue through the same
-                    # channel-stats path
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(bytes(data)))
-                    if img.mode not in ("RGB", "RGBA", "L", "LA"):
-                        img = img.convert("RGB")
-                    arr = np.asarray(img)
-                    if arr.ndim == 2:
-                        arr = arr[:, :, None]
-                else:
-                    arr = codecs.decode_image_bytes(bytes(data), fmt)
+                arr = _decode_raster(data, fmt)
                 h, w = arr.shape[:2]
                 chan = arr.astype(np.float64)
                 if chan.shape[2] == 2:  # gray+alpha -> gray
@@ -369,7 +375,7 @@ def image_dhash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             ids, hashes = [], []
             for mid, data, meta in zip(pdf[id_col], pdf["data"], pdf["meta"]):
                 fmt = (meta["format"] if meta is not None else "") or ""
-                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                arr = _decode_raster(data, fmt)
                 gray = arr.astype(np.float64)
                 if gray.ndim == 3:
                     if gray.shape[2] >= 3:

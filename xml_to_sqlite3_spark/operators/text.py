@@ -255,7 +255,9 @@ def apply_bpe(
 
     @pandas_udf("array<string>")
     def segment(col: pd.Series) -> pd.Series:
-        def one(text: str) -> list:
+        def one(text) -> list:
+            if text is None:
+                return []
             toks: list = []
             for w in str(text).lower().split():
                 sym = list(w) + ["</w>"]
@@ -295,7 +297,6 @@ def phrase_pmi(
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     n_uni = uni.agg(F.sum("cnt").alias("n_words"))
 
-    toks = ws_tokens(F.lower(F.col(text_col)))
     bigrams = (
         df.select(
             F.explode(
@@ -379,7 +380,9 @@ def compression_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
     @pandas_udf("double")
     def ratio(col: pd.Series) -> pd.Series:
-        def one(t) -> float:
+        def one(t):
+            if t is None:
+                return None  # null text -> null ratio, not the ratio of 'None'
             b = str(t).encode("utf-8", "replace")
             if not b:
                 return 1.0

@@ -530,6 +530,16 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
                 if cold:
                     shutil.rmtree(path, ignore_errors=True)
 
+    # refresh the entry's mtime on attach: the pruning grace window
+    # is mtime-based and parquet READS never touch it, so a session
+    # that merely attaches (no build) must renew the lease or a
+    # newer-code builder an hour later deletes the files it is using
+    try:
+        os.utime(final, None)
+    except OSError:
+        pass
+    if final not in _GRAPH_CACHE_DIRS:
+        _GRAPH_CACHE_DIRS.append(final)
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
     xrefs = spark.read.parquet(f"{final}/xrefs")
@@ -538,17 +548,16 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
 
 
 def clear_graph_cache() -> None:
-    """Drop the in-session handles AND the on-disk store (tests use
-    this to force a rebuild)."""
-    import os
+    """Drop the in-session handles AND the on-disk entries THIS
+    session built or attached (tests use this to force a rebuild).
+    Scoped to this session's entries on purpose: rmtree'ing the whole
+    shared root would delete other live sessions' cache parquet out
+    from under them with none of the grace the pruning path gives."""
     import shutil
 
     _GRAPH_CACHE.clear()
     while _GRAPH_CACHE_DIRS:
         shutil.rmtree(_GRAPH_CACHE_DIRS.pop(), ignore_errors=True)
-    root = _graph_cache_root()
-    if os.path.isdir(root):
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def build_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,7 +237,12 @@ def delete_xrefs_for_sources(db_path: str, source_files: list) -> int:
         )
         con.commit()
         return cur.rowcount
-    except sqlite3.OperationalError:
-        return 0  # table not created yet
+    except sqlite3.OperationalError as e:
+        # ONLY the first-batch missing-table case is benign; a locked
+        # database etc. must propagate — swallowing it would skip the
+        # delete and break replay idempotence (duplicate xref rows)
+        if "no such table" in str(e):
+            return 0
+        raise
     finally:
         con.close()

@@ -66,15 +66,47 @@ def records_to_graph(
         if parent_col is not None
         else F.lit(None).cast("string")
     )
-    w = Window.partitionBy(
-        parent if parent_col is not None else F.lit("__root")
-    ).orderBy(F.col(id_col).cast("string"))
+    # Sibling position = ordinal by id within the parent group,
+    # computed as a TWO-PHASE distributed ordinal (the pack_sequences
+    # cumsum shape): a plain per-parent window would serialize a flat
+    # table — where every row shares one (null) parent — through ONE
+    # task. Phase 1: range-arrange on (parent, id) and rank within
+    # (physical partition, parent); phase 2: per-(partition, parent)
+    # counts (a small table — range partitioning keeps each parent on
+    # few partitions) cumsum'd per parent into offsets. The result is
+    # a pure function of the data even though the range partitioner's
+    # sampled boundaries are not.
+    # internal group key: null parents (roots / flat tables) get a
+    # sentinel so the offsets equi-join matches them (null keys never
+    # equi-join)
+    arranged = (
+        keyed.withColumn("__pk", F.coalesce(parent, F.lit("\x00__root__")))
+        .withColumn("__ik", F.col(id_col).cast("string"))
+        .repartitionByRange("__pk", "__ik")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid", "__pk").orderBy("__ik")
+    with_local = arranged.withColumn("__lrn", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy("__pk")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        with_local.groupBy("__pid", "__pk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__pk", "__off")
+    )
+    keyed = with_local.join(offsets, ["__pid", "__pk"]).withColumn(
+        "__pos", (F.col("__off") + F.col("__lrn") - 1).cast("int")
+    )
     nodes = keyed.select(
         F.col(id_col).cast("string").alias("id"),
         F.lit(node_type).alias("node_type"),
         F.lit(document_id).alias("document_id"),
         parent.alias("parent_id"),
-        (F.row_number().over(w) - 1).alias("position"),
+        F.col("__pos").alias("position"),
         (
             F.col(content_col).cast("string")
             if content_col is not None

@@ -168,8 +168,19 @@ def stream_corpus_to_sqlite(
     from ..sources.xml_source import corpus_from_parsed
 
     def on_batch(parsed, batch_id: int) -> None:
-        if parsed.isEmpty():
-            return
+        # the batch feeds ~6 actions (emptiness check, xref
+        # detection over two projections, doc-id collect, and three
+        # sink streams) — without persist each one would re-run the
+        # XML parse of the batch's files
+        parsed = parsed.persist()
+        try:
+            if parsed.isEmpty():
+                return
+            _write_batch(parsed)
+        finally:
+            parsed.unpersist()
+
+    def _write_batch(parsed) -> None:
         corpus = corpus_from_parsed(parsed)
         # every reference type is WITHIN-document (sibling/parent
         # joins and attribute refs all require document_id equality),
