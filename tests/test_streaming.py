@@ -170,3 +170,62 @@ def test_stream_corpus_to_sqlite_incremental(spark, tmp_path):
         assert n == 2, xr
     con.close()
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_rollup_to_parquet_incremental(spark, tmp_path):
+    """Two waves of event files maintain ONE parquet rollup whose
+    contents equal a batch recompute over all events seen so far."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.streaming.ingest import stream_rollup_to_parquet
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(path, rows):
+        spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts_s", "value", "props"]
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(str(path))
+        # file stream wants files in ONE watched dir
+        import glob as g
+        import shutil as sh
+
+        for f in g.glob(f"{path}/part-*.parquet"):
+            sh.move(f, str(in_dir / f"{path.name}.parquet"))
+        sh.rmtree(str(path), ignore_errors=True)
+
+    wave1 = [(1, 10, "view", "2024-01-01 10:05:00", 1.0, "{}"),
+             (2, 10, "view", "2024-01-01 10:20:00", 2.0, "{}"),
+             (3, 11, "click", "2024-01-01 11:05:00", 3.0, "{}")]
+    mk(tmp_path / "w1", wave1)
+    q = stream_rollup_to_parquet(spark, str(in_dir), table, ckpt, available_now=True)
+    q.awaitTermination()
+    first = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert first[("2024-01-01 10:00:00", "view")] == (2, 3.0)
+    assert first[("2024-01-01 11:00:00", "click")] == (1, 3.0)
+
+    # wave 2 touches one existing window and adds a new one
+    wave2 = [(4, 12, "view", "2024-01-01 10:40:00", 4.0, "{}"),
+             (5, 12, "purchase", "2024-01-01 12:10:00", 9.0, "{}")]
+    mk(tmp_path / "w2", wave2)
+    q = stream_rollup_to_parquet(spark, str(in_dir), table, ckpt, available_now=True)
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "view")] == (3, 7.0)  # updated in place
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 3.0)  # untouched survives
+    assert got[("2024-01-01 12:00:00", "purchase")] == (1, 9.0)  # new window
+    assert len(got) == 3
+    shutil.rmtree(ckpt, ignore_errors=True)

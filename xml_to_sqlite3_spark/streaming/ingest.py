@@ -218,3 +218,89 @@ def stream_corpus_to_sqlite(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rollup_to_parquet(
+    spark: SparkSession,
+    events_path: str,
+    table_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    available_now: bool = False,
+):
+    """Continuously-maintained aggregate TABLE: per-(window,
+    event_type) counts/sums kept current in parquet as event files
+    arrive — the streaming-materialized-view pattern (a warehouse
+    rollup that never goes stale and never full-recomputes).
+
+    Per micro-batch: aggregate ONLY the batch's rows (update mode —
+    the state store re-emits exactly the windows the batch touched,
+    with their complete updated values), then foreachBatch MERGEs
+    those windows into the parquet table via the same last-writer
+    semantics as operators/curation.merge_upsert: touched windows
+    replace their old rows, untouched windows pass through. Each
+    batch rewrites only table-sized data, never the event history.
+
+    Exactly-once: the checkpoint pins which files each batch read,
+    and the merge is idempotent per batch (replaying a batch writes
+    the same window values again). Watermarked, so state and the
+    re-emitted delta stay bounded.
+    """
+    import os
+
+    from pyspark.sql import functions as SF
+
+    events = read_event_stream(spark, events_path)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(SF.window("ts", window).alias("w"), "event_type")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.round(SF.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            SF.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def merge_batch(delta, batch_id: int) -> None:
+        if delta.isEmpty():
+            return
+        delta = delta.persist()
+        try:
+            if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+                base = spark.read.parquet(table_path)
+                keep = base.join(
+                    delta.select("window_start", "event_type"),
+                    ["window_start", "event_type"],
+                    "left_anti",
+                )
+                merged = keep.unionByName(delta)
+            else:
+                merged = delta
+            # rewrite via tmp + rename so a crash mid-write never
+            # leaves a half table (the checkpoint will replay the
+            # batch against the intact previous version)
+            tmp = f"{table_path}.tmp.{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            old = f"{table_path}.old.{batch_id}"
+            if os.path.exists(table_path):
+                os.rename(table_path, old)
+            os.rename(tmp, table_path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            delta.unpersist()
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
