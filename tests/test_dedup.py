@@ -265,3 +265,30 @@ def test_span_operators_match_python_model(spark, seed):
         for r in D.remove_duplicated_spans(df, window_tokens=4).collect()
     }
     assert got_kept == exp_kept
+
+
+def test_hamming_pairs_exact_match_mode(spark):
+    """max_hamming=0 (single 64-bit chunk) must work — the all-ones
+    mask does not fit an unsigned long literal."""
+    from xml_to_sqlite3_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43), (4, -5), (5, -5)], ["doc_id", "sig"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_pairs(sigs, max_hamming=0, id_col="doc_id", sig_col="sig").collect()
+    }
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_minhash_rejects_bad_band_count(spark):
+    import pytest as _pytest
+
+    from xml_to_sqlite3_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="bands must divide k"):
+        minhash_lsh_pairs(df, k=64, bands=24)
+    with _pytest.raises(ValueError, match="bands must divide k"):
+        minhash_lsh_pairs(df, k=8, bands=16)

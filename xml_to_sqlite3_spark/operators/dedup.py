@@ -61,8 +61,13 @@ def word_shingles(text_col, n: int = 3):
 def shingles_udf(n: int = 3):
     """Vectorized shingler — byte-identical output to
     ``word_shingles`` (same \\s+ normalization, same edge case for
-    short docs, first-occurrence distinct order)."""
-    ws = re.compile(r"\s+")
+    short docs, first-occurrence distinct order).
+
+    Whitespace is the JVM's ASCII ``\\s`` class and trim strips
+    spaces only — Python's Unicode-aware ``\\s``/``str.strip`` would
+    diverge from the Column formulation (and from the DuckDB oracles)
+    on NBSP-class characters and leading tabs."""
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<string>")
     def shingle(texts: pd.Series) -> pd.Series:
@@ -71,7 +76,7 @@ def shingles_udf(n: int = 3):
             if t is None:
                 out.append([])
                 continue
-            words = ws.sub(" ", t.strip()).lower().split(" ")
+            words = ws.sub(" ", t.strip(" ")).lower().split(" ")
             hi = max(len(words) - (n - 1), 1)
             grams = [" ".join(words[i : i + n]) for i in range(hi)]
             out.append(list(dict.fromkeys(grams)))
@@ -100,20 +105,15 @@ def ngram_jaccard_pairs(
     computed over the surviving shingle space (so Jaccard stays a
     true set similarity on the filtered universe).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(par, id_col)  # spread single-file sources before the explode
-        .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     # Join the inverted index on the 60-bit shingle HASH, not the
     # shingle string — same pairs and counts (a 60-bit collision
     # among sf-scale shingle universes is ~2^-40 territory) at ~5x
     # less shuffle volume, since a fixed 8-byte key replaces the
-    # full n-gram text on both sides of the hot join.
-    tokens = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle")).select(
-        "doc_id", "n_sh", _md5_long(F.col("shingle")).alias("shingle")
+    # full n-gram text on both sides of the hot join. One shared
+    # shingle pass (_shingle_tokens) with the set size carried
+    # through the explode.
+    tokens = _shingle_tokens(df, n, id_col, text_col, with_size=True).select(
+        "doc_id", "n_sh", F.col("h").alias("shingle")
     )
     if max_df is not None:
         rare = (
@@ -160,18 +160,24 @@ def _md5_long(col) -> F.Column:
 
 
 def _shingle_tokens(
-    df: DataFrame, n: int, id_col: str, text_col: str
+    df: DataFrame, n: int, id_col: str, text_col: str, with_size: bool = False
 ) -> DataFrame:
-    """(doc_id, h) hashed-shingle postings — ONE shingle pass over the
-    text; everything downstream (signatures, banding, exact verify)
-    works on the 8-byte hashes, never re-reading the text."""
+    """(doc_id[, n_sh], h) hashed-shingle postings — ONE shingle pass
+    over the text; everything downstream (signatures, banding, exact
+    verify, Jaccard set sizes) works on the 8-byte hashes, never
+    re-reading the text. ``with_size`` carries the per-doc distinct
+    shingle count through the explode (free — no join needed)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    sh = (
         df.repartition(par, id_col)  # single-file sources otherwise hash on one core
         .select(F.col(id_col).alias("doc_id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", _md5_long(F.col("shingle")).alias("h"))
+    )
+    size_cols = [F.size("sh").alias("n_sh")] if with_size else []
+    keep = ["doc_id"] + (["n_sh"] if with_size else [])
+    return (
+        sh.select("doc_id", *size_cols, F.explode("sh").alias("shingle"))
+        .select(*keep, _md5_long(F.col("shingle")).alias("h"))
     )
 
 
@@ -252,11 +258,19 @@ def minhash_lsh_pairs(
     once for the whole operator. Returns (doc_a, doc_b, jaccard,
     est_jaccard).
     """
+    if bands <= 0 or k % bands != 0:
+        # silent truncation would weaken the banding below what the
+        # caller asked for, and bands > k would make every band the
+        # empty slice — one shared bucket, an O(N^2) cross product
+        raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     rows = k // bands
-    # one shingle pass; postings feed signatures, banding, and verify
-    tokens = _shingle_tokens(df, n, id_col, text_col).persist()
+    # one shingle pass; postings feed signatures, banding, and verify.
+    # localCheckpoint, not persist: blocks are dropped when the frames
+    # are garbage-collected instead of pinning executor storage for
+    # the session's lifetime.
+    tokens = _shingle_tokens(df, n, id_col, text_col).localCheckpoint(eager=True)
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sigs = _signatures_from_tokens(tokens, k).persist()
+    sigs = _signatures_from_tokens(tokens, k).localCheckpoint(eager=True)
 
     banded = sigs.select(
         "doc_id",
@@ -345,16 +359,18 @@ def simhash_signatures(
 
     import numpy as np
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\f\r]+")
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = ws.sub(" ", (t or "").strip()).lower().split(" ")
-            if not words:
-                out.append(0)
-                continue
+            # exact oracle order: \s+ -> ' ', trim spaces, lower,
+            # split. An empty/None doc normalizes to the single empty
+            # word and gets md5('')'s signature BY DESIGN — the SQL
+            # replay does the same, and empty docs being trivial
+            # near-duplicates of each other is the right semantics.
+            words = ws.sub(" ", (t or "")).strip(" ").lower().split(" ")
             hs = np.fromiter(
                 (
                     int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
@@ -365,7 +381,6 @@ def simhash_signatures(
             )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
             sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
                 dtype=np.uint64
             )
@@ -419,7 +434,12 @@ def hamming_pairs(
                     F.struct(
                         F.lit(c).alias("chunk"),
                         F.shiftrightunsigned(F.col("__sig"), offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        # width 64 (max_hamming=0, one chunk): the
+                        # all-ones mask doesn't fit an unsigned
+                        # literal in a Java long — use -1 (same bits)
+                        .bitwiseAND(
+                            F.lit(-1 if widths[c] == 64 else (1 << widths[c]) - 1)
+                        )
                         .alias("val"),
                     )
                     for c in range(n_chunks)
@@ -581,7 +601,9 @@ def remove_duplicated_spans(
         F.col(id_col).alias("doc_id"),
         positional_windows_udf(1)(F.col(text_col)).alias("toks"),
         positional_windows_udf(window_tokens)(F.col(text_col)).alias("w"),
-    )
+    # base feeds postings, toks and the spine — without this the
+    # Arrow tokenization pass over the corpus text re-runs per branch
+    ).localCheckpoint(eager=True)
     postings = (
         base.filter(F.size("w") > 0)
         .select("doc_id", F.posexplode("w").alias("pos", "win"))

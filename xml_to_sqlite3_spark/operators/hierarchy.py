@@ -53,7 +53,13 @@ def node_tree_iterative(nodes: DataFrame, max_depth: int = 100) -> DataFrame:
     localCheckpointed so lineage doesn't grow with depth. Stops when
     a level comes back empty.
     """
-    base = nodes.select("id", "node_type", "parent_id", "content")
+    # materialize the projection once — each level's join (and the
+    # eager checkpoint of its result) would otherwise re-run the
+    # upstream source per depth level, the exact repeated-scan
+    # problem node_tree's checkpoint exists to avoid
+    base = nodes.select("id", "node_type", "parent_id", "content").localCheckpoint(
+        eager=True
+    )
     frontier = base.filter(F.col("parent_id").isNull()).withColumn("level", F.lit(0))
     out = frontier
     level = 0
@@ -75,20 +81,25 @@ def node_tree_iterative(nodes: DataFrame, max_depth: int = 100) -> DataFrame:
     return out
 
 
-def ancestors(
-    spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
+def _edge_walk(
+    xrefs: DataFrame,
+    node_id: str,
+    out_col: str,
+    match_col: str,
+    step_col: str,
+    prepend_path: bool,
+    max_depth: int,
 ) -> DataFrame:
-    """All ancestors of ``node_id`` via parent_child cross_references
-    with depth and ' -> ' path (examples/sql_queries.md).
-
-    Iterative upward walk, one level per broadcast hash join: the
-    frontier for a single-node lookup never exceeds the node's
-    branching factor (one row per level in a tree), so each level
-    streams the edge set once against a broadcast frontier — no
-    shuffle, no per-iteration re-plan. The recursive-CTE equivalent
-    (Catalyst UnionLoop) shuffle-joins the full edge table per level,
-    which at 100 TB is ``max_depth`` full-edge shuffles per lookup.
-    """
+    """Shared single-node walk over parent_child edges: per level one
+    broadcast hash join of the (checkpointed-once) 2-column edge
+    projection against the frontier. ``match_col`` is the edge side
+    compared to the frontier, ``step_col`` becomes the next frontier;
+    ancestors prepend to the path, descendants append. The frontier
+    for a single-node lookup is one tree level, so the edge blocks
+    stream in place — no shuffle, no per-iteration re-plan (the
+    recursive-CTE formulation shuffle-joins the full edge table per
+    level; for a one-node lookup that is max_depth full-edge
+    shuffles)."""
     edges = (
         xrefs.filter(F.col("reference_type") == "parent_child")
         .select(
@@ -96,18 +107,16 @@ def ancestors(
             F.col("target_node_id").alias("child"),
         )
         # materialize the 2-column edge projection ONCE: the walk
-        # below scans it per level, and without the checkpoint each
-        # level re-derives it from the full xref table (max_depth
-        # full scans per lookup — see descendants, which already
-        # does this)
+        # scans it per level, and without the checkpoint each level
+        # re-derives it from the full xref table
         .localCheckpoint(eager=True)
     )
     frontier = (
-        edges.filter(F.col("child") == node_id)
+        edges.filter(F.col(match_col) == node_id)
         .select(
-            F.col("parent").alias("ancestor_id"),
+            F.col(step_col).alias(out_col),
             F.lit(1).alias("depth"),
-            F.col("parent").alias("path"),
+            F.col(step_col).alias("path"),
         )
         .localCheckpoint(eager=True)
     )
@@ -115,18 +124,18 @@ def ancestors(
     for depth in range(2, max_depth + 1):
         if frontier.isEmpty():
             break
+        step = F.col(step_col)
+        path = (
+            F.concat(step, F.lit(" -> "), F.col("path"))
+            if prepend_path
+            else F.concat(F.col("path"), F.lit(" -> "), step)
+        )
         nxt = (
             edges.join(
-                F.broadcast(
-                    frontier.select(F.col("ancestor_id").alias("child"), "path")
-                ),
-                "child",
+                F.broadcast(frontier.select(F.col(out_col).alias(match_col), "path")),
+                match_col,
             )
-            .select(
-                F.col("parent").alias("ancestor_id"),
-                F.lit(depth).alias("depth"),
-                F.concat(F.col("parent"), F.lit(" -> "), F.col("path")).alias("path"),
-            )
+            .select(step.alias(out_col), F.lit(depth).alias("depth"), path.alias("path"))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
@@ -137,63 +146,30 @@ def ancestors(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def ancestors(
+    spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
+) -> DataFrame:
+    """All ancestors of ``node_id`` via parent_child cross_references
+    with depth and ' -> ' path (examples/sql_queries.md) — upward
+    _edge_walk (``spark`` is kept for API stability; the walk derives
+    everything from ``xrefs``)."""
+    return _edge_walk(
+        xrefs, node_id, "ancestor_id",
+        match_col="child", step_col="parent",
+        prepend_path=True, max_depth=max_depth,
+    )
 
 
 def descendants(
     spark: SparkSession, xrefs: DataFrame, node_id: str, max_depth: int = 10
 ) -> DataFrame:
-    """All descendants of ``node_id`` (examples/sql_queries.md).
-
-    Iterative downward walk, mirror of ``ancestors``: the
-    parent_child edge projection is localCheckpointed once, then each
-    level is one broadcast hash join — the frontier for a single-node
-    lookup is one subtree level, so the edge blocks stream in place
-    with no shuffle and no per-iteration re-plan. (The recursive-CTE
-    formulation — still used by node_tree, where the anchor is the
-    whole root set — shuffle-joins the full edge table per level; for
-    a one-node lookup that is ``max_depth`` full-edge shuffles.)
-    Emits one row per distinct path, exactly like the reference CTE.
-    """
-    edges = (
-        xrefs.filter(F.col("reference_type") == "parent_child")
-        .select(
-            F.col("source_node_id").alias("parent"),
-            F.col("target_node_id").alias("child"),
-        )
-        .localCheckpoint(eager=True)
+    """All descendants of ``node_id`` (examples/sql_queries.md) —
+    downward _edge_walk, one row per distinct path exactly like the
+    reference CTE."""
+    return _edge_walk(
+        xrefs, node_id, "descendant_id",
+        match_col="parent", step_col="child",
+        prepend_path=False, max_depth=max_depth,
     )
-    frontier = (
-        edges.filter(F.col("parent") == node_id)
-        .select(
-            F.col("child").alias("descendant_id"),
-            F.lit(1).alias("depth"),
-            F.col("child").alias("path"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    levels = [frontier]
-    for depth in range(2, max_depth + 1):
-        if frontier.isEmpty():
-            break
-        nxt = (
-            edges.join(
-                F.broadcast(
-                    frontier.select(F.col("descendant_id").alias("parent"), "path")
-                ),
-                "parent",
-            )
-            .select(
-                F.col("child").alias("descendant_id"),
-                F.lit(depth).alias("depth"),
-                F.concat(F.col("path"), F.lit(" -> "), F.col("child")).alias("path"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        frontier = nxt
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out

@@ -45,6 +45,19 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """The shared top-k contract for every ANN variant: rank per query
+    by cosine desc with neighbor_id as the deterministic tie-break —
+    one definition so the three operators cannot drift apart."""
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -74,12 +87,7 @@ def cosine_topk(
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk(scored, k)
 
 
 _PLANE_SEED = 428571
@@ -160,12 +168,7 @@ def lsh_topk(
         )
         .distinct()
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk(scored, k)
 
 
 def spherical_kmeans(
@@ -310,12 +313,7 @@ def ivf_topk(
         )
         .distinct()
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_duplicates(
