@@ -524,3 +524,43 @@ def test_decimal_sum_exactness_property(spark):
         assert got == want, (got, want)
 
     check()
+
+
+def test_line_dedup_keeps_all_blank_documents(spark):
+    from xml_to_sqlite3_spark.operators.curation import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "keep me\nand me"), (2, "\n \n"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text_deduped"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[3]["text_deduped"] == "" and out[3]["n_lines_total"] == 1
+
+
+def test_merge_upsert_null_or_unknown_op_upserts(spark):
+    from xml_to_sqlite3_spark.operators.curation import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "v"])
+    changes = spark.createDataFrame(
+        [(1, "a2", None), (2, "b2", "DELETE")], "doc_id long, v string, op string"
+    )
+    out = {r["doc_id"]: r["v"] for r in merge_upsert(base, changes).collect()}
+    # NULL op must not silently delete; 'DELETE' (any case) deletes
+    assert out == {1: "a2"}
+
+
+def test_kmv_and_histogram_ignore_nulls(spark):
+    from xml_to_sqlite3_spark.operators.curation import (
+        equi_depth_histogram,
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [(float(i),) for i in range(10)], "x double"
+    )
+    row = kmv_distinct(df, "x", k=128).collect()[0]
+    assert row["n_kept"] == 10 and row["distinct_estimate"] == 10.0
+    buckets = equi_depth_histogram(df, "x", n_buckets=2, round_to=0).collect()
+    assert sum(r["n_rows"] for r in buckets) == 10
+    assert all(r["lo"] is not None for r in buckets)

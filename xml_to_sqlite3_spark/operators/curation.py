@@ -420,7 +420,14 @@ def kmv_distinct(
     (Spark's approx_count_distinct/HLL is the same idea but its
     binary sketch is not replicable outside Spark).
     """
-    hashed = df.select(stable_unit(F.col(col)).alias("h")).distinct()
+    # NULLs hash to NULL, which would sort first and occupy a k-slot
+    # (and count as a distinct value) — exclude them; report nulls
+    # via table_profile if needed
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(stable_unit(F.col(col)).alias("h"))
+        .distinct()
+    )
     kth = (
         hashed.orderBy("h")
         .limit(k)
@@ -543,7 +550,7 @@ def line_dedup(
     w = Window.partitionBy("line").orderBy(id_col, "line_idx")
     first_here = F.row_number().over(w) == 1
     kept = F.when(F.col("__first"), F.struct(F.col("line_idx"), F.col("line")))
-    return (
+    agg = (
         _exploded_lines(df, id_col, text_col)
         .withColumn("__first", first_here)
         .groupBy(id_col)
@@ -559,6 +566,20 @@ def line_dedup(
             F.size("__kept").alias("n_lines_kept"),
             "n_lines_total",
         )
+    )
+    # _exploded_lines drops blank lines before the groupBy, so a
+    # document whose EVERY line is blank would otherwise vanish from
+    # the output — the same hole c4_line_filter's spine join patches;
+    # such documents survive with text_deduped = ''
+    spine = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("__nt"),
+    )
+    return spine.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_total", F.col("__nt")).alias("n_lines_total"),
     )
 
 
@@ -638,7 +659,6 @@ def heavy_hitters(
     df: DataFrame,
     col: str,
     k: int = 100,
-    id_col: str | None = None,
 ) -> DataFrame:
     """Mergeable Misra-Gries heavy-hitters sketch: approximate top
     frequencies using k counters per partition and O(partitions x k)
@@ -681,21 +701,40 @@ def heavy_hitters(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        values = list(counters.keys())
+        counts = list(counters.values())
+        if not values and n_seen:
+            # all counters can die on a trailing decrement; the
+            # partition must still report its row count or n_total
+            # undercounts — emit a null-value marker row
+            values, counts = [None], [0]
         yield _pd.DataFrame(
             {
-                "value": list(counters.keys()),
-                "part_count": list(counters.values()),
-                "part_n": [n_seen] * len(counters),
+                "value": values,
+                "part_count": counts,
+                "part_n": [n_seen] * len(values),
+                "part_id": [pid] * len(values),
             }
         )
 
     vals = df.select(F.col(col).cast("string").alias("__v"))
     summaries = vals.mapInPandas(
-        summarize, schema="value string, part_count long, part_n long"
+        summarize, schema="value string, part_count long, part_n long, part_id int"
+    ).localCheckpoint(eager=True)
+    # n_total from the sketch itself (one part_n row per partition) —
+    # NOT a second full scan of the input; at 100 TB the extra pass
+    # would double the sketch's cost
+    totals = (
+        summaries.select("part_id", "part_n")
+        .distinct()
+        .agg(F.sum("part_n").alias("n_total"))
     )
-    totals = vals.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        summaries.groupBy("value")
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
         .agg(F.sum("part_count").alias("est_count"))
         .crossJoin(F.broadcast(totals))
         .orderBy(F.desc("est_count"), "value")
@@ -883,7 +922,14 @@ def merge_upsert(
         latest.alias("c"), F.col(f"b.{key_col}") == F.col(f"c.{key_col}"), "full"
     )
     has_change = F.col(f"c.{key_col}").isNotNull()
-    keep = ~has_change | (F.col(f"c.{op_col}") != "delete")
+    # only a literal (case-insensitive) 'delete' deletes; a NULL or
+    # unrecognized op upserts — (NULL != 'delete') evaluates to NULL,
+    # which the filter would treat as delete, silently dropping keys
+    # from a malformed CDC feed
+    is_delete = F.coalesce(
+        F.lower(F.col(f"c.{op_col}")) == "delete", F.lit(False)
+    )
+    keep = ~has_change | ~is_delete
     pick = [
         F.coalesce(F.col(f"c.{key_col}"), F.col(f"b.{key_col}")).alias(key_col)
     ] + [
@@ -980,8 +1026,13 @@ def equi_depth_histogram(
     data by construction. A value whose count straddles a boundary
     lands wholly in one bucket (standard discrete equi-depth).
     """
+    # NULLs would form a value group that sorts FIRST in the
+    # cumulative window, shifting every real bucket and emitting a
+    # (lo=NULL, hi=NULL) bucket — a histogram is over values; nulls
+    # belong in table_profile's null count
     vals = (
-        df.select(F.round(F.col(col), round_to).alias("v"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.round(F.col(col), round_to).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -22,7 +22,15 @@ B = 0.75
 
 
 def tokenize(text_col) -> F.Column:
-    return F.split(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")), " ")
+    # collapse FIRST, then trim: Spark trim strips only spaces, so a
+    # trailing newline would survive trim, collapse to a trailing
+    # space, and split into an empty token that inflates doc_len and
+    # enters the index. Empty tokens are filtered to cover the
+    # all-whitespace-document edge.
+    return F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " "),
+        lambda t: t != "",
+    )
 
 
 def build_text_index(

@@ -207,7 +207,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_ORACLE = f"""
 WITH h AS (
-  SELECT DISTINCT {_UNIT.format(c='user_id')} AS h FROM events
+  SELECT DISTINCT {_UNIT.format(c='user_id')} AS h FROM events WHERE user_id IS NOT NULL
 ), kmin AS (
   SELECT h FROM h ORDER BY h LIMIT 128
 ), agg AS (
@@ -396,14 +396,23 @@ lines AS (
          ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS first_here
   FROM lines
 )
-SELECT doc_id,
-       md5(coalesce(string_agg(CASE WHEN first_here THEN line END, chr(10)
-                               ORDER BY line_idx), '')) AS text_md5,
-       count(*) FILTER (WHERE first_here) AS n_lines_kept,
-       any_value(n_total) AS n_lines_total
-FROM flagged
-GROUP BY doc_id
-ORDER BY doc_id
+, per_doc AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(CASE WHEN first_here THEN line END, chr(10)
+                                 ORDER BY line_idx), '')) AS text_md5,
+         count(*) FILTER (WHERE first_here) AS n_lines_kept,
+         any_value(n_total) AS n_lines_total
+  FROM flagged
+  GROUP BY doc_id
+)
+-- all-blank documents have no surviving lines (the lines CTE drops
+-- blanks) but must still appear, with the empty text's md5
+SELECT w.doc_id,
+       coalesce(p.text_md5, md5('')) AS text_md5,
+       coalesce(p.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(p.n_lines_total, len(string_split(w.text, chr(10)))) AS n_lines_total
+FROM wrapped w LEFT JOIN per_doc p USING (doc_id)
+ORDER BY w.doc_id
 """
 
 

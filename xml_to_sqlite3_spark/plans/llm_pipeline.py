@@ -881,7 +881,8 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS t
   FROM documents
 ), exploded AS (
   SELECT doc_id, len(t) AS doc_len, unnest(t) AS token FROM toks

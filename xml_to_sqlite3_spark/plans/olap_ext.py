@@ -599,7 +599,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICE_HISTOGRAM_ORACLE = """
 WITH vals AS (
   SELECT round(l_extendedprice, 2) AS v, count(*) AS cnt
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT v, cnt,
          sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,

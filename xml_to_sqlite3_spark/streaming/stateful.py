@@ -37,6 +37,10 @@ def _dedup_group(
     # batches the earliest batch wins via the state bit.
     best = None
     for pdf in pdfs:
+        # a non-numeric upstream id casts to NULL (NaN here); those
+        # rows cannot win deterministically and idxmin over all-NaN
+        # raises — drop them rather than kill the query
+        pdf = pdf[pdf["doc_id"].notna()]
         if len(pdf) == 0:
             continue
         cand = pdf.loc[pdf["doc_id"].idxmin()]
