@@ -83,3 +83,37 @@ def test_dispatch_routes_by_size():
     rows = _parse_dispatch(big, "b.xml", len(big))
     assert rows == _parse_one_stream(big, "b.xml", len(big))
     assert [r[4] for r in rows if r[4]] == ["1"]
+
+
+def test_namespaced_id_parity_between_dom_and_stream():
+    """A namespaced x:id is NOT a node id (nokogiri element['id'])
+    and NOT a property, identically in both parse paths."""
+    from xml_to_sqlite3_spark.sources.xml_source import (
+        _parse_one,
+        _parse_one_stream,
+    )
+
+    xml = (
+        b'<root xmlns:x="u" id="r">'
+        b'<item x:id="a" keep="1"/>'
+        b'<item id="b" x:id="zzz"/>'
+        b"</root>"
+    )
+    dom = _parse_one(xml, "/t.xml", len(xml))
+    stream = _parse_one_stream(xml, "/t.xml", len(xml))
+
+    def ids(rows):
+        return sorted(r[4] for r in rows if r[4] is not None)
+
+    def props(rows):
+        return sorted(
+            (r[4], a["property_name"])
+            for r in rows
+            if r[4] is not None and r[11]
+            for a in r[11]
+        )
+
+    assert ids(dom) == ids(stream) == ["b", "r"]
+    assert props(dom) == props(stream)
+    # x:id never leaks into properties
+    assert all(name != "id" for _, name in props(dom))

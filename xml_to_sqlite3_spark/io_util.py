@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,10 +74,19 @@ def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
     return dict(_read_parquet_nanos_safe(spark, path).dtypes).get("ts") == "bigint"
 
 
+_NANOS_CONF_LOCK = threading.Lock()
+
+
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # the set/capture/restore of a SESSION-GLOBAL conf is not thread
+    # safe: two concurrent loads (the graph build overlaps its nodes
+    # and properties writes from two threads) can interleave so one
+    # thread's restore lands between another's set and its read —
+    # the module-level lock serializes the critical section.
+    with _NANOS_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)

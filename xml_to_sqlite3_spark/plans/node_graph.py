@@ -449,7 +449,10 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     import os
     import shutil
 
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId, not id(sparkContext): CPython reuses object
+    # addresses after GC, so an id()-keyed hit could hand back
+    # DataFrames bound to a STOPPED session
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
 
@@ -508,6 +511,12 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        if os.path.exists(marker):
+            # this session BUILT (or won the build race for) the
+            # entry — clear_graph_cache may remove it; attached-only
+            # entries are other sessions' shared property
+            if final not in _GRAPH_CACHE_DIRS:
+                _GRAPH_CACHE_DIRS.append(final)
         # prune stale entries for this sf_dir (older code / older
         # testdata) so the cache root stays bounded — but only
         # entries COLD for an hour. Pruning a sibling immediately
@@ -538,8 +547,6 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         os.utime(final, None)
     except OSError:
         pass
-    if final not in _GRAPH_CACHE_DIRS:
-        _GRAPH_CACHE_DIRS.append(final)
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
     xrefs = spark.read.parquet(f"{final}/xrefs")
@@ -549,10 +556,9 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
 
 def clear_graph_cache() -> None:
     """Drop the in-session handles AND the on-disk entries THIS
-    session built or attached (tests use this to force a rebuild).
-    Scoped to this session's entries on purpose: rmtree'ing the whole
-    shared root would delete other live sessions' cache parquet out
-    from under them with none of the grace the pruning path gives."""
+    session BUILT (tests use this to force a rebuild). Attached-only
+    entries are left alone: they are other sessions' shared property,
+    and deleting them would bypass the pruning path's grace window."""
     import shutil
 
     _GRAPH_CACHE.clear()

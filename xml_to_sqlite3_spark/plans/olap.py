@@ -264,7 +264,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZATION_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         -- floor() both sides: DuckDB epoch() is a fractional double while the
+         -- Spark plan compares second-TRUNCATED longs (ts_seconds); an
+         -- unfloored gap of e.g. 1800.7s would split a session only here
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sess AS (

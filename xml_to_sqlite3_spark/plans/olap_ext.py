@@ -163,7 +163,10 @@ def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics via a window minimum, no second scan."""
     from pyspark.sql import Window as W
 
-    part = load(spark, sf_dir, "part")
+    # NULL p_size would form its own window partition and pass the
+    # equality here while the oracle's correlated subquery (p2.p_size
+    # = p.p_size) drops such rows — align on the subquery semantics
+    part = load(spark, sf_dir, "part").filter(F.col("p_size").isNotNull())
     w = W.partitionBy("p_size")
     return (
         part.withColumn("min_price", F.min("p_retailprice").over(w))
@@ -233,7 +236,10 @@ def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_IN_SESSIONS_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         -- floor() both sides: DuckDB epoch() is a fractional double while the
+         -- Spark plan compares second-TRUNCATED longs (ts_seconds); an
+         -- unfloored gap of e.g. 1800.7s would split a session only here
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sess_rows AS (

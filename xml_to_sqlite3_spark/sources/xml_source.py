@@ -195,9 +195,16 @@ def _parse_one_stream(content: bytes, path: str, size: int) -> list[tuple]:
         props = []
         for k, v in attrs.items():
             kl = k.rsplit("}", 1)[-1]
-            if kl == "id":
+            if k == "id":
+                # only the PLAIN unnamespaced attribute is the node id
+                # (nokogiri element['id']; the DOM path's el.get("id")
+                # likewise never matches '{uri}id') — expat with
+                # namespace_separator='}' delivers namespaced ids as
+                # 'uri}id', which must neither become the node id nor
+                # a property (DOM parity: _local_name(k) == 'id' is
+                # excluded from properties)
                 el_id = v
-            else:
+            elif kl != "id":
                 props.append({"property_name": kl, "property_value": v})
         entry = [lname, el_id, cell, 0, {}, None, [], False]
         if el_id is not None:
@@ -294,7 +301,12 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: list[tuple] = []
         for path, size, content in zip(pdf["path"], pdf["length"], pdf["content"]):
-            local = path[5:] if path.startswith("file:") else path
+            if path.startswith("file:"):
+                from urllib.parse import urlparse
+
+                local = urlparse(path).path  # 'file:///a/b.xml' -> '/a/b.xml'
+            else:
+                local = path
             out.extend(_parse_dispatch(bytes(content), local, int(size)))
         yield pd.DataFrame(out, columns=cols)
 
@@ -317,7 +329,11 @@ def read_xml_corpus(
 
     parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
     # The parse feeds three projections — materialize it once.
-    parsed = parsed.persist()
+    # localCheckpoint, not persist: repeated calls in one session
+    # (gate + bench both run xml_nodes_roundtrip) would otherwise
+    # pin a cached copy per call with no release path; checkpoint
+    # blocks are freed when the frames are garbage-collected.
+    parsed = parsed.localCheckpoint(eager=True)
     return corpus_from_parsed(parsed)
 
 
