@@ -117,10 +117,17 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
             out_data, out_meta = [], []
             for data, meta in zip(pdf["data"], pdf["meta"]):
                 fmt = (meta["format"] if meta is not None else "") or ""
-                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                arr = _decode_raster(data, fmt)
+                # PNM has no alpha plane: encode_ppm writes P5/P6 for
+                # 1/3 channels only, so RGBA/LA rasters must drop
+                # alpha here or the re-encode silently corrupts
+                if arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                elif arr.shape[2] == 2:
+                    arr = arr[:, :, :1]
                 resized = codecs.nearest_resize(arr, width, height)
                 out_data.append(codecs.encode_ppm(resized))
-                m = dict(meta)
+                m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = width, height
                 m["format"] = "ppm" if resized.shape[2] == 3 else "pgm"
                 out_meta.append(m)
@@ -299,7 +306,7 @@ def extract_pixel_features(df: DataFrame, dim: int = 64) -> DataFrame:
             vecs = []
             for data, meta in zip(pdf["data"], pdf["meta"]):
                 fmt = (meta["format"] if meta is not None else "") or ""
-                arr = codecs.decode_image_bytes(bytes(data), fmt)
+                arr = _decode_raster(data, fmt)
                 vecs.append([float(x) for x in codecs.grid_pool_features(arr, dim)])
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "embedding": vecs}
@@ -347,7 +354,7 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
                 x, rate = codecs.decode_wav(bytes(data))
                 y = codecs.resample_audio(x, rate, target_rate)
                 out_data.append(codecs.encode_wav(y, target_rate))
-                m = dict(meta)
+                m = dict(meta) if meta is not None else {}
                 m["sample_rate"] = target_rate
                 out_meta.append(m)
             yield pdf.assign(data=out_data, meta=out_meta)

@@ -36,6 +36,12 @@ def curate_corpus(
     stage entirely — the cheap (hash/column-math) funnel, which is
     exactly SQL-expressible and oracle-checkable.
     """
+    # quality_features / language_id emit a literal doc_id column, so
+    # a custom id_col is normalized up front (and the output keeps
+    # the canonical doc_id name the funnel documents)
+    if id_col != "doc_id":
+        docs = docs.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
     exact = D.exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
         "doc_id", "is_keeper"
     )

@@ -260,8 +260,11 @@ def multi_references(nodes: DataFrame, properties: DataFrame) -> DataFrame:
 def same_type_relationships(nodes: DataFrame, max_group: int | None = None) -> DataFrame:
     """Semantic adapter, type groupings (examples/.../semantic_adapter.rb:30-50):
     every ordered pair of same-type nodes with non-null content in a
-    document, confidence 0.6."""
-    base = nodes.filter(F.col("content").isNotNull() & (F.col("content") != "")).select(
+    document, confidence 0.6. Only NULL content is excluded — the
+    reference's node query is 'content IS NOT NULL' and its grouping
+    pass has no empty-string check (empty-content exclusion belongs
+    ONLY to the content-similarity pass, where '' scores 0.0)."""
+    base = nodes.filter(F.col("content").isNotNull()).select(
         "document_id", "node_type", "id"
     )
     if max_group is not None:

@@ -60,7 +60,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
          + stopword_ratio (EN) capped at 0.5, scaled * 0.4 —
     a simple, deterministic heuristic in the Gopher/C4-rule spirit.
     """
-    text = F.col(text_col)
+    # null text behaves as '' — otherwise size(null) = -1 poisons
+    # every ratio and the composite score
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = ws_tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
@@ -85,7 +87,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/stopword language heuristic: CJK characters force zh;
     otherwise argmax of per-language stopword hits with the fixed
     tie-break order en > es > fr > de; zero hits => 'und'."""
-    text = F.col(text_col)
+    # null text behaves as '' — size(null) = -1 would make every
+    # stopword count -1, skip the zero-hit 'und' branch, and classify
+    # the null doc as 'en'
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = ws_tokens(F.lower(text))
     hits = {
         "en": stopword_hits(toks, STOPWORDS_EN),
@@ -202,15 +207,10 @@ def train_bpe(
     for rank in range(n_merges):
         pairs = vocab.select(
             "cnt",
-            F.explode(
-                F.expr(
-                    "transform(slice(symbols, 1, size(symbols) - 1), "
-                    "(s, i) -> struct(s AS l, symbols[i + 1] AS r))"
-                )
-            ).alias("p"),
+            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
         )
         top = (
-            pairs.groupBy("p.l", "p.r")
+            pairs.groupBy(F.col("p.a").alias("l"), F.col("p.b").alias("r"))
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "l", "r")
             .limit(1)
@@ -274,6 +274,18 @@ def apply_bpe(
     ).select(id_col, F.size("tokens").alias("n_bpe_tokens"), "tokens")
 
 
+def _adjacent_pairs(arr: Column) -> Column:
+    """(a, b) struct pairs of adjacent elements of an array column —
+    the shared bigram/merge-pair primitive for phrase_pmi and
+    train_bpe: zip the array with itself shifted by one."""
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
 def phrase_pmi(
     df: DataFrame,
     text_col: str = "text",
@@ -297,23 +309,21 @@ def phrase_pmi(
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     n_uni = uni.agg(F.sum("cnt").alias("n_words"))
 
-    bigrams = (
+    all_bigrams = (
         df.select(
-            F.explode(
-                F.expr(
-                    "transform(slice({t}, 1, size({t}) - 1), "
-                    "(w, i) -> struct(w AS a, {t}[i + 1] AS b))".format(
-                        t=f"split(trim(lower({text_col})), '\\\\s+')"
-                    )
-                )
-            ).alias("p")
+            F.explode(_adjacent_pairs(ws_tokens(F.lower(F.col(text_col))))).alias(
+                "p"
+            )
         )
         .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_count)
     )
-    n_bi = bigrams.agg(F.sum("pair_cnt").alias("n_pairs"))
+    # p(a,b) normalizes by ALL adjacent pairs — summing only the
+    # >=min_count survivors would inflate every PMI by a constant
+    # ln(total/filtered)
+    n_bi = all_bigrams.agg(F.sum("pair_cnt").alias("n_pairs"))
+    bigrams = all_bigrams.filter(F.col("pair_cnt") >= min_count)
     ua = uni.select(F.col("w").alias("a"), F.col("cnt").alias("cnt_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("cnt").alias("cnt_b"))
     return (

@@ -1130,14 +1130,16 @@ WITH toks AS (
   FROM toks, unnest(toks.w) AS u(x) WHERE u.x <> '' GROUP BY u.x
 ), n_uni AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS n_words FROM uni
-), bi AS (
+), all_bi AS (
   SELECT w[CAST(i.i AS INT)] AS a, w[CAST(i.i AS INT) + 1] AS b, count(*) AS pair_cnt
   FROM toks, unnest(range(1, len(toks.w))) AS i(i)
   WHERE w[CAST(i.i AS INT)] <> '' AND w[CAST(i.i AS INT) + 1] <> ''
   GROUP BY 1, 2
-  HAVING count(*) >= 5
 ), n_bi AS (
-  SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM bi
+  -- normalize by ALL adjacent pairs, not just the min_count survivors
+  SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM all_bi
+), bi AS (
+  SELECT * FROM all_bi WHERE pair_cnt >= 5
 )
 SELECT bi.a, bi.b, bi.pair_cnt,
        round(ln((bi.pair_cnt / CAST(n_pairs AS DOUBLE))

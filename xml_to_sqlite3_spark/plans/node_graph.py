@@ -1075,8 +1075,8 @@ SELECT a.id AS source_node_id, b.id AS target_node_id,
 FROM nodes a JOIN nodes b
   ON a.document_id = b.document_id AND a.node_type = b.node_type AND a.id <> b.id
 WHERE a.node_type IN ('region', 'nation')
-  AND a.content IS NOT NULL AND a.content <> ''
-  AND b.content IS NOT NULL AND b.content <> ''
+  AND a.content IS NOT NULL
+  AND b.content IS NOT NULL
 ORDER BY source_node_id, target_node_id
 """
 
