@@ -40,7 +40,10 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + sorted(set(qs) - set(HEADLINE))
 
     # warm the JVM + parquet footers once with the flagship query
-    qs["q1_pricing_summary"](spark, sf_dir).collect()
+    try:
+        qs["q1_pricing_summary"](spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001 — warm-up failure must not kill the run
+        pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -58,7 +61,8 @@ def main() -> None:
             df.count()
         timings["graph_build"] = round(time.perf_counter() - t0, 4)
     except Exception as e:  # noqa: BLE001 — one failure must not kill the run
-        errors["graph_build"] = str(e).splitlines()[0][:300]
+        errors["graph_build"] = (str(e) or repr(e)).splitlines()[0][:300]
+
     def _release_query_state() -> None:
         # per-query memory isolation: operators persist/checkpoint
         # intermediates (minhash tokens, signatures, edge blocks)
@@ -74,6 +78,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — hygiene must never fail the bench
             pass
 
+    # drop the warm-up's and graph build's leftover blocks so the
+    # FIRST timed query doesn't absorb their eviction pressure (the
+    # same distortion _release_query_state documents mid-loop)
+    _release_query_state()
+
     for name in names:
         # per-query isolation: a single broken query costs its own
         # timing, never the whole bench (round-3 lesson: one
@@ -86,7 +95,7 @@ def main() -> None:
             _ = n
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
-            errors[name] = str(e).splitlines()[0][:300]
+            errors[name] = (str(e) or repr(e)).splitlines()[0][:300]
         df = None  # drop the plan's persisted/checkpointed block refs
         _release_query_state()
 

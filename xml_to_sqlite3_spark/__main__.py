@@ -73,7 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     if not args.no_relationships:
         from .operators.relationships import detect_all_relationships
 
-        xrefs = detect_all_relationships(corpus.nodes, corpus.properties)
+        from pyspark.sql import functions as F
+
+        # carry the originating document as source_file (reference
+        # column; also the delete-then-insert idempotence key)
+        xrefs = detect_all_relationships(corpus.nodes, corpus.properties).withColumn(
+            "source_file", F.col("document_id")
+        )
 
     if args.parquet_out:
         if os.path.exists(args.parquet_out) and not args.force:

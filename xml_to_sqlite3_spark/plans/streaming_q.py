@@ -40,7 +40,13 @@ def _run_to_table(result: DataFrame, prefix: str, mode: str = "complete") -> Dat
         .start()
     )
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    # materialize the sink contents, then drop the uuid-named temp
+    # view — back-to-back gate/bench sessions would otherwise pin
+    # every streaming result in driver memory for the session's life
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

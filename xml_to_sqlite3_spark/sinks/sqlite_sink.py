@@ -81,8 +81,13 @@ _MIGRATIONS = (_MIGRATION_1, _MIGRATION_2)
 
 def migrate(con: sqlite3.Connection) -> None:
     """Versioned migration runner (lib/schema/manager.rb parity)."""
+    # pre-create with the FULL reference shape — a version-only
+    # pre-create would make _MIGRATION_1's richer CREATE TABLE IF NOT
+    # EXISTS a permanent no-op and lose the applied_at column
     con.execute(
-        "CREATE TABLE IF NOT EXISTS schema_migrations (version INTEGER PRIMARY KEY)"
+        "CREATE TABLE IF NOT EXISTS schema_migrations ("
+        "version INTEGER PRIMARY KEY, "
+        "applied_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)"
     )
     row = con.execute("SELECT MAX(version) FROM schema_migrations").fetchone()
     current = row[0] or 0
@@ -134,13 +139,18 @@ def write_corpus_sqlite(
 
     counts: dict[str, int] = {}
 
-    docs = dedupe_last_writer(corpus.documents, ["id"], "filename")
+    # documents are already unique by construction (corpus_from_parsed
+    # groups by document_id) — no dedupe window needed here
+    docs = corpus.documents
     counts["documents"] = _insert_stream(
         con,
-        "INSERT OR REPLACE INTO documents (id, filename, file_size) VALUES (?, ?, ?)",
+        "INSERT OR REPLACE INTO documents (id, filename, file_size, file_hash)"
+        " VALUES (?, ?, ?, ?)",
         (
-            (r["id"], r["filename"], r["file_size"])
-            for r in docs.select("id", "filename", "file_size").toLocalIterator()
+            (r["id"], r["filename"], r["file_size"], r["file_hash"])
+            for r in docs.select(
+                "id", "filename", "file_size", "file_hash"
+            ).toLocalIterator()
         ),
         batch_size,
     )
@@ -189,6 +199,12 @@ def write_corpus_sqlite(
     )
 
     if cross_references is not None:
+        # cross_references has a synthetic autoincrement PK, so
+        # INSERT OR REPLACE can never replace — re-writing the same
+        # documents would silently duplicate every xref row. Delete
+        # the rows previously written for these source files first
+        # (same idempotence contract as the streaming path).
+        _delete_xrefs_on(con, [r["id"] for r in docs.select("id").toLocalIterator()])
         counts["cross_references"] = _insert_stream(
             con,
             "INSERT OR REPLACE INTO cross_references (source_node_id, target_node_id,"
@@ -216,6 +232,29 @@ def write_corpus_sqlite(
     return counts
 
 
+def _delete_xrefs_on(con: sqlite3.Connection, source_files: list) -> int:
+    """Chunked DELETE of cross_references rows by source_file on an
+    open connection (500 placeholders per statement — one per file
+    would exceed SQLite's bound-variable limit on backlog drains).
+    Tolerates the table not existing yet (first write)."""
+    deleted = 0
+    try:
+        for i in range(0, len(source_files), 500):
+            chunk = source_files[i : i + 500]
+            if not chunk:
+                continue
+            cur = con.execute(
+                "DELETE FROM cross_references WHERE source_file IN (%s)"
+                % ",".join("?" * len(chunk)),
+                chunk,
+            )
+            deleted += cur.rowcount
+    except sqlite3.OperationalError as e:
+        if "no such table" not in str(e):
+            raise
+    return deleted
+
+
 def delete_xrefs_for_sources(db_path: str, source_files: list) -> int:
     """Drop the cross_references rows previously written for these
     source files. cross_references has a synthetic autoincrement PK
@@ -230,13 +269,9 @@ def delete_xrefs_for_sources(db_path: str, source_files: list) -> int:
         return 0
     con = sqlite3.connect(db_path)
     try:
-        cur = con.execute(
-            "DELETE FROM cross_references WHERE source_file IN (%s)"
-            % ",".join("?" * len(source_files)),
-            list(source_files),
-        )
+        deleted = _delete_xrefs_on(con, list(source_files))
         con.commit()
-        return cur.rowcount
+        return deleted
     except sqlite3.OperationalError as e:
         # ONLY the first-batch missing-table case is benign; a locked
         # database etc. must propagate — swallowing it would skip the

@@ -190,9 +190,16 @@ def read_tabular_corpus(
     )
     doc_id = os.path.splitext(os.path.basename(path))[0]
     size = os.path.getsize(path) if os.path.isfile(path) else 0
+    if os.path.isfile(path):
+        import hashlib
+
+        with open(path, "rb") as f:
+            fh = hashlib.md5(f.read()).hexdigest()
+    else:
+        fh = None
     documents = spark.createDataFrame(
-        [(doc_id, os.path.basename(path), size)],
-        "id string, filename string, file_size long",
+        [(doc_id, os.path.basename(path), size, fh)],
+        "id string, filename string, file_size long, file_hash string",
     )
     n_err = records.filter(
         F.col(id_col).isNull() | (F.col(id_col).cast("string") == "")

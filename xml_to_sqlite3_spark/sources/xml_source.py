@@ -48,7 +48,8 @@ _PARSE_SCHEMA = (
     "document_id string, filename string, file_size long, parse_error string, "
     "id string, node_type string, parent_id string, position int, "
     "content string, xpath string, ordinal long, "
-    "attributes array<struct<property_name: string, property_value: string>>"
+    "attributes array<struct<property_name: string, property_value: string>>, "
+    "file_hash string"
 )
 
 
@@ -297,7 +298,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "xpath",
         "ordinal",
         "attributes",
+        "file_hash",
     ]
+    import hashlib
+
     for pdf in batches:
         out: list[tuple] = []
         for path, size, content in zip(pdf["path"], pdf["length"], pdf["content"]):
@@ -307,7 +311,11 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 local = urlparse(path).path  # 'file:///a/b.xml' -> '/a/b.xml'
             else:
                 local = path
-            out.extend(_parse_dispatch(bytes(content), local, int(size)))
+            b = bytes(content)
+            # documents.file_hash (001_create_base_schema.rb:14 —
+            # declared by the reference schema; md5 of the raw bytes)
+            fh = hashlib.md5(b).hexdigest()
+            out.extend(r + (fh,) for r in _parse_dispatch(b, local, int(size)))
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -347,9 +355,16 @@ def corpus_from_parsed(parsed: DataFrame) -> XmlCorpus:
         .agg(
             F.first("filename").alias("filename"),
             F.first("file_size").alias("file_size"),
+            F.first("file_hash").alias("file_hash"),
         )
         .withColumn("parsed_at", F.current_timestamp())
-        .select(F.col("document_id").alias("id"), "filename", "file_size", "parsed_at")
+        .select(
+            F.col("document_id").alias("id"),
+            "filename",
+            "file_size",
+            "file_hash",
+            "parsed_at",
+        )
     )
 
     nodes = (
