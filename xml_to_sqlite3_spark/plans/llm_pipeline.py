@@ -870,11 +870,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text BM25 top-10 for a fixed two-term query over the
-    inverted index (operators/search.py)."""
-    from ..operators.search import bm25_search, build_text_index, corpus_stats
+    PERSISTENT inverted index (operators/search.py): content-keyed
+    on-disk parquet, token-sorted so the query's term lookups prune
+    row groups — cold sessions attach instead of rebuilding."""
+    import os
 
-    idx = build_text_index(load(spark, sf_dir, "documents"))
-    n_docs, avg_len = corpus_stats(idx)
+    from ..operators.search import bm25_search, get_text_index
+
+    idx, n_docs, avg_len = get_text_index(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
     return bm25_search(idx, "data query", k=10, n_docs=n_docs, avg_len=avg_len)
 
 

@@ -491,16 +491,29 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
             props_tmp = spark.read.parquet(f"{tmp}/properties")
             # Full xref set, PARTITIONED by reference_type: type
-            # filters prune whole directories (stronger than the
-            # row-group stats a sortWithinPartitions clustering
-            # gives, and ~7s cheaper to write — no per-partition
-            # sort), the type value lives in the path instead of a
-            # per-row column (measured 2x faster full scans), and
-            # with ~8 types per task the writer stays at a sane
-            # file count (see the half-set post-mortem above).
-            R.detect_all_relationships(nodes_tmp, props_tmp).write.mode(
-                "overwrite"
-            ).partitionBy("reference_type").parquet(f"{tmp}/xrefs")
+            # filters prune whole directories, and the type value
+            # lives in the path instead of a per-row column (measured
+            # 2x faster full scans). WITHIN each type the rows are
+            # range-partitioned + sorted on source_node_id, so every
+            # file carries a tight (min, max) source range and a
+            # point filter on source_node_id prunes at the footer —
+            # the r5 store's per-task random source mix left every
+            # file spanning the whole id range, forcing OR-predicate
+            # consumers (node_references) to full-scan the doubled
+            # multiset (4.28s). The range shuffle is a one-time build
+            # cost; the write adds no extra sort because the child's
+            # (reference_type, source_node_id) ordering already
+            # satisfies the dynamic-partition writer's required
+            # reference_type prefix.
+            par = spark.sparkContext.defaultParallelism
+            (
+                R.detect_all_relationships(nodes_tmp, props_tmp)
+                .repartitionByRange(par, "reference_type", "source_node_id")
+                .sortWithinPartitions("reference_type", "source_node_id")
+                .write.mode("overwrite")
+                .partitionBy("reference_type")
+                .parquet(f"{tmp}/xrefs")
+            )
             with open(f"{tmp}/_COMPLETE", "w") as f:
                 f.write(ck)
             try:
@@ -704,8 +717,13 @@ def hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative frontier variant: measured 6-7s vs 7-11s for the
     # recursive-CTE form at sf0.1 (UnionLoop re-scans its anchor per
     # level), and no temp-view mutation; the CTE form stays covered
-    # by tests/test_queries-style parity on node_tree itself.
-    tree = H.node_tree_iterative(nodes, max_depth=10)
+    # by tests/test_queries-style parity on node_tree itself. The
+    # walk carries only (id, node_type, parent_id) — the summary
+    # never reads content, and dropping it from the per-level
+    # checkpoints roughly halves the walk's materialized bytes.
+    tree = H.node_tree_iterative(
+        nodes, max_depth=10, columns=("id", "node_type", "parent_id")
+    )
     return (
         tree.groupBy("level", "node_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -961,21 +979,32 @@ def node_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     for one node: direction-tagged neighbor list."""
     _, _, xrefs = get_graph(spark, sf_dir)
     node = "customer_7"
-    return (
-        xrefs.filter(
-            (F.col("source_node_id") == node) | (F.col("target_node_id") == node)
-        )
-        .select(
-            F.when(F.col("source_node_id") == node, F.col("target_node_id"))
-            .otherwise(F.col("source_node_id"))
-            .alias("related_node"),
-            "reference_type",
-            F.when(F.col("source_node_id") == node, F.lit("outgoing"))
-            .otherwise(F.lit("incoming"))
-            .alias("direction"),
-            F.round("confidence", 6).alias("confidence"),
-        )
-        .orderBy("related_node", "reference_type", "direction")
+    # UNION of two point filters, not one OR across two columns: an
+    # OR disjunction spanning source and target defeats row-group
+    # pruning entirely (no single column's min/max can reject a
+    # group), so r5 full-scanned the whole multiset per call. The
+    # outgoing branch prunes via the store's source-sorted layout
+    # (get_graph's range-partitioned write); the incoming branch is a
+    # single pushed-down equality over a column-pruned scan. The
+    # source != node guard on the incoming side keeps self-loop rows
+    # (if a detector ever emitted one) from appearing twice, exactly
+    # matching the OR formulation's one-row-per-xref semantics.
+    out = xrefs.filter(F.col("source_node_id") == node).select(
+        F.col("target_node_id").alias("related_node"),
+        "reference_type",
+        F.lit("outgoing").alias("direction"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+    inc = xrefs.filter(
+        (F.col("target_node_id") == node) & (F.col("source_node_id") != node)
+    ).select(
+        F.col("source_node_id").alias("related_node"),
+        "reference_type",
+        F.lit("incoming").alias("direction"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+    return out.unionByName(inc).orderBy(
+        "related_node", "reference_type", "direction"
     )
 
 
