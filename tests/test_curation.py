@@ -564,3 +564,38 @@ def test_kmv_and_histogram_ignore_nulls(spark):
     buckets = equi_depth_histogram(df, "x", n_buckets=2, round_to=0).collect()
     assert sum(r["n_rows"] for r in buckets) == 10
     assert all(r["lo"] is not None for r in buckets)
+
+
+def test_kmv_daily_merge_equals_from_raw(spark):
+    """The weekly KMV built by re-minning per-day k-min sketches must
+    equal the weekly KMV computed directly from raw events — the
+    exact-mergeability property that lets day sketches roll up
+    without touching raw data again."""
+    from pyspark.sql import Window as W
+
+    from xml_to_sqlite3_spark.io_util import load
+    from xml_to_sqlite3_spark.operators.curation import stable_hash60
+    from xml_to_sqlite3_spark.plans.olap_ext import kmv_daily
+
+    sf = "/root/testdata/sf0.001"
+    k = 64
+    ev = load(spark, sf, "events").withColumn(
+        "week", F.date_trunc("week", F.col("ts")).cast("date")
+    )
+    wh = ev.select(
+        "week", stable_hash60(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    ww = W.partitionBy("week").orderBy("h")
+    direct = {
+        (r["week"], r["rn"]): r["h"]
+        for r in wh.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    merged_rows = kmv_daily(spark, sf).collect()
+    assert merged_rows, "no weeks produced"
+    for r in merged_rows:
+        # min_hash and n_kept must match the from-raw weekly sketch
+        assert r["min_hash"] == direct[(r["week"], 1)]
+        n_direct = sum(1 for (wk, _rn) in direct if wk == r["week"])
+        assert r["n_kept"] == n_direct

@@ -329,3 +329,68 @@ def test_image_dhash_and_near_dup_pairs(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] <= 10
     assert (1, 4) in pairs and pairs[(1, 4)] <= 10
     assert (1, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_mjpeg_real_frame_sampling_and_near_dup(spark):
+    """Video frames are REAL for the mjpeg container: sample_frames
+    fingerprints the actual per-frame JPEG bytes, sample_frame_images
+    emits decodable image rows, and a planted near-duplicate frame
+    pair surfaces through the same image_near_dup_pairs path stills
+    use."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from xml_to_sqlite3_spark.operators import codecs
+
+    def blocky(seed):
+        blocks = np.random.RandomState(seed).randint(0, 256, (8, 8))
+        plane = np.kron(blocks, np.ones((8, 8))).astype(np.uint8)
+        return np.stack([plane, plane, plane], axis=2)
+
+    a = blocky(1)
+    noisy = np.clip(
+        a.astype(int) + np.random.RandomState(9).randint(-3, 4, a.shape), 0, 255
+    ).astype(np.uint8)
+    b = blocky(2)
+    c = blocky(3)
+    mj = codecs.encode_mjpeg([a, noisy, b, c], quality=95)
+
+    rows = [
+        Row(
+            media_id=5,
+            kind="video",
+            data=bytearray(mj),
+            meta=Row(
+                width=64, height=64, sample_rate=None,
+                duration_ms=4000, format="mjpeg",
+            ),
+        )
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    fr = sorted(M.sample_frames(df, every_ms=1000).collect(), key=lambda r: r.frame_index)
+    assert [r.frame_index for r in fr] == [0, 1, 2, 3]
+    frames = codecs.split_mjpeg(mj)
+    assert len(frames) == 4
+    # the fingerprint is the md5 of the frame's OWN bytes, not a
+    # container-hash stand-in
+    assert [r.frame_md5 for r in fr] == [
+        hashlib.md5(f).hexdigest() for f in frames
+    ]
+
+    imgs = M.sample_frame_images(df, every_ms=1000)
+    # per-frame rasters decode through the ordinary image path
+    dec = M.decode_image(
+        imgs.selectExpr("frame_id AS media_id", "kind", "data", "meta")
+    ).collect()
+    assert len(dec) == 4
+    assert all(r.width == 64 and r.height == 64 for r in dec)
+
+    pairs = M.image_near_dup_pairs(imgs, max_hamming=16, id_col="frame_id").collect()
+    got = {tuple(sorted((r.doc_a, r.doc_b))) for r in pairs}
+    fid = lambda i: 5 * 1_000_000 + i  # noqa: E731
+    assert (fid(0), fid(1)) in got, f"planted near-dup pair missing: {got}"
+    for x, y in [(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
+        assert (fid(x), fid(y)) not in got, f"false pair ({x},{y}): {got}"

@@ -255,6 +255,38 @@ def decode_image_bytes(data: bytes, fmt: str) -> np.ndarray:
 SUPPORTED_FORMATS = ("ppm", "pgm", "pnm", "bmp", "png", "jpg", "jpeg")
 
 
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream (concatenated baseline JPEG frames —
+    the on-disk layout of .mjpg/.mjpeg files and of MJPEG AVI payload
+    runs) into per-frame complete JPEG byte strings.
+
+    Marker scanning is exact for valid streams: inside the
+    entropy-coded segment every 0xFF byte is stuffed as FF00 or is a
+    restart marker (FFD0-FFD7), so a bare FFD9 only ever appears as
+    the end-of-image marker and FFD8 only as start-of-image."""
+    frames: list[bytes] = []
+    pos = 0
+    while True:
+        start = data.find(b"\xff\xd8", pos)
+        if start < 0:
+            break
+        end = data.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break
+        frames.append(bytes(data[start : end + 2]))
+        pos = end + 2
+    return frames
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
+    """Encode rasters into an MJPEG stream (concatenated JPEGs) via
+    the pure-python baseline encoder — the test-fixture / roundtrip
+    counterpart of split_mjpeg."""
+    from .jpeg import encode_jpeg
+
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE file -> (samples float64 in [-1, 1] shaped
     (n_frames, n_channels), sample_rate). Supports PCM 8/16/32-bit

@@ -10,7 +10,11 @@ and baseline JPEG (pure-python Huffman + numpy IDCT, jpeg.py) —
 decode, nearest-neighbor resize, grid-pool featurization all operate
 on actual pixels — and for RIFF/WAVE audio (PCM + float,
 decode_audio / extract_audio_features work on actual samples).
-Other formats (webp/gif/mp3/video frames) remain behind an
+Video is REAL for the 'mjpeg' container (concatenated baseline
+JPEGs, split by codecs.split_mjpeg and decoded frame-by-frame through
+jpeg.py — sample_frames fingerprints actual frame bytes and
+sample_frame_images emits decodable per-frame image rows). Other
+formats (webp/gif/mp3, inter-frame-coded video) remain behind an
 optional-PIL stub, with deterministic ``fake_*`` stand-ins keeping
 the pipeline executable end-to-end for them.
 
@@ -265,11 +269,36 @@ def resize_plan(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def _sampled_frame_plan(raw: bytes, meta, every_ms: int):
+    """Shared sampling plan for one video row: yields
+    (frame_index, ts_ms, frame_bytes_or_None). For the REAL container
+    format ('mjpeg', concatenated baseline JPEGs split by
+    codecs.split_mjpeg) frame timestamps come from spreading the
+    container's frames uniformly over duration_ms and frame_bytes is
+    the frame's own complete JPEG; for opaque formats frame_bytes is
+    None and callers fall back to the documented deterministic
+    stand-in fingerprint."""
+    duration = int(meta["duration_ms"] or 0)
+    fmt = (meta["format"] or "").lower() if meta is not None else ""
+    frames = codecs.split_mjpeg(raw) if fmt == "mjpeg" else None
+    for idx, ts in enumerate(range(0, duration, every_ms)):
+        fb = None
+        if frames:
+            fi = min(len(frames) - 1, ts * len(frames) // max(duration, 1))
+            fb = frames[fi]
+        yield idx, ts, fb
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling fan-out for video rows: one output row per
-    sampled frame with a deterministic frame fingerprint. The fan-out
-    happens inside the task (mapInPandas yielding more rows than it
-    received) — never on the driver."""
+    sampled frame. The fan-out happens inside the task (mapInPandas
+    yielding more rows than it received) — never on the driver.
+
+    For 'mjpeg' videos the fingerprint is REAL — the md5 of the
+    sampled frame's own JPEG bytes (so two videos sharing a frame
+    agree, and frame-level exact dedup works across containers); for
+    opaque formats it falls back to the deterministic
+    container-hash stand-in."""
     schema = "media_id long, frame_index int, ts_ms int, frame_md5 string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -280,13 +309,77 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ):
                 if kind != "video" or meta is None:
                     continue
-                duration = int(meta["duration_ms"] or 0)
                 raw = bytes(data) if data is not None else b""
-                for idx, ts in enumerate(range(0, duration, every_ms)):
-                    fp = hashlib.md5(raw + idx.to_bytes(4, "big")).hexdigest()
+                for idx, ts, fb in _sampled_frame_plan(raw, meta, every_ms):
+                    fp = (
+                        hashlib.md5(fb).hexdigest()
+                        if fb is not None
+                        else hashlib.md5(raw + idx.to_bytes(4, "big")).hexdigest()
+                    )
                     rows.append((int(mid), idx, ts, fp))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_index", "ts_ms", "frame_md5"]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frame_images(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL per-frame raster extraction for 'mjpeg' video rows: one
+    IMAGE row per sampled frame, each carrying the frame's complete
+    JPEG bytes and image metadata — directly consumable by
+    decode_image / image_dhash / image_near_dup_pairs, so video
+    frames flow through the same perceptual-dedup path as stills.
+    frame_id = media_id * 1_000_000 + frame_index (unique as long as
+    a video samples < 1M frames). Non-mjpeg video rows are skipped
+    (their decode is the documented stubbed modality)."""
+    schema = (
+        "frame_id long, media_id long, frame_index int, ts_ms int, "
+        "kind string, data binary, "
+        "meta struct<width: int, height: int, sample_rate: int, "
+        "duration_ms: int, format: string>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                if kind != "video" or meta is None:
+                    continue
+                raw = bytes(data) if data is not None else b""
+                for idx, ts, fb in _sampled_frame_plan(raw, meta, every_ms):
+                    if fb is None:
+                        continue
+                    rows.append(
+                        (
+                            int(mid) * 1_000_000 + idx,
+                            int(mid),
+                            idx,
+                            ts,
+                            "image",
+                            fb,
+                            {
+                                "width": None,
+                                "height": None,
+                                "sample_rate": None,
+                                "duration_ms": None,
+                                "format": "jpeg",
+                            },
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "frame_id",
+                    "media_id",
+                    "frame_index",
+                    "ts_ms",
+                    "kind",
+                    "data",
+                    "meta",
+                ],
             )
 
     return df.mapInPandas(run, schema=schema)

@@ -592,6 +592,93 @@ QUERIES["source_distinct_sketch"] = source_distinct_sketch
 ORACLES["source_distinct_sketch"] = SOURCE_DISTINCT_SKETCH_ORACLE
 
 
+def kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed/grouped KMV: per-day distinct-user sketches MERGED
+    into weekly sketches — the time-rollup twin of cms_daily and the
+    grouped-KMV counterpart of source_distinct_sketch.
+
+    The merge is exact by construction: any hash among a week's true
+    k smallest is necessarily among the k smallest of its own day, so
+    re-minning the union of the per-day k-min sets yields exactly the
+    week's KMV sketch — the property that makes KMV sketches
+    pre-aggregable per partition/day at 100 TB and rolled up without
+    touching raw events again. Both the daily cut and the weekly
+    re-min are rank windows over k rows per group, never a
+    collect_set of a group's full distinct set.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.curation import HASH_SPACE, stable_hash60
+
+    k = 64
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    day_hashes = ev.select(
+        "day", stable_hash60(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    wd = W.partitionBy("day").orderBy("h")
+    day_k = (
+        day_hashes.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") <= k)
+        .select("day", "h")
+    )
+    # weekly rollup purely FROM the day sketches (k rows per day)
+    week_rows = day_k.select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"), "h"
+    ).distinct()
+    ww = W.partitionBy("week").orderBy("h")
+    kept = (
+        week_rows.withColumn("__rn", F.row_number().over(ww))
+        .filter(F.col("__rn") <= k)
+        .groupBy("week")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    )
+    n_seen = F.size("kmin")
+    kth = F.element_at("kmin", k)
+    est = F.when(n_seen < k, n_seen.cast("double")).otherwise(
+        F.round((k - 1) / (kth / F.lit(HASH_SPACE)), 4)
+    )
+    return kept.select(
+        "week",
+        n_seen.alias("n_kept"),
+        est.alias("distinct_estimate"),
+        F.element_at("kmin", 1).alias("min_hash"),
+    ).orderBy("week")
+
+
+KMV_DAILY_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h
+), day_k AS (
+  SELECT day, h FROM ranked WHERE rn <= 64
+), wk AS (
+  SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h FROM day_k
+), wranked AS (
+  SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rn FROM wk
+), kept AS (
+  SELECT week, h, rn FROM wranked WHERE rn <= 64
+)
+SELECT week,
+       CAST(count(*) AS INT) AS n_kept,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(63 / (max(CASE WHEN rn = 64 THEN h END)
+                             / 1152921504606846976.0), 4) END AS distinct_estimate,
+       min(h) AS min_hash
+FROM kept
+GROUP BY week
+ORDER BY week
+"""
+
+
+QUERIES["kmv_daily"] = kmv_daily
+ORACLES["kmv_daily"] = KMV_DAILY_ORACLE
+
+
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 10-bucket equi-depth histogram of l_extendedprice
     (operators/curation.py equi_depth_histogram) — the ANALYZE
