@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "cms_daily",
     "graph_pagerank",   # rows-only by design (float power iteration)
     "kmv_daily",        # new this round (windowed/grouped KMV rollup)
+    "hll_distinct",     # new this round (portable HLL vs exact twin)
     # -- plans changed this round
     "node_references",  # union of prunable point filters
     "bm25_search",      # persistent token-sorted index + TakeOrdered
@@ -110,8 +111,8 @@ _GATE_PRIORITY = [
     "events_windowed",
     "dedup_simhash",
     "ann_lsh",
-    "line_dedup",
     # demoted to past-window this round (all r4/r5-green, unchanged
+    # plans): line_dedup (displaced by hll_distinct);
     # plans; the local parity replica still hash-proves every one):
     # pack_sequences, c4_line_filter, mix_sources, orders_cube,
     # events_deltas, dup_spans, dedup_spans_apply, streaming_topk,

@@ -599,3 +599,49 @@ def test_kmv_daily_merge_equals_from_raw(spark):
         assert r["min_hash"] == direct[(r["week"], 1)]
         n_direct = sum(1 for (wk, _rn) in direct if wk == r["week"])
         assert r["n_kept"] == n_direct
+
+
+def test_hll_registers_merge_and_error(spark):
+    """HLL mergeability: the union's register table equals the
+    per-register MAX of the parts' tables; the estimate lands within
+    the standard-error envelope on datasets spanning both the
+    small-range-correction and raw-formula regimes."""
+    from xml_to_sqlite3_spark.operators.curation import hll_distinct, hll_registers
+
+    a = spark.range(0, 400).selectExpr("concat('u', id) AS v")
+    b = spark.range(300, 900).selectExpr("concat('u', id) AS v")
+    u = a.unionByName(b)
+
+    ra = {r["register"]: r["rho"] for r in hll_registers(a, "v").collect()}
+    rb = {r["register"]: r["rho"] for r in hll_registers(b, "v").collect()}
+    ru = {r["register"]: r["rho"] for r in hll_registers(u, "v").collect()}
+    assert ru == {k: max(ra[k], rb[k]) for k in ra}
+
+    # error envelope: sigma ~= 1.04/sqrt(m) = 13% at m=64; allow 4
+    # sigma on fixed data (deterministic, so this never flakes)
+    for df, n in ((a, 400), (u, 900), (spark.range(0, 30).selectExpr("concat('s', id) AS v"), 30)):
+        row = hll_distinct(df, "v").collect()[0]
+        assert row["exact_distinct"] == n
+        assert abs(row["hll_estimate"] - n) / n < 0.52, row
+
+
+def test_builtin_approx_vs_exact_twins(spark):
+    """Spark's built-in approx aggregates benchmarked against their
+    exact oracled twins: approx_count_distinct vs countDistinct and
+    approx_percentile vs exact percentile stay within their
+    documented error on the events table (the built-ins' binary
+    sketches are not SQL-replayable, so their gate-grade proof is
+    this tolerance check against the exact twins the gate DOES
+    hash)."""
+    from xml_to_sqlite3_spark.io_util import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.15
+    span = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= max(0.05 * span, 1e-9)

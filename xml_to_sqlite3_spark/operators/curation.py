@@ -448,6 +448,102 @@ def kmv_distinct(
     )
 
 
+def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """Portable HyperLogLog register table for ``col``: (register,
+    rho) for ALL ``m`` registers (empty = 0). Flajolet et al. 2007,
+    with the trailing-zero rank variant: register = h mod m, rho =
+    trailing zeros of (h div m) + 1 — identically geometric for a
+    uniform hash and exactly replayable in ANSI SQL (the lowest set
+    bit ``w & -w`` is an exact power of two, so log2 of it is exact
+    in doubles on every engine; Spark's own approx_count_distinct
+    carries an opaque binary sketch no other engine can replay).
+
+    Mergeable: the union's sketch is the per-register MAX of the
+    parts' sketches — at 100 TB each partition/day keeps m small
+    integers and rollups never touch raw data (same shape as
+    kmv_daily's re-min)."""
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 16: {m}")
+    b = m.bit_length() - 1
+    wbits = HASH_BITS - b
+    spark = df.sparkSession
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(stable_hash60(F.col(col)).alias("h"))
+        .select(
+            (F.col("h") % m).cast("int").alias("register"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        (F.log2(F.expr("w & -w")) + 1).cast("int")
+    )
+    regs = (
+        hashed.select("register", rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return (
+        spark.range(m)
+        .select(F.col("id").cast("int").alias("register"))
+        .join(regs, "register", "left")
+        .select("register", F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+
+
+def hll_alpha_numerator(m: int) -> float:
+    """alpha_m * m^2 * 2^(wbits+1) precomputed driver-side — ONE
+    double literal shared verbatim by the Spark plan and the SQL
+    oracle, so the estimate division is a single identical IEEE op
+    on both engines."""
+    b = m.bit_length() - 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return alpha * m * m * float(1 << (HASH_BITS - b + 1))
+
+
+def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """HyperLogLog cardinality estimate next to its EXACT twin — one
+    row: (m, n_zero, hll_estimate, exact_distinct, rel_error).
+
+    Determinism at any cluster size: the harmonic sum runs over
+    integer numerators 2^(wbits+1-rho) with the common denominator
+    folded into the precomputed alpha numerator, so the only floating
+    ops are one division (and the small-range ln correction when more
+    than ~60%% of registers are empty) — no order-dependent float
+    accumulation. The 60-bit hash space makes the 32-bit large-range
+    correction unnecessary (documented omission)."""
+    b = m.bit_length() - 1
+    wbits = HASH_BITS - b
+    regs = hll_registers(df, col, m)
+    numer = hll_alpha_numerator(m)
+    agg = regs.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - rho)")).alias(
+            "__den"
+        ),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = df.filter(F.col(col).isNotNull()).agg(
+        F.countDistinct(F.col(col)).alias("exact_distinct")
+    )
+    raw = F.lit(numer) / F.col("__den")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            F.col("n_zero").cast("int").alias("n_zero"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_error"),
+        )
+    )
+
+
 def _exploded_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, line_idx, line, n_total) — one row per newline-split line,
     empty/whitespace-only lines dropped but still counted in n_total.

@@ -627,3 +627,58 @@ ORDER BY day, row, bucket
 
 QUERIES["cms_daily"] = cms_daily_q
 ORACLES["cms_daily"] = CMS_DAILY_ORACLE
+
+
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate NEXT TO its exact
+    twin (operators/curation.py hll_distinct) — the approx-vs-exact
+    benchmark row. The register arithmetic is integer-exact and the
+    alpha numerator is one shared double literal, so the estimate
+    itself is value-oracled, not just the exact column."""
+    ev = load(spark, sf_dir, "events")
+    return C.hll_distinct(ev, "user_id", m=64)
+
+
+_HLL_NUMER = repr(C.hll_alpha_numerator(64))
+
+HLL_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), br AS (
+  SELECT CAST(h % 64 AS INTEGER) AS register, h // 64 AS w FROM h
+), rho_t AS (
+  SELECT register,
+         CASE WHEN w = 0 THEN 55
+              ELSE CAST(log2(w & -w) + 1 AS INTEGER) END AS rho
+  FROM br
+), regs AS (
+  SELECT r.register, coalesce(max(rho_t.rho), 0) AS rho
+  FROM (SELECT unnest(range(64)) AS register) r
+  LEFT JOIN rho_t ON rho_t.register = r.register
+  GROUP BY r.register
+), agg AS (
+  SELECT sum(CAST(1 AS BIGINT) << (55 - rho)) AS den,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM regs
+), ex AS (
+  SELECT count(DISTINCT user_id) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL
+), est_t AS (
+  SELECT n_zero, exact_distinct,
+         CASE WHEN ({_HLL_NUMER} / den) <= 160.0 AND n_zero > 0
+              THEN 64.0 * ln(64.0 / n_zero)
+              ELSE {_HLL_NUMER} / den END AS est
+  FROM agg CROSS JOIN ex
+)
+SELECT 64 AS m,
+       CAST(n_zero AS INTEGER) AS n_zero,
+       round(est, 4) AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM est_t
+"""
+
+
+QUERIES["hll_distinct"] = hll_distinct_q
+ORACLES["hll_distinct"] = HLL_DISTINCT_ORACLE
