@@ -27,12 +27,20 @@ FLOORS = {
     "relationship_summary": 2.5,
     "broken_references": 2.5,
     "ancestors": 3.0,
-    "bm25_search": 3.0,
+    # tightened r6: persistent token-sorted index (measured 0.61s
+    # best-of-2 at sf0.001 post-change; was 3.0)
+    "bm25_search": 1.5,
     "ngram_jaccard": 4.0,
     "dedup_minhash": 6.0,
     "graph_distances": 6.0,
-    "hierarchy_levels": 4.0,
+    # tightened r6: lean broadcast-frontier walk (measured 1.52s)
+    "hierarchy_levels": 2.5,
     "sibling_pairs": 2.0,
+    # round-6 additions (floors measured best-of-2 on the dev box)
+    "node_references": 1.0,
+    "curate_corpus": 5.0,
+    "kmv_daily": 1.0,
+    "hll_distinct": 1.0,
     # round-5 additions (floors measured best-of-2 on the dev box)
     "dedup_recall_audit": 6.0,
     "near_dedup_corpus": 4.0,

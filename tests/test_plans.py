@@ -292,3 +292,23 @@ def test_bm25_topk_is_distributed(spark):
 
     plan = _physical(LP.bm25_search_q(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+    # the term lookup must reach the persistent index's parquet scan
+    # as a pushed filter — the token-sorted layout then prunes row
+    # groups, so a query reads index slices, never the whole index.
+    # (Asserted on the pre-checkpoint filter: the query itself pins
+    # hits behind an eager localCheckpoint, which hides the scan
+    # from its executed plan.)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.operators.search import get_text_index
+
+    idx, _, _ = get_text_index(
+        spark, os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    fplan = _physical(idx.filter(F.col("token").isin(["data", "query"])))
+    assert "PushedFilters: [" in fplan
+    pushed = fplan.split("PushedFilters: [")[1].split("]")[0]
+    assert "token" in pushed, fplan

@@ -287,11 +287,191 @@ def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
     return b"".join(encode_jpeg(f, quality=quality) for f in frames)
 
 
+# ---------------------------------------------------------------------------
+# Compressed-audio codecs: G.711 mu-law / A-law companding and IMA
+# ADPCM — the compressed WAV families, decoded for real from their
+# public specs (ITU-T G.711; the IMA ADPCM step/index tables). These
+# close the "compressed audio raises" gate for the formats a pure-
+# python decoder can serve exactly; perceptual codecs (mp3/ogg)
+# remain the documented stub.
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> 16-bit linear (vectorized form of the
+    classic public-domain reference implementation)."""
+    u = (~u.astype(np.int32)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _linear_to_ulaw(x: np.ndarray) -> np.ndarray:
+    """16-bit linear -> G.711 mu-law byte (fixture/round-trip side)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> 16-bit linear."""
+    a = a.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int32)
+
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_block(body: bytes, predictor: int, index: int) -> list[int]:
+    """Decode one mono IMA ADPCM block's nibble payload (low nibble
+    first) given the block header's seed predictor/step index."""
+    out = []
+    for byte in body:
+        for nibble in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEPS[index])
+            diff = step >> 3
+            if nibble & 1:
+                diff += step >> 2
+            if nibble & 2:
+                diff += step >> 1
+            if nibble & 4:
+                diff += step
+            predictor = predictor - diff if nibble & 8 else predictor + diff
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + int(_IMA_INDEX_ADJUST[nibble & 7])))
+            out.append(predictor)
+    return out
+
+
+def ima_adpcm_encode(samples16: np.ndarray, block_samples: int = 505) -> tuple[bytes, int]:
+    """Encode mono int16 samples as IMA ADPCM blocks; returns
+    (payload, block_align). Fixture/round-trip counterpart of the
+    decoder (standard quantize-against-step loop)."""
+    samples16 = samples16.astype(np.int32)
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    index = 0
+    pos = 0
+    n = len(samples16)
+    while pos < n:
+        block = samples16[pos : pos + block_samples]
+        pos += block_samples
+        predictor = int(block[0])
+        out += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - predictor
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            diff = step >> 3
+            if delta >= step:
+                nib |= 4
+                delta -= step
+                diff += step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+                diff += step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+                diff += step >> 2
+            predictor = predictor - diff if nib & 8 else predictor + diff
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + int(_IMA_INDEX_ADJUST[nib & 7])))
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibbles) // 2
+        out += b"\x00" * pad
+    return bytes(out), block_align
+
+
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def _linear_to_alaw(x: np.ndarray) -> np.ndarray:
+    """16-bit linear -> G.711 A-law byte (fixture/round-trip side)."""
+    x = x.astype(np.int32) >> 3  # 16 -> 13 bit
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    low = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> np.minimum(seg, 7)) & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | low)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_compressed(
+    samples: np.ndarray, sample_rate: int, codec: str, block_samples: int = 505
+) -> bytes:
+    """Encode float samples in [-1, 1] as a COMPRESSED WAV —
+    'ulaw' / 'alaw' (G.711, any channel count) or 'ima_adpcm'
+    (mono) — the fixture counterpart of decode_wav's compressed
+    paths."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    pcm16 = np.clip(np.round(samples * 32767.0), -32768, 32767).astype(np.int32)
+    flat = pcm16.reshape(-1)
+    if codec == "ulaw":
+        tag, bits, payload = 7, 8, _linear_to_ulaw(flat).tobytes()
+        block_align = n_ch
+        fmt = struct.pack(
+            "<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, block_align, bits
+        )
+    elif codec == "alaw":
+        tag, bits, payload = 6, 8, _linear_to_alaw(flat).tobytes()
+        block_align = n_ch
+        fmt = struct.pack(
+            "<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, block_align, bits
+        )
+    elif codec == "ima_adpcm":
+        if n_ch != 1:
+            raise ValueError("IMA ADPCM fixture encoder: mono only")
+        payload, block_align = ima_adpcm_encode(flat.astype(np.int16), block_samples)
+        byte_rate = (sample_rate * block_align + block_samples - 1) // block_samples
+        fmt = struct.pack(
+            "<HHIIHH", 0x11, 1, sample_rate, byte_rate, block_align, 4
+        ) + struct.pack("<HH", 2, block_samples)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE file -> (samples float64 in [-1, 1] shaped
-    (n_frames, n_channels), sample_rate). Supports PCM 8/16/32-bit
-    and IEEE float32/64 (format tags 1 and 3); compressed WAV raises.
-    Walks chunks properly, so extra chunks (LIST, fact) are fine."""
+    (n_frames, n_channels), sample_rate). Supports PCM 8/16/32-bit,
+    IEEE float32/64 (format tags 1 and 3), and the compressed
+    families: G.711 mu-law (7) / A-law (6) and mono IMA ADPCM (17).
+    Perceptual codecs (mp3/ogg) raise — the documented stub. Walks
+    chunks properly, so extra chunks (LIST, fact) are fine."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -303,13 +483,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            tag, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            fmt = (tag, n_ch, rate, bits)
+            tag, n_ch, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (tag, n_ch, rate, bits, block_align)
         elif cid == b"data":
             samples = body
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
-    tag, n_ch, rate, bits = fmt
+    tag, n_ch, rate, bits, block_align = fmt
     if tag == 1:  # integer PCM
         if bits == 8:  # unsigned
             x = np.frombuffer(samples, np.uint8).astype(np.float64)
@@ -322,6 +504,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     elif tag == 3:  # IEEE float
         x = np.frombuffer(samples, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif tag == 7:  # G.711 mu-law
+        x = _ulaw_to_linear(np.frombuffer(samples, np.uint8)).astype(np.float64) / 32768.0
+    elif tag == 6:  # G.711 A-law
+        x = _alaw_to_linear(np.frombuffer(samples, np.uint8)).astype(np.float64) / 32768.0
+    elif tag == 0x11:  # IMA ADPCM
+        if n_ch != 1:
+            raise ValueError("IMA ADPCM: only mono supported")
+        if block_align < 5:
+            raise ValueError(f"IMA ADPCM: bad block_align {block_align}")
+        decoded: list[int] = []
+        for bpos in range(0, len(samples) - 4, block_align):
+            block = samples[bpos : bpos + block_align]
+            predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+            decoded.append(predictor)
+            decoded.extend(
+                _ima_decode_block(block[4:], predictor, max(0, min(88, index)))
+            )
+        x = np.array(decoded, dtype=np.float64) / 32768.0
     else:
         raise ValueError(f"unsupported WAV format tag {tag}")
     n_frames = len(x) // n_ch

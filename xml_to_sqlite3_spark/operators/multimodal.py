@@ -141,11 +141,11 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def decode_audio(df: DataFrame) -> DataFrame:
-    """REAL audio decode for RIFF/WAVE rows (PCM 8/16/32-bit and
-    float, codecs.decode_wav): emits true sample_rate, duration_ms,
-    channel count, RMS level and zero-crossing rate from the
-    waveform. Compressed audio (mp3/ogg) raises — mirror of the
-    image path's format gating."""
+    """REAL audio decode for RIFF/WAVE rows (PCM 8/16/32-bit, float,
+    G.711 mu-law/A-law and mono IMA ADPCM — codecs.decode_wav):
+    emits true sample_rate, duration_ms, channel count, RMS level and
+    zero-crossing rate from the waveform. Perceptual codecs
+    (mp3/ogg) raise — mirror of the image path's format gating."""
     schema = (
         MEDIA_SCHEMA
         + ", sample_rate_real int, duration_ms_real int, n_channels int"
