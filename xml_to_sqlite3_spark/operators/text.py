@@ -405,3 +405,57 @@ def compression_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.length(F.col(text_col)).alias("n_chars"),
         ratio(F.col(text_col)).alias("compression_ratio"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/CC-100
+    perplexity-proxy pass): train add-alpha-smoothed unigram
+    frequencies on the corpus, then score every document by its mean
+    token log-probability — low (very negative) means rare-token-
+    heavy/garbled text, high means common fluent text. Returns
+    (doc_id, n_tokens, avg_logprob).
+
+    Scale shape: the model is one explode + map-side-combinable count
+    (vocabulary-sized, broadcast back); scoring is a second pass over
+    the same tokens, no shuffle beyond the per-doc aggregate. At
+    100 TB the vocabulary table is the trained artifact a pipeline
+    persists and reuses for held-out scoring.
+
+    Determinism: each token's log-probability is rounded to 9
+    decimals and summed as DECIMAL — a double sum over a billion-row
+    partition shuffle is accumulation-order-dependent; the decimal
+    sum is associative, so the score is bit-stable at any cluster
+    size (and exactly replayable in the SQL oracle)."""
+    from .search import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    prob = (F.col("cnt").cast("double") + F.lit(alpha)) / (
+        F.col("total").cast("double") + F.lit(alpha) * (F.col("v") + 1)
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lp", F.round(F.log(prob), 9).cast("decimal(18,9)"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1184,3 +1184,43 @@ FROM documents ORDER BY doc_id
 
 QUERIES["unicode_quality"] = unicode_quality_q
 ORACLES["unicode_quality"] = UNICODE_QUALITY_ORACLE
+
+
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring over the documents corpus
+    (operators/text.py unigram_logprob) — the perplexity-proxy
+    curation signal, trained and scored in two passes with a
+    broadcast vocabulary."""
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+LM_QUALITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total, count(*) AS v FROM counts
+), scored AS (
+  SELECT doc_id,
+         CAST(round(ln((CAST(cnt AS DOUBLE) + 0.5)
+                       / (CAST(total AS DOUBLE) + 0.5 * (v + 1))), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM toks JOIN counts USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["lm_quality"] = lm_quality
+ORACLES["lm_quality"] = LM_QUALITY_ORACLE

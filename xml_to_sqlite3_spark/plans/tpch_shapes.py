@@ -519,3 +519,206 @@ ORACLES = {
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_ORACLE,
 }
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the revenue view + scalar-max selection — the
+    aggregate is computed ONCE, its max becomes a 1-row broadcast,
+    and the equality filter picks the winner(s) without a second
+    pass over lineitem (the correlated-subquery formulation would
+    re-aggregate per candidate)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_exact_disc_price()), 2).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(round(sum({_EXACT_DISC_PRICE_SQL}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery DECORRELATED — the
+    per-part average quantity is one group-aggregate joined back to
+    the fact, never a per-row re-aggregation. Exactness at scale:
+    the per-part quantity sum is decimal (order-independent); the
+    0.2x-average threshold is then one double division from exact
+    integers, identical on every engine."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    small = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0,
+             2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: three OR-ed (brand, size-range, quantity-range)
+    predicate groups spanning BOTH join sides. The equi-key
+    (partkey) still drives one hash join; the disjunction rides as a
+    residual — Catalyst additionally pushes the per-table derivable
+    parts (brand/size union on part, quantity envelope on lineitem)
+    below the join, so neither side full-scans."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(g1 | g2 | g3).agg(
+        F.round(F.sum(_exact_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(round(sum({_EXACT_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted to the available columns): double
+    correlation — suppliers whose item was RETURNED in a
+    multi-supplier order where NO other supplier's item was
+    returned. EXISTS becomes a left-semi join, NOT EXISTS a
+    left-anti, both on the orderkey equi-key with the
+    different-supplier residual — never a per-row subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    ).distinct()
+    others_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk"))
+        .distinct()
+    )
+    sole = (
+        returned.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_suppkey") != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_name, count(*) AS numwait
+FROM returned r
+JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = r.l_orderkey
+                AND l2.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = r.l_orderkey
+                    AND l3.l_suppkey <> r.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLES["q15_top_supplier"] = Q15_ORACLE
+QUERIES["q17_small_quantity"] = q17_small_quantity
+ORACLES["q17_small_quantity"] = Q17_ORACLE
+QUERIES["q19_disjunctive_predicates"] = q19_disjunctive_predicates
+ORACLES["q19_disjunctive_predicates"] = Q19_ORACLE
+QUERIES["q21_sole_returned_supplier"] = q21_sole_returned_supplier
+ORACLES["q21_sole_returned_supplier"] = Q21_ORACLE
