@@ -645,3 +645,50 @@ def test_builtin_approx_vs_exact_twins(spark):
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.15
     span = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
     assert abs(row["p50_approx"] - row["p50_exact"]) <= max(0.05 * span, 1e-9)
+
+
+def test_table_profile_approx_matches_exact_within_tolerance(spark):
+    """approx=True swaps HLL++ distinct counts into the same one-pass
+    plan; estimates stay within the configured rsd envelope of the
+    exact oracled twin on every column."""
+    from xml_to_sqlite3_spark.io_util import load
+    from xml_to_sqlite3_spark.operators.curation import table_profile
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    exact = {r["column"]: r for r in table_profile(ev).collect()}
+    approx = {r["column"]: r for r in table_profile(ev, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+            e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"],
+        )
+        nd = max(e["n_distinct"], 1)
+        assert abs(a["n_distinct"] - e["n_distinct"]) / nd <= 0.10, (c, e, a)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR sanity on synthetic corpora: documents written in the
+    target's vocabulary must out-weigh documents from a disjoint
+    vocabulary, and the deterministic Gumbel-top-k keeps exactly k
+    docs (unique keys)."""
+    from xml_to_sqlite3_spark.operators.curation import dsir_select
+
+    tgt_rows = [(f"t{i}", "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    raw_rows = [(100 + i, "the quick brown fox jumps again and again") for i in range(10)]
+    raw_rows += [(200 + i, "zzz qqq xxx vvv kkk www nnn mmm ppp") for i in range(10)]
+    target = spark.createDataFrame(tgt_rows, "doc_id string, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    out = dsir_select(
+        raw.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text"),
+        target, n_buckets=256, k=10,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 20
+    lw_target_like = [rows[str(100 + i)]["log_weight"] for i in range(10)]
+    lw_junk = [rows[str(200 + i)]["log_weight"] for i in range(10)]
+    assert min(lw_target_like) > max(lw_junk)
+    assert sum(1 for r in out if r["selected"]) == 10
+    # with identical weights per group the Gumbel hash breaks ties —
+    # but target-like docs must dominate the selection
+    assert sum(1 for i in range(10) if rows[str(100 + i)]["selected"]) >= 8

@@ -544,6 +544,116 @@ def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     )
 
 
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how target-like its hashed
+    n-gram distribution is, then Gumbel-top-k sample proportionally
+    to the importance weights. Returns (doc_id, n_grams, log_weight,
+    gumbel_key, selected).
+
+    Features are hashed unigrams+bigrams folded into ``n_buckets``
+    (the paper's hashed n-gram model); the bucket log-ratio table
+    ln(p_target/p_raw) is model-sized and broadcast; a document's
+    log-weight is the sum of its grams' ratios. The resampling is a
+    DETERMINISTIC Gumbel-top-k: the Gumbel noise -ln(-ln(u)) is
+    derived from the portable md5 hash of the doc id instead of an
+    RNG, so selection is reproducible run-to-run, engine-to-engine
+    (fully value-oracled), and still distributionally faithful to
+    importance resampling.
+
+    Scale shape: two explode+count passes (map-side combinable), one
+    broadcast join against the 1024-row model, per-gram log-ratios
+    rounded then DECIMAL-summed (order-independent at any cluster
+    size), and the top-k cut is a TakeOrdered threshold broadcast —
+    no global window over the corpus."""
+    from .text import _adjacent_pairs  # noqa: PLC0415 — avoid cycle at import time
+    from .search import tokenize
+
+    def grams(df: DataFrame) -> DataFrame:
+        w = tokenize(F.col(text_col))
+        bi = F.transform(
+            _adjacent_pairs(w), lambda p: F.concat(p["a"], F.lit(" "), p["b"])
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.concat(w, bi)).alias("g")
+        ).select("doc_id", (stable_hash60(F.col("g")) % n_buckets).alias("b"))
+
+    # raw_b feeds BOTH the model fit and the per-doc scoring —
+    # materialize the (doc, bucket) postings once instead of running
+    # the tokenize+explode twice (the repo-wide two-consumer rule)
+    raw_b = grams(raw).localCheckpoint(eager=True)
+    raw_counts = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_counts = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    totals = raw_counts.agg(F.sum("rc").alias("rt")).crossJoin(
+        tgt_counts.agg(F.sum("tc").alias("tt"))
+    )
+    denom = float(alpha) * n_buckets
+    lr = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("tc").cast("double") + F.lit(float(alpha)))
+                    / (F.col("tt").cast("double") + F.lit(denom))
+                )
+                - F.log(
+                    (F.col("rc").cast("double") + F.lit(float(alpha)))
+                    / (F.col("rt").cast("double") + F.lit(denom))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lr"),
+        )
+    )
+    u = (stable_hash60(F.col("doc_id").cast("string")) + 0.5) / F.lit(HASH_SPACE)
+    scored = (
+        raw_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("__lw"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("__lw").cast("double"), 6).alias("log_weight"),
+            F.round(-F.log(-F.log(u)), 6).alias("gumbel_key"),
+        )
+        .withColumn(
+            "__key", F.round(F.col("log_weight") + F.col("gumbel_key"), 6)
+        )
+    )
+    scored = scored.localCheckpoint(eager=True)  # threshold + output share it
+    kth = (
+        scored.orderBy(F.desc("__key"), "doc_id")
+        .limit(k)
+        .agg(F.min("__key").alias("__th"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(kth))
+        .select(
+            "doc_id",
+            "n_grams",
+            "log_weight",
+            "gumbel_key",
+            (F.col("__key") >= F.col("__th")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _exploded_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, line_idx, line, n_total) — one row per newline-split line,
     empty/whitespace-only lines dropped but still counted in n_total.
@@ -1062,23 +1172,35 @@ def scd2_build(
     )
 
 
-def table_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def table_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
     """ANALYZE-style column statistics in ONE pass: for each column —
-    row count, null count, exact distinct count, min/max (as strings
-    for a uniform schema). The profiling primitive a warehouse runs
-    before choosing join strategies and partition keys.
+    row count, null count, distinct count, min/max (as strings for a
+    uniform schema). The profiling primitive a warehouse runs before
+    choosing join strategies and partition keys.
 
-    Single full-scan aggregate (all columns' stats computed
-    map-side in the same job, no per-column scans); distinct counts
-    are exact count_distincts in the same aggregate — at 100 TB swap
-    in approx_count_distinct with the same plan shape.
+    Single full-scan aggregate (all columns' stats computed map-side
+    in the same job, no per-column scans). ``approx=False`` (the
+    oracle-gated default) uses exact count_distincts — Catalyst
+    expands N of them to N x the scan rows, fine at gate scale;
+    ``approx=True`` is the 100 TB path: approx_count_distinct (HLL++,
+    constant sketch state per column) in the exact same plan shape,
+    tolerance-tested against the exact twin.
     """
     cols = list(columns) if columns is not None else df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.02))
+        if approx
+        else F.countDistinct
+    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            nd(c).alias(f"__nd_{c}"),
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
         ]

@@ -682,3 +682,70 @@ FROM est_t
 
 QUERIES["hll_distinct"] = hll_distinct_q
 ORACLES["hll_distinct"] = HLL_DISTINCT_ORACLE
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/curation.py dsir_select):
+    raw corpus = all documents, target = the English subset; hashed
+    unigram+bigram log-ratio weights + deterministic md5-derived
+    Gumbel-top-100. Fully value-oracled including the selection."""
+    docs = load(spark, sf_dir, "documents")
+    return C.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024, alpha=0.5, k=100
+    )
+
+
+DSIR_ORACLE = r"""
+WITH raw_toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), raw_grams AS (
+  SELECT doc_id,
+         unnest(list_concat(w,
+           list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1]))) AS g
+  FROM raw_toks
+), raw_b AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b FROM raw_grams
+), tgt_b AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b FROM (
+    SELECT unnest(list_concat(w,
+             list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                            i -> w[i] || ' ' || w[i+1]))) AS g
+    FROM (SELECT list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                             x -> x <> '') AS w
+          FROM documents WHERE lang = 'en')
+  )
+), rc_t AS (SELECT b, count(*) AS rc FROM raw_b GROUP BY b),
+tc_t AS (SELECT b, count(*) AS tc FROM tgt_b GROUP BY b),
+tot AS (SELECT (SELECT sum(rc) FROM rc_t) AS rt, (SELECT sum(tc) FROM tc_t) AS tt),
+lr_t AS (
+  SELECT rc_t.b,
+         CAST(round(ln((CAST(coalesce(tc, 0) AS DOUBLE) + 0.5) / (CAST(tt AS DOUBLE) + 512.0))
+                    - ln((CAST(rc AS DOUBLE) + 0.5) / (CAST(rt AS DOUBLE) + 512.0)),
+                    9) AS DECIMAL(18,9)) AS lr
+  FROM rc_t LEFT JOIN tc_t ON rc_t.b = tc_t.b CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight,
+         round(-ln(-ln(
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0))), 6) AS gumbel_key
+  FROM raw_b JOIN lr_t USING (b)
+  GROUP BY doc_id
+), keyed AS (
+  SELECT *, round(log_weight + gumbel_key, 6) AS key FROM scored
+), th AS (
+  SELECT min(key) AS th
+  FROM (SELECT key FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+)
+SELECT doc_id, n_grams, log_weight, gumbel_key, (key >= th) AS selected
+FROM keyed CROSS JOIN th
+ORDER BY doc_id
+"""
+
+
+QUERIES["dsir_selection"] = dsir_selection
+ORACLES["dsir_selection"] = DSIR_ORACLE
