@@ -1381,3 +1381,58 @@ SELECT (SELECT count(*) FROM und) AS n_edges,
 
 QUERIES["graph_triangles"] = graph_triangles
 ORACLES["graph_triangles"] = GRAPH_TRIANGLES_ORACLE
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the attribute-reference graph
+    (operators/graph.py adamic_adar_topk): top-50 unconnected pairs
+    by common-neighbor weight — the graph-completion query the
+    reference's 'graph traversal' purpose generalizes to.
+
+    max_degree=32 keeps 99%% of vertices (the sf0.1 graph's p99
+    degree is 33) while dropping the hub tail — 1,000 supplier
+    vertices of degree ~600 that alone hold 94%% of the total wedge
+    volume yet contribute a negligible 1/ln(600) weight spread over
+    ~180k pairs each (the exact trade ngram_jaccard's max_df
+    documents). Measured 101s -> ~8s at sf0.1 for an unchanged
+    informative top-50."""
+    from ..operators.graph import adamic_adar_topk
+
+    _, _, xrefs = get_graph(spark, sf_dir)
+    edges = xrefs.filter(F.col("reference_type") == "attribute_reference")
+    return adamic_adar_topk(edges, k=50, max_degree=32)
+
+
+LINK_PREDICTION_ORACLE = GRAPH_PREFIX + """
+, und AS (
+  SELECT DISTINCT least(source_node_id, target_node_id) AS a,
+                  greatest(source_node_id, target_node_id) AS b
+  FROM cross_references
+  WHERE reference_type = 'attribute_reference'
+    AND source_node_id <> target_node_id
+), adj AS (
+  SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und
+), deg AS (
+  SELECT v, count(*) AS d FROM adj GROUP BY v
+), wadj AS (
+  SELECT adj.v, adj.n,
+         CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+  FROM adj JOIN deg USING (v)
+  WHERE d >= 2 AND d <= 32
+), pairs AS (
+  SELECT a1.n AS node_a, a2.n AS node_b,
+         round(CAST(sum(a1.w) AS DOUBLE), 6) AS aa_score,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM wadj a1 JOIN wadj a2 ON a1.v = a2.v AND a1.n < a2.n
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, aa_score, n_common
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.node_a AND und.b = p.node_b)
+ORDER BY aa_score DESC, node_a, node_b
+LIMIT 50
+"""
+
+
+QUERIES["link_prediction"] = link_prediction
+ORACLES["link_prediction"] = LINK_PREDICTION_ORACLE

@@ -709,3 +709,82 @@ ORDER BY 1
 
 QUERIES["price_histogram"] = price_histogram
 ORACLES["price_histogram"] = PRICE_HISTOGRAM_ORACLE
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per priority class: quartile
+    (ntile), percent_rank and cume_dist of each order's total price —
+    the ranking-family complement of the rank/row_number queries.
+    One shuffle on the partition key; ties are made deterministic by
+    the (price, orderkey) total order so ntile assignment is
+    identical on every engine."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_VALUE_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dimension join, driver-gated for result
+    identity: lineitem joins supplier through operators/skew.py
+    salted_join (keys spread across 8 salt partitions, dimension
+    replicated to match), then revenue per supplier top-10. The
+    oracle is the PLAIN join — proving the salted rewrite changes
+    the shuffle layout and nothing else."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("p"),
+        (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)").alias("keep"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, s, "s_suppkey", salt=8)
+    return (
+        joined.groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.sum(F.col("p") * F.col("keep")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(10)
+    )
+
+
+SALTED_SUPPLIER_REVENUE_ORACLE = """
+SELECT l_suppkey AS s_suppkey, s_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, s_suppkey
+LIMIT 10
+"""
+
+
+QUERIES["order_value_distribution"] = order_value_distribution
+ORACLES["order_value_distribution"] = ORDER_VALUE_DISTRIBUTION_ORACLE
+QUERIES["salted_supplier_revenue"] = salted_supplier_revenue
+ORACLES["salted_supplier_revenue"] = SALTED_SUPPLIER_REVENUE_ORACLE
