@@ -422,3 +422,49 @@ def test_compressed_wav_through_multimodal_decode(spark):
         assert abs(got[i].duration_ms_real - ref.duration_ms_real) <= tol
         assert abs(got[i].rms - ref.rms) < 0.02
         assert abs(got[i].zero_crossing_rate - ref.zero_crossing_rate) < 0.02
+
+
+def test_split_mjpeg_walks_marker_segments():
+    """The frame splitter must walk the marker structure, not scan
+    for raw FFD8/FFD9 byte pairs: COM/APP segment payloads may
+    legally contain those pairs (EXIF thumbnails are complete
+    embedded JPEGs), and a naive scan truncates the frame inside its
+    own header."""
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators import codecs as C
+    from xml_to_sqlite3_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def blocky(seed):
+        plane = np.kron(
+            np.random.RandomState(seed).randint(0, 256, (8, 8)),
+            np.ones((8, 8)),
+        ).astype(np.uint8)
+        return np.stack([plane] * 3, axis=2)
+
+    f1 = encode_jpeg(blocky(4), quality=90)
+    f2 = encode_jpeg(blocky(5), quality=90)
+    # inject a COM segment whose payload contains FFD9 and FFD8
+    # right after f1's SOI — a valid JPEG that breaks naive scans
+    payload = b"ab\xff\xd9cd\xff\xd8ef"
+    com = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+    f1_com = f1[:2] + com + f1[2:]
+    assert decode_jpeg(f1_com).shape == decode_jpeg(f1).shape
+
+    stream = f1_com + f2
+    frames = C.split_mjpeg(stream)
+    assert len(frames) == 2, [len(f) for f in frames]
+    assert frames[0] == f1_com and frames[1] == f2
+    # both split frames decode to the original rasters
+    assert np.array_equal(decode_jpeg(frames[0]), decode_jpeg(f1))
+    assert np.array_equal(decode_jpeg(frames[1]), decode_jpeg(f2))
+
+
+def test_ima_adpcm_rejects_even_block_samples():
+    import numpy as np
+    import pytest as _pytest
+
+    from xml_to_sqlite3_spark.operators import codecs as C
+
+    with _pytest.raises(ValueError, match="odd"):
+        C.ima_adpcm_encode(np.zeros(100, dtype=np.int16), block_samples=506)

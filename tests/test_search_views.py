@@ -76,3 +76,49 @@ def test_sqlite_node_type_views(spark, tmp_path):
     assert con.execute("SELECT count(*) FROM nodes_album").fetchone()[0] == 2
     assert con.execute("SELECT count(*) FROM nodes_rating").fetchone()[0] == 3
     con.close()
+
+
+def test_text_index_cache_lifecycle(spark, tmp_path):
+    """The persistent index cache: builds once, attaches on repeat
+    calls, distinguishes build columns in its key, and
+    clear_index_cache removes what THIS session built (forcing a
+    rebuild on the next call)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from xml_to_sqlite3_spark.operators import search as S
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta doc {i}", alt=f"gamma {i}") for i in range(20)]
+    ).write.parquet(src)
+
+    os.environ["SPARK_GRAFT_INDEX_CACHE"] = str(tmp_path / "icache")
+    try:
+        idx1, n1, avg1 = S.get_text_index(spark, src)
+        c1 = idx1.count()
+        assert n1 == 20 and c1 > 0
+        # repeat call: in-session memo returns the same handle
+        idx2, n2, _ = S.get_text_index(spark, src)
+        assert n2 == 20 and idx2 is idx1
+        # different text column -> different key -> different index
+        idx3, n3, _ = S.get_text_index(spark, src, text_col="alt")
+        assert n3 == 20 and idx3 is not idx1
+        assert idx3.filter(idx3.token == "gamma").count() == 20
+        assert idx1.filter(idx1.token == "gamma").count() == 0
+
+        entries = [d for d in os.listdir(str(tmp_path / "icache")) if d.startswith("i_")]
+        assert len(entries) == 2, entries
+
+        S.clear_index_cache()
+        assert not os.path.exists(str(tmp_path / "icache")) or not [
+            d for d in os.listdir(str(tmp_path / "icache")) if d.startswith("i_")
+        ]
+        # next call rebuilds from scratch (idx1's files are gone —
+        # compare against the count captured before the clear)
+        idx4, n4, _ = S.get_text_index(spark, src)
+        assert n4 == 20 and idx4.count() == c1
+    finally:
+        os.environ.pop("SPARK_GRAFT_INDEX_CACHE", None)
+        S.clear_index_cache()

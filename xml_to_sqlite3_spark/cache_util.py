@@ -1,0 +1,115 @@
+"""Shared content-keyed on-disk cache machinery.
+
+One implementation of the build-once/attach-many parquet cache both
+the node-graph store (plans/node_graph.get_graph) and the BM25 text
+index (operators/search.get_text_index) publish through — the
+concurrency and pruning subtleties live HERE exactly once:
+
+- atomic publish: build into a pid-suffixed tmp dir, write the
+  ``_COMPLETE`` marker last, then ONE os.rename — concurrent
+  builders either win the rename or discard their copy; readers
+  never observe a partial entry.
+- stale-sibling pruning with a grace window: entries for the same
+  input (same key prefix) built by OLDER code are removed only after
+  an hour cold — immediate pruning deleted parquet out from under
+  concurrent sessions still holding DataFrames built from the old
+  code version (observed: a parallel test sweep crashed mid-flight).
+- mtime lease: attaching refreshes the entry's mtime, since parquet
+  READS never touch it and the grace window is mtime-based.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+
+def content_key(
+    prefix: str,
+    src_path: str,
+    extra: str = "",
+    code_files: tuple[str, ...] = (),
+) -> str:
+    """Cache key from the INPUT's identity (path + per-file size and
+    mtime) and the BUILD CODE's bytes (``code_files`` — this module
+    is always included, so helper behavior changes invalidate every
+    entry too). ``extra`` folds in build parameters (e.g. which
+    columns an index was built over)."""
+    h = hashlib.sha256()
+    real = os.path.realpath(src_path)
+    h.update(real.encode())
+    h.update(extra.encode())
+    try:
+        if os.path.isdir(real):
+            for name in sorted(os.listdir(real)):
+                st = os.stat(os.path.join(real, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            st = os.stat(real)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    for mod in (*code_files, __file__):
+        with open(mod, "rb") as f:
+            h.update(f.read())
+    sfh = hashlib.sha256(real.encode()).hexdigest()[:10]
+    return f"{prefix}_{sfh}_{h.hexdigest()[:16]}"
+
+
+def content_cached_dir(
+    root: str,
+    key: str,
+    build: Callable[[str], None],
+    owned_dirs: list | None = None,
+) -> str:
+    """Return the published cache dir for ``key`` under ``root``,
+    running ``build(tmp_dir)`` first if absent. ``build`` must
+    populate the tmp dir INCLUDING its ``_COMPLETE`` marker file
+    (written last; its payload is the owner's business — the graph
+    cache stores the key, the text index stores corpus stats).
+    Appends the final dir to ``owned_dirs`` when this process built
+    (or raced for) the entry, so the owner's clear() can remove what
+    it created without touching other sessions' shared entries."""
+    final = os.path.join(root, key)
+    marker = os.path.join(final, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        try:
+            build(tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                # a concurrent builder won; use theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if (
+            os.path.exists(marker)
+            and owned_dirs is not None
+            and final not in owned_dirs
+        ):
+            owned_dirs.append(final)
+        # prune stale same-input siblings (older code / older data),
+        # but only entries COLD for an hour — see module docstring
+        prefix = key.rsplit("_", 1)[0] + "_"
+        for name in os.listdir(root):
+            if name.startswith(prefix) and name != key and ".tmp." not in name:
+                path = os.path.join(root, name)
+                try:
+                    cold = time.time() - os.path.getmtime(path) > 3600
+                except OSError:
+                    cold = True
+                if cold:
+                    shutil.rmtree(path, ignore_errors=True)
+
+    # renew the mtime lease on attach (reads never touch mtime)
+    try:
+        os.utime(final, None)
+    except OSError:
+        pass
+    return final

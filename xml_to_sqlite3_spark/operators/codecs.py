@@ -260,21 +260,58 @@ def split_mjpeg(data: bytes) -> list[bytes]:
     the on-disk layout of .mjpg/.mjpeg files and of MJPEG AVI payload
     runs) into per-frame complete JPEG byte strings.
 
-    Marker scanning is exact for valid streams: inside the
-    entropy-coded segment every 0xFF byte is stuffed as FF00 or is a
-    restart marker (FFD0-FFD7), so a bare FFD9 only ever appears as
-    the end-of-image marker and FFD8 only as start-of-image."""
+    Frames are delimited by WALKING the marker structure, not by a
+    naive FFD8/FFD9 byte scan: length-prefixed segments (APPn with
+    embedded EXIF thumbnails — themselves complete JPEGs — DQT/DHT
+    payloads that may legally contain the FFD9 byte pair, COM text)
+    are skipped by their declared length, and only inside the
+    entropy-coded scan data does the FF-stuffing guarantee (every
+    0xFF is FF00 or a RSTn marker) make a bare marker byte
+    meaningful. A structurally corrupt frame ends the split at the
+    last well-formed frame boundary."""
     frames: list[bytes] = []
-    pos = 0
+    n = len(data)
+    i = 0
     while True:
-        start = data.find(b"\xff\xd8", pos)
+        # resync on SOI followed by another marker byte — the start
+        # of every well-formed JPEG (APPn/DQT/DHT/SOF all begin FF)
+        start = data.find(b"\xff\xd8\xff", i)
         if start < 0:
             break
-        end = data.find(b"\xff\xd9", start + 2)
-        if end < 0:
+        pos = start + 2
+        end = None
+        while pos + 2 <= n:
+            if data[pos] != 0xFF:
+                break  # structure lost — stop at last good frame
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                end = pos + 2
+                break
+            if marker == 0xD8:
+                break  # unexpected nested SOI — corrupt
+            if marker == 0xFF:
+                pos += 1  # fill byte — the next FF starts the marker
+                continue
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # standalone marker
+                continue
+            if pos + 4 > n:
+                break
+            seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            if seglen < 2:
+                break
+            pos += 2 + seglen
+            if marker == 0xDA:  # SOS: entropy data until a real marker
+                while pos + 1 < n and not (
+                    data[pos] == 0xFF
+                    and data[pos + 1] != 0x00
+                    and not (0xD0 <= data[pos + 1] <= 0xD7)
+                ):
+                    pos += 1
+        if end is None:
             break
-        frames.append(bytes(data[start : end + 2]))
-        pos = end + 2
+        frames.append(bytes(data[start:end]))
+        i = end
     return frames
 
 
@@ -363,7 +400,18 @@ def _ima_decode_block(body: bytes, predictor: int, index: int) -> list[int]:
 def ima_adpcm_encode(samples16: np.ndarray, block_samples: int = 505) -> tuple[bytes, int]:
     """Encode mono int16 samples as IMA ADPCM blocks; returns
     (payload, block_align). Fixture/round-trip counterpart of the
-    decoder (standard quantize-against-step loop)."""
+    decoder (standard quantize-against-step loop).
+
+    ``block_samples`` must be ODD: a block stores 1 header sample +
+    (block_samples - 1) nibbles packed two per byte, so an even
+    count would force a pad nibble that the decoder necessarily
+    reads back as a real sample, shifting the waveform by one sample
+    per block — raise instead of silently corrupting."""
+    if block_samples % 2 == 0 or block_samples < 3:
+        raise ValueError(
+            f"block_samples must be odd and >= 3 (got {block_samples}): even "
+            "counts leave a half-byte pad the decoder reads as a sample"
+        )
     samples16 = samples16.astype(np.int32)
     block_align = 4 + (block_samples - 1 + 1) // 2
     out = bytearray()

@@ -277,9 +277,11 @@ def _sampled_frame_plan(raw: bytes, meta, every_ms: int):
     container's frames uniformly over duration_ms and frame_bytes is
     the frame's own complete JPEG; for opaque formats frame_bytes is
     None and callers fall back to the documented deterministic
-    stand-in fingerprint."""
+    stand-in fingerprint. ``meta`` must be non-None (callers filter
+    metadata-less rows before sampling — without duration_ms there
+    is no frame timeline to sample)."""
     duration = int(meta["duration_ms"] or 0)
-    fmt = (meta["format"] or "").lower() if meta is not None else ""
+    fmt = (meta["format"] or "").lower()
     frames = codecs.split_mjpeg(raw) if fmt == "mjpeg" else None
     for idx, ts in enumerate(range(0, duration, every_ms)):
         fb = None

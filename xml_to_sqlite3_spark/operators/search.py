@@ -67,11 +67,11 @@ def build_text_index(
 # Persistent index cache: an inverted index is a write-once /
 # query-many artifact (the reference roadmap's FTS5 is a *persistent*
 # index), but localCheckpoint blocks die with the session — every new
-# session was paying the ~3s explode+groupBy rebuild. Same model as
-# node_graph.get_graph: parquet under a content-keyed path (input
-# parquet identity + this module's code), atomic tmp+rename publish
-# with a _COMPLETE marker carrying the corpus stats, stale-key
-# pruning with a 1h grace window.
+# session was paying the ~3s explode+groupBy rebuild. The publish /
+# prune / race machinery is the SHARED cache_util implementation
+# (one copy of the subtle logic, also used by node_graph.get_graph);
+# this module owns only the index-specific parts: what to build and
+# the _COMPLETE marker's corpus-stats payload.
 # ---------------------------------------------------------------------------
 
 _INDEX_CACHE: dict = {}
@@ -86,29 +86,6 @@ def _index_cache_root() -> str:
         "SPARK_GRAFT_INDEX_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_index_cache"),
     )
-
-
-def _index_cache_key(src_path: str) -> str:
-    import hashlib
-    import os
-
-    h = hashlib.sha256()
-    real = os.path.realpath(src_path)
-    h.update(real.encode())
-    try:
-        if os.path.isdir(real):
-            for name in sorted(os.listdir(real)):
-                st = os.stat(os.path.join(real, name))
-                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-        else:
-            st = os.stat(real)
-            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    except OSError:
-        pass
-    with open(__file__, "rb") as f:
-        h.update(f.read())
-    sfh = hashlib.sha256(real.encode()).hexdigest()[:10]
-    return f"i_{sfh}_{h.hexdigest()[:16]}"
 
 
 def get_text_index(
@@ -126,65 +103,50 @@ def get_text_index(
     of the index, never the whole thing. Corpus stats (N, avgdl) ride
     in the _COMPLETE marker, so a warm session pays zero jobs before
     the scoring query itself.
+
+    Cache identity covers the INPUT content, the build columns
+    (id_col/text_col — an index over different columns is a
+    different index), and the build code — both on disk and for the
+    in-session memo, so a parquet rewrite or a different-column call
+    can never return a stale or wrong index.
     """
     import json
     import os
-    import shutil
 
-    key = (spark.sparkContext.applicationId, src_path)
+    from ..cache_util import content_cached_dir, content_key
+
+    ck = content_key(
+        "i", src_path, extra=f"{id_col}|{text_col}", code_files=(__file__,)
+    )
+    key = (spark.sparkContext.applicationId, ck)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
 
-    root = _index_cache_root()
-    ck = _index_cache_key(src_path)
-    final = os.path.join(root, ck)
-    marker = os.path.join(final, "_COMPLETE")
-    if not os.path.exists(marker):
-        os.makedirs(root, exist_ok=True)
-        tmp = f"{final}.tmp.{os.getpid()}"
-        try:
-            docs = spark.read.parquet(src_path)
-            idx = build_text_index(
-                docs, id_col=id_col, text_col=text_col, materialize=False
-            )
-            par = spark.sparkContext.defaultParallelism
-            (
-                idx.repartitionByRange(par, "token")
-                .sortWithinPartitions("token")
-                .write.mode("overwrite")
-                .parquet(f"{tmp}/index")
-            )
-            n, avgdl = corpus_stats(spark.read.parquet(f"{tmp}/index"))
-            with open(f"{tmp}/_COMPLETE", "w") as f:
-                json.dump({"key": ck, "n_docs": n, "avgdl": avgdl}, f)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        if os.path.exists(marker) and final not in _INDEX_CACHE_DIRS:
-            _INDEX_CACHE_DIRS.append(final)
-        import time as _time
+    def _build(tmp: str) -> None:
+        docs = spark.read.parquet(src_path)
+        idx = build_text_index(
+            docs, id_col=id_col, text_col=text_col, materialize=False
+        )
+        par = spark.sparkContext.defaultParallelism
+        (
+            idx.repartitionByRange(par, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/index")
+        )
+        n, avgdl = corpus_stats(spark.read.parquet(f"{tmp}/index"))
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            json.dump({"key": ck, "n_docs": n, "avgdl": avgdl}, f)
 
-        prefix = ck.rsplit("_", 1)[0] + "_"
-        for name in os.listdir(root):
-            if name.startswith(prefix) and name != ck and ".tmp." not in name:
-                path = os.path.join(root, name)
-                try:
-                    cold = _time.time() - os.path.getmtime(path) > 3600
-                except OSError:
-                    cold = True
-                if cold:
-                    shutil.rmtree(path, ignore_errors=True)
-
-    try:
-        os.utime(final, None)
-    except OSError:
-        pass
-    with open(marker) as f:
+    final = content_cached_dir(
+        _index_cache_root(), ck, _build, owned_dirs=_INDEX_CACHE_DIRS
+    )
+    with open(os.path.join(final, "_COMPLETE")) as f:
         meta = json.load(f)
+    # a clear+rebuild lands NEW part files at the SAME path — drop
+    # Spark's file-status cache for it or a stale listing would point
+    # reads at deleted files (FAILED_READ_FILE)
+    spark.catalog.refreshByPath(f"{final}/index")
     index = spark.read.parquet(f"{final}/index")
     _INDEX_CACHE[key] = (index, int(meta["n_docs"]), float(meta["avgdl"]))
     return _INDEX_CACHE[key]

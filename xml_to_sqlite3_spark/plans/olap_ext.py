@@ -614,9 +614,15 @@ def kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts")).cast("date")
     )
-    day_hashes = ev.select(
-        "day", stable_hash60(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
+    # NULL user_id would hash to NULL, sort first (NULLS FIRST) and
+    # evict a real k-slot while the DuckDB oracle's NULLS LAST keeps
+    # it — exclude nulls up front, same invariant kmv_distinct
+    # documents
+    day_hashes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("day", stable_hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
     wd = W.partitionBy("day").orderBy("h")
     day_k = (
         day_hashes.withColumn("__rn", F.row_number().over(wd))
@@ -651,7 +657,7 @@ KMV_DAILY_ORACLE = """
 WITH h AS (
   SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h
 ), day_k AS (

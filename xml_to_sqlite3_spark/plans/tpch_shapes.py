@@ -666,10 +666,11 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     others = li.select(
         F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
     ).distinct()
-    others_r = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk"))
-        .distinct()
+    # same frame as `returned`, re-aliased — reuse it instead of
+    # recomputing the filter+distinct (correct either way, but this
+    # does not depend on Catalyst exchange-reuse firing)
+    others_r = returned.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
     )
     sole = (
         returned.join(
