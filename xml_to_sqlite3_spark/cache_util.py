@@ -20,6 +20,7 @@ concurrency and pruning subtleties live HERE exactly once:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import shutil
@@ -27,17 +28,37 @@ import time
 from collections.abc import Callable
 
 
+@functools.lru_cache(maxsize=None)
+def _code_digest(code_files: tuple[str, ...]) -> bytes:
+    """Digest of the build-code files' bytes, computed ONCE per
+    process — module sources cannot change under a running
+    interpreter, and re-reading them on every cache lookup put file
+    I/O in front of the in-session memo hit path."""
+    h = hashlib.sha256()
+    for mod in code_files:
+        with open(mod, "rb") as f:
+            h.update(f.read())
+    return h.digest()
+
+
 def content_key(
     prefix: str,
     src_path: str,
     extra: str = "",
     code_files: tuple[str, ...] = (),
+    suffixes: tuple[str, ...] | None = None,
 ) -> str:
     """Cache key from the INPUT's identity (path + per-file size and
-    mtime) and the BUILD CODE's bytes (``code_files`` — this module
-    is always included, so helper behavior changes invalidate every
-    entry too). ``extra`` folds in build parameters (e.g. which
-    columns an index was built over)."""
+    mtime, restricted to ``suffixes`` when given so stray files — a
+    writer's _SUCCESS/.crc, editor temp files — don't force spurious
+    rebuilds) and the BUILD CODE's bytes (``code_files`` — this
+    module is always included, so helper behavior changes invalidate
+    every entry too). ``extra`` folds in build parameters (e.g.
+    which columns an index was built over) and participates in the
+    key's PREFIX: stale-sibling pruning is prefix-scoped, and two
+    entries differing only in build parameters are distinct live
+    configurations, not stale versions of each other — they must
+    never prune one another."""
     h = hashlib.sha256()
     real = os.path.realpath(src_path)
     h.update(real.encode())
@@ -45,6 +66,8 @@ def content_key(
     try:
         if os.path.isdir(real):
             for name in sorted(os.listdir(real)):
+                if suffixes is not None and not name.endswith(suffixes):
+                    continue
                 st = os.stat(os.path.join(real, name))
                 h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
         else:
@@ -52,10 +75,8 @@ def content_key(
             h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
         pass
-    for mod in (*code_files, __file__):
-        with open(mod, "rb") as f:
-            h.update(f.read())
-    sfh = hashlib.sha256(real.encode()).hexdigest()[:10]
+    h.update(_code_digest((*code_files, __file__)))
+    sfh = hashlib.sha256(f"{real}|{extra}".encode()).hexdigest()[:10]
     return f"{prefix}_{sfh}_{h.hexdigest()[:16]}"
 
 

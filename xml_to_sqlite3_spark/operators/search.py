@@ -116,7 +116,11 @@ def get_text_index(
     from ..cache_util import content_cached_dir, content_key
 
     ck = content_key(
-        "i", src_path, extra=f"{id_col}|{text_col}", code_files=(__file__,)
+        "i",
+        src_path,
+        extra=f"{id_col}|{text_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
     )
     key = (spark.sparkContext.applicationId, ck)
     if key in _INDEX_CACHE:

@@ -409,7 +409,10 @@ def _graph_cache_key(sf_dir: str) -> str:
     from ..operators import relationships as _rel
 
     return content_key(
-        "g", sf_dir, code_files=(__file__, _rel.__file__, _ti.__file__)
+        "g",
+        sf_dir,
+        code_files=(__file__, _rel.__file__, _ti.__file__),
+        suffixes=(".parquet",),
     )
 
 
@@ -1350,13 +1353,9 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle replays the identical subsample. Wedge volume
     # scales with the square of the edge fraction, so 0.5 cuts the
     # candidate join ~4x while the operator itself stays full-graph.
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat("source_node_id", F.lit("|"), "target_node_id")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..operators.curation import stable_hash60
+
+    h = stable_hash60(F.concat("source_node_id", F.lit("|"), "target_node_id"))
     edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
         h % 10 < 5
     )
