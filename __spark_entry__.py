@@ -110,17 +110,17 @@ _GATE_PRIORITY = [
     "link_prediction",
     "order_value_distribution",
     "salted_supplier_revenue",
-    # -- stale since r4, cycled by age
-    "curate_cheap",     # shares the changed funnel code path
+    "hll_daily",        # grouped/windowed HLL rollup (r6-new)
     # demoted to past-window this round (all r4/r5-green, unchanged
     # plans): line_dedup (displaced by hll_distinct); type_inference,
     # asof_join, sessionization, events_windowed, dedup_simhash,
-    # ann_lsh, ngram_jaccard, dedup_components, dedup_minhash
-    # (r4-green, unchanged plans — displaced by the nine r6-new
-    # queries, which have never had driver contact; the minhash and
-    # jaccard machinery still runs in-window inside curate_corpus
-    # and dedup_recall_audit's local-parity replica);
-    # plans; the local parity replica still hash-proves every one):
+    # ann_lsh, ngram_jaccard, dedup_components, dedup_minhash,
+    # curate_cheap (r4-green, unchanged plans — displaced by the ten
+    # r6-new queries, which have never had driver contact; the
+    # minhash/jaccard machinery and the funnel's cheap stages still
+    # run in-window inside curate_corpus). The rest are r4/r5-green
+    # with unchanged plans; the local parity replica still
+    # hash-proves every one:
     # pack_sequences, c4_line_filter, mix_sources, orders_cube,
     # events_deltas, dup_spans, dedup_spans_apply, streaming_topk,
     # streaming_enriched, q4_late_shipments, q7_volume_shipping,

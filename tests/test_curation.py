@@ -692,3 +692,36 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # with identical weights per group the Gumbel hash breaks ties —
     # but target-like docs must dominate the selection
     assert sum(1 for i in range(10) if rows[str(100 + i)]["selected"]) >= 8
+
+
+def test_hll_daily_merge_equals_from_raw(spark):
+    """Weekly HLL registers built by per-register MAX over the day
+    sketches must equal registers computed directly from the raw
+    week — the mergeability property that lets day sketches roll up
+    without re-reading events."""
+    from xml_to_sqlite3_spark.io_util import load
+    from xml_to_sqlite3_spark.operators.curation import hll_registers
+    from xml_to_sqlite3_spark.plans.olap_ext import hll_daily
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    weeks = sorted(
+        r["week"]
+        for r in ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        ).distinct().collect()
+    )
+    rolled = {(r["week"]): r for r in hll_daily(spark, sf).collect()}
+    assert sorted(rolled) == weeks
+    for wk in weeks:
+        raw_week = ev.filter(
+            F.date_trunc("week", "ts").cast("date") == F.lit(wk)
+        ).select(F.col("user_id").cast("string").alias("u"))
+        direct = {
+            r["register"]: r["rho"]
+            for r in hll_registers(raw_week, "u").collect()
+        }
+        # n_zero from the rolled-up sketch must match the from-raw one
+        assert rolled[wk]["n_zero"] == sum(1 for v in direct.values() if v == 0)
+        exact = raw_week.distinct().count()
+        assert rolled[wk]["exact_distinct"] == exact

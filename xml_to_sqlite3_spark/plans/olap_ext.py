@@ -794,3 +794,132 @@ QUERIES["order_value_distribution"] = order_value_distribution
 ORACLES["order_value_distribution"] = ORDER_VALUE_DISTRIBUTION_ORACLE
 QUERIES["salted_supplier_revenue"] = salted_supplier_revenue
 ORACLES["salted_supplier_revenue"] = SALTED_SUPPLIER_REVENUE_ORACLE
+
+
+def hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed/grouped HyperLogLog: per-day registers over user_id
+    MERGED into weekly sketches by per-register MAX — the HLL twin of
+    kmv_daily, completing the sketch matrix (CMS / KMV / HLL each in
+    global AND time-grouped form). Exact by construction: max is
+    associative, so day registers roll up to the week's true sketch
+    without touching raw events again; the weekly estimate and its
+    exact twin are both emitted and fully value-oracled (integer-
+    exact harmonic sums, shared alpha-numerator literal)."""
+    from ..operators.curation import HASH_BITS, hll_alpha_numerator, stable_hash60
+
+    m = 64
+    b = m.bit_length() - 1
+    wbits = HASH_BITS - b
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        stable_hash60(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "day",
+        (F.col("h") % m).cast("int").alias("register"),
+        F.expr(f"h div {m}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        (F.log2(F.expr("w & -w")) + 1).cast("int")
+    )
+    day_regs = (
+        hashed.select("day", "register", rho.alias("rho"))
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # weekly rollup purely FROM the day sketches (m rows per day)
+    week_regs = (
+        day_regs.select(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+            "register",
+            "rho",
+        )
+        .groupBy("week", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    weeks = week_regs.select("week").distinct()
+    full = (
+        weeks.crossJoin(
+            F.broadcast(spark.range(m).select(F.col("id").cast("int").alias("register")))
+        )
+        .join(week_regs, ["week", "register"], "left")
+        .na.fill({"rho": 0})
+    )
+    agg = full.groupBy("week").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - rho)")).alias("__den"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    numer = hll_alpha_numerator(m)
+    raw = F.lit(numer) / F.col("__den")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return (
+        agg.join(F.broadcast(exact), "week")
+        .select(
+            "week",
+            F.col("n_zero").cast("int").alias("n_zero"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .orderBy("week")
+    )
+
+
+def _hll_daily_oracle() -> str:
+    from ..operators.curation import hll_alpha_numerator
+
+    numer = repr(hll_alpha_numerator(64))
+    return f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), br AS (
+  SELECT day, CAST(h % 64 AS INTEGER) AS register, h // 64 AS w FROM h
+), rho_t AS (
+  SELECT day, register,
+         CASE WHEN w = 0 THEN 55
+              ELSE CAST(log2(w & -w) + 1 AS INTEGER) END AS rho
+  FROM br
+), day_regs AS (
+  SELECT day, register, max(rho) AS rho FROM rho_t GROUP BY day, register
+), week_regs AS (
+  SELECT CAST(date_trunc('week', day) AS DATE) AS week, register, max(rho) AS rho
+  FROM day_regs GROUP BY 1, register
+), full_regs AS (
+  SELECT wk.week, r.register, coalesce(week_regs.rho, 0) AS rho
+  FROM (SELECT DISTINCT week FROM week_regs) wk
+  CROSS JOIN (SELECT unnest(range(64)) AS register) r
+  LEFT JOIN week_regs ON week_regs.week = wk.week AND week_regs.register = r.register
+), agg AS (
+  SELECT week,
+         sum(CAST(1 AS BIGINT) << (55 - rho)) AS den,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM full_regs GROUP BY week
+), ex AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT agg.week,
+       CAST(n_zero AS INTEGER) AS n_zero,
+       round(CASE WHEN ({numer} / den) <= 160.0 AND n_zero > 0
+                  THEN 64.0 * ln(64.0 / n_zero)
+                  ELSE {numer} / den END, 4) AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM agg JOIN ex ON agg.week = ex.week
+ORDER BY agg.week
+"""
+
+
+QUERIES["hll_daily"] = hll_daily
+ORACLES["hll_daily"] = _hll_daily_oracle()
