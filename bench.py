@@ -100,23 +100,24 @@ def main() -> None:
         _release_query_state()
 
     total = round(sum(timings.values()), 2)
-    # Heaviest-first, 2-decimal timings: the driver's tail capture
-    # truncated BENCH_r05 alphabetically, losing exactly the queries
-    # the round was graded on. Descending order puts the entries that
-    # matter (the expensive ones) at the front of the line, so any
-    # truncation only ever drops sub-second noise.
+    # ASCENDING by time, with the total/metric fields AFTER the
+    # queries dict: the driver captures the LAST 2000 chars of the
+    # line, so ascending order keeps the heaviest entries (and the
+    # total) inside the retained tail. (Round 6 sorted descending on
+    # the opposite assumption and lost the total plus the 19 heaviest
+    # entries — BENCH_r06 "parsed": null.)
     ordered = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items()),
-            key=lambda kv: -kv[1],
+            key=lambda kv: kv[1],
         )
     )
     out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
         "queries": ordered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "unit": "sec",
+        "value": total,
+        "metric": "headline_queries_total",
     }
     if errors:
         # still exit 0: the printed JSON (with "errors") IS the
