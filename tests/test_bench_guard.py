@@ -45,9 +45,14 @@ FLOORS = {
     "dedup_recall_audit": 6.0,
     "near_dedup_corpus": 4.0,
     "bpe_merges": 9.0,
-    "graph_triangles": 1.5,
+    # tightened r7: one-job-per-round iteration with exchange-free
+    # co-partitioned joins (pagerank measured 2.27s best-of-2,
+    # triangles 0.99s) + the new single-pass combination-expansion
+    # link_prediction (0.80s)
+    "graph_triangles": 1.2,
     "streaming_attribution": 7.0,
     "graph_pagerank": 2.5,
+    "link_prediction": 1.0,
     "q7_volume_shipping": 1.5,
 }
 CALIBRATION_FLOOR = 0.5  # q6_revenue at sf0.001 on the dev box

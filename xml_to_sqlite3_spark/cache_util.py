@@ -99,21 +99,41 @@ def content_cached_dir(
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         tmp = f"{final}.tmp.{os.getpid()}"
+        published = False
         try:
             build(tmp)
             try:
                 os.rename(tmp, final)
+                published = True
             except OSError:
-                # a concurrent builder won; use theirs
-                shutil.rmtree(tmp, ignore_errors=True)
+                # rename failing USUALLY means a concurrent builder
+                # won — but ``final`` can also be a wedged partial
+                # entry (e.g. an interrupted prune) whose marker will
+                # never appear. Verify before trusting it; if the
+                # marker is absent, heal by replacing the wedged dir
+                # with our freshly built copy.
+                if os.path.exists(marker):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(final, ignore_errors=True)
+                    try:
+                        os.rename(tmp, final)
+                        published = True
+                    except OSError:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        if not os.path.exists(marker):
+                            raise RuntimeError(
+                                f"cache entry {final} is wedged (no "
+                                "_COMPLETE marker) and could not be "
+                                "replaced; remove it manually"
+                            )
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        if (
-            os.path.exists(marker)
-            and owned_dirs is not None
-            and final not in owned_dirs
-        ):
+        # only the process whose rename landed OWNS the entry — a
+        # racer that lost must not let its clear() delete a shared
+        # entry another live session built and may still be reading
+        if published and owned_dirs is not None and final not in owned_dirs:
             owned_dirs.append(final)
         # prune stale same-input siblings (older code / older data),
         # but only entries COLD for an hour — see module docstring

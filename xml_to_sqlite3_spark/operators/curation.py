@@ -537,9 +537,19 @@ def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
             F.col("n_zero").cast("int").alias("n_zero"),
             F.round(est, 4).alias("hll_estimate"),
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            F.round(
-                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
-            ).alias("rel_error"),
+            # guard the empty/all-null column: exact_distinct is 0
+            # there and the estimate is also 0 via the linear-counting
+            # branch, so rel_error is 0 by definition, not a div-by-0
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    F.abs(est - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rel_error"),
         )
     )
 
@@ -554,10 +564,14 @@ def dsir_select(
     k: int = 100,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al.
-    2023): score every raw document by how target-like its hashed
-    n-gram distribution is, then Gumbel-top-k sample proportionally
-    to the importance weights. Returns (doc_id, n_grams, log_weight,
-    gumbel_key, selected).
+    2023): score every raw document that produced at least one token
+    by how target-like its hashed n-gram distribution is, then
+    Gumbel-top-k sample proportionally to the importance weights.
+    Returns (doc_id, n_grams, log_weight, gumbel_key, selected).
+    Token-less documents (empty/whitespace text) carry no n-gram
+    evidence and are EXCLUDED from the output by design — they have
+    no importance weight under the paper's model (the DuckDB oracle
+    replays the same exclusion).
 
     Features are hashed unigrams+bigrams folded into ``n_buckets``
     (the paper's hashed n-gram model); the bucket log-ratio table

@@ -178,99 +178,135 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over the directed edge set: (node, rank), ranks
     summing to ~1. The reference names "graph traversal operations"
     as the database's purpose (main.rb:22-24); centrality over the
     cross-reference graph is that surface's analytical core.
 
-    Distributed power iteration, all-DataFrame: per round ONE join of
-    the rank vector against the (deduped, checkpointed) edge list and
-    one map-side-combinable sum by destination; dangling mass (nodes
-    with no out-edges) is a 1-row aggregate broadcast back uniformly
-    — the standard formulation, never a driver-side matrix. Rank
-    vector is localCheckpointed per round (flat lineage; each round's
-    shuffle is independently AQE-sized). Output rounds to 8 decimals:
-    per-partition float summation order perturbs ~1e-15 relative,
-    far below the rounding, so results are deterministic run to run.
+    Distributed power iteration, all-DataFrame, engineered so each
+    round is ONE job with ONE shuffle:
+
+    - The edge list is deduped, hash-partitioned by src, sorted
+      within partitions, and localCheckpointed once; the (node,
+      out-degree) spine is built with a single marker-union groupBy
+      (no distinct + join) and checkpointed hash-partitioned by node.
+    - Per round, rank⋈edges runs as a co-partitioned shuffled hash
+      join (ranks inherit the spine's (node, P) partitioning, edges
+      are (src, P) — no exchange on either side), the contribution
+      sum is the round's single shuffle, and the spine re-attaches
+      by another exchange-free co-partitioned join. The iteration
+      scopes spark.sql.shuffle.partitions / adaptive.enabled /
+      preferSortMergeJoin (restored in a finally) to keep those
+      joins exchange-free — AQE's runtime coalescing would break
+      the partitioning match, and on sketch-sized per-round frames
+      fixed P beats adaptive replanning.
+    - Dangling mass is a driver scalar whose aggregation job IS the
+      job that materializes the round's lazy localCheckpoint — the
+      model-sized scalar every iterative solver's convergence check
+      uses. (The old 1-row crossJoin(broadcast(dangling)) subquery
+      embedded the previous round's plan twice, so Catalyst's work
+      doubled per lazily-chained round.)
+
+    ``n_partitions`` defaults to min(8, defaultParallelism) — the
+    per-round frames are sketch-sized and task-launch overhead
+    dominates them; a billion-node corpus on a real cluster should
+    pass its own P. Output rounds to 8 decimals: per-partition float
+    summation order perturbs ~1e-15 relative, far below the
+    rounding, so results are deterministic run to run.
     """
     spark = edges.sparkSession
-    # hash-partition the edge checkpoint by src: localCheckpoint
-    # preserves the partitioning, so every round's rank⋈edges join
-    # reuses it and only the (much smaller) rank vector shuffles —
-    # measured ~20% off the whole iteration at sf0.1, and at cluster
-    # scale it removes n_iter full edge-set shuffles. 8 partitions,
-    # not defaultParallelism: the per-round frames are sketch-sized
-    # and task-launch overhead dominates compute on them.
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .repartition(min(8, edges.sparkSession.sparkContext.defaultParallelism), "src")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_total = nodes.count()
-    if n_total == 0:
-        # empty graph degrades to an empty result like bfs/triangles
-        # (1.0 / n_total below would raise on the driver otherwise)
-        return spark.createDataFrame([], "node string, rank double")
-    # static (node, out-degree) spine, built once — the rank vector
-    # CARRIES the degree between rounds, so each round is one
-    # edge join + one spine join instead of three joins
-    spine = (
-        nodes.join(
-            e.groupBy(F.col("src").alias("node")).agg(
-                F.count(F.lit(1)).alias("__deg")
-            ),
-            "node",
-            "left",
+    n_part = n_partitions or min(8, spark.sparkContext.defaultParallelism)
+    conf = spark.conf
+    scoped = {
+        "spark.sql.shuffle.partitions": str(n_part),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .distinct()
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=True)
-    )
-
-    ranks = spine.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(eager=True)
-    teleport = (1.0 - damping) / n_total
-    for _i in range(n_iter):
-        # dangling nodes redistribute their whole rank uniformly
-        dangling = (
-            ranks.filter(F.col("__deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        )
-        contrib = (
-            e.join(
-                ranks.filter(F.col("__deg").isNotNull()).select(
-                    F.col("node").alias("src"), (F.col("rank") / F.col("__deg")).alias("__c")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = (
-            spine.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+        # (node, out-degree) spine in ONE shuffle: src rows carry a
+        # marker 1, dst rows 0; the groupBy both enumerates every
+        # node and counts out-edges (count 0 -> null = dangling)
+        spine = (
+            e.select(F.col("src").alias("node"), F.lit(1).alias("m"))
+            .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("m")))
+            .groupBy("node")
+            .agg(F.sum("m").alias("__cnt"))
             .select(
                 "node",
-                "__deg",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n_total)
-                ).alias("rank"),
+                F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("__deg"),
             )
+            .localCheckpoint(eager=False)
         )
-        # checkpoint every OTHER round: two rounds of lineage stay
-        # cheap to replan, and halving the eager materializations
-        # halves the fixed per-round job overhead that dominates on
-        # sketch-sized rank vectors
-        if _i % 2 == 1 or _i == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+        n_total, n_dang = spine.agg(
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("__deg").isNull(), 1).otherwise(0)),
+        ).first()
+        if n_total == 0:
+            # empty graph degrades to an empty result like bfs/triangles
+            # (1.0 / n_total below would raise on the driver otherwise)
+            return spark.createDataFrame([], "node string, rank double")
+        dm = (n_dang or 0) / n_total
+        ranks = spine.withColumn("rank", F.lit(1.0 / n_total))
+        teleport = (1.0 - damping) / n_total
+        for _i in range(n_iter):
+            r = ranks.filter(F.col("__deg").isNotNull()).select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            contrib = (
+                e.join(r, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("__c").alias("__in"))
+            )
+            # same float association as the naive-oracle tests expect:
+            # damping * (in_mass + dm/n)
+            ranks = (
+                spine.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "__deg",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.lit(dm / n_total)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=(_i == n_iter - 1))
+            )
+            if _i < n_iter - 1:
+                # this aggregation job is what materializes the lazy
+                # checkpoint above: one job per round, not two
+                dm = (
+                    ranks.filter(F.col("__deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0]
+                )
+        return ranks.select("node", F.round("rank", 8).alias("rank"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def triangle_count(
@@ -339,8 +375,15 @@ def triangle_count(
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_e = und.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_e.crossJoin(F.broadcast(tri))
+    # orientation is a bijection on undirected edges, so n_edges is a
+    # block count of the already-materialized oriented checkpoint — a
+    # driver scalar folded in as a literal, replacing the old
+    # und-aggregate + crossJoin(broadcast) branch (one whole job and
+    # a broadcast exchange on the result path)
+    n_e = oriented.count()
+    return tri.select(
+        F.lit(n_e).cast("long").alias("n_edges"), "n_triangles"
+    )
 
 
 def adamic_adar_topk(
@@ -356,15 +399,21 @@ def adamic_adar_topk(
     n_common). The classic graph-completion / recommendation query
     over the cross-reference graph.
 
-    Scale shape: wedges are generated per CENTER neighbor (one
-    self-join of the adjacency list on the center, n1 < n2 halving),
-    so fan-out is quadratic only in per-vertex degree — the
-    ``max_degree`` guard drops celebrity centers (a 10M-degree hub
-    contributes ~0 weight anyway: 1/ln(10M) spread over 10^14 pairs)
-    exactly like ngram_jaccard's max_df. Existing edges leave by
-    anti-join; the final cut is a TakeOrdered, not a global window.
-    Determinism: per-wedge weights are rounded then DECIMAL-summed
-    (order-independent), ties break on the pair itself.
+    Scale shape: ONE aggregation by center collects each vertex's
+    sorted neighbor list (bounded by ``max_degree``), then every
+    unordered wedge pair is generated EXACTLY ONCE, JVM-side inside
+    whole-stage codegen, by a ``transform``/``slice``/``flatten``
+    combination expansion over the sorted array — no adjacency
+    self-join, no post-hoc ``n1 < n2`` halving of a doubled fan-out.
+    The Adamic-Adar weight depends only on the center's degree, so it
+    rides the same aggregated row. Per-row expansion memory is
+    deg^2/2 structs, bounded by ``max_degree`` (the guard that also
+    drops celebrity centers: a 10M-degree hub contributes ~0 weight —
+    1/ln(10M) spread over 10^14 pairs — exactly ngram_jaccard's
+    max_df trade). Existing edges leave by anti-join; the final cut
+    is a TakeOrdered, not a global window. Determinism: per-wedge
+    weights are rounded then DECIMAL-summed (order-independent), ties
+    break on the pair itself.
     """
     und = (
         edges.select(
@@ -378,37 +427,38 @@ def adamic_adar_topk(
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
         und.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    centers = deg.filter(F.col("d") >= 2)
+    # degree AND the sorted neighbor list in one map-side-combinable
+    # aggregation; (v, n) is unique by construction (und is distinct)
+    centers = adj.groupBy("v").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sort_array(F.collect_list("n")).alias("ns"),
+    )
+    centers = centers.filter(F.col("d") >= 2)
     if max_degree is not None:
         centers = centers.filter(F.col("d") <= max_degree)
-    # weight carried on the center BEFORE the wedge join — rounded to
-    # 9 decimals so the per-pair sum can run as exact decimal
-    wadj = (
-        adj.join(
-            centers.select(
-                "v",
-                F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
-                .cast("decimal(18,9)")
-                .alias("w"),
-            ),
-            "v",
-        )
-        # hash-partition the checkpoint on the wedge pivot so the
-        # e1⋈e2 self-join below runs co-partitioned on the blocks —
-        # the full weighted adjacency never reshuffles for the
-        # fan-out stage. Full parallelism, not the iterative family's
-        # 8: the wedge expansion is the compute-heavy stage and wants
-        # every core (8 partitions measured ~1.7x slower here).
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "v")
-        .localCheckpoint(eager=True)
+    centers = centers.withColumn(
+        "w",
+        F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9).cast(
+            "decimal(18,9)"
+        ),
     )
-    a1 = wadj.select("v", F.col("n").alias("n1"), "w")
-    a2 = wadj.select("v", F.col("n").alias("n2"))
+    # each i<j position pair of the sorted list exactly once: element
+    # i paired with every later element via slice — all codegen'd
+    # array ops, zero extra shuffle for the fan-out stage
+    wedges = centers.select(
+        "w",
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), y -> "
+                "struct(x AS n1, y AS n2))))"
+            )
+        ).alias("p"),
+    )
     pairs = (
-        a1.join(a2, "v")
-        .filter(F.col("n1") < F.col("n2"))
-        .groupBy(F.col("n1").alias("node_a"), F.col("n2").alias("node_b"))
+        wedges.groupBy(
+            F.col("p.n1").alias("node_a"), F.col("p.n2").alias("node_b")
+        )
         .agg(
             F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
             F.count(F.lit(1)).alias("n_common"),
