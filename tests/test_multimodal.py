@@ -257,8 +257,48 @@ def test_real_audio_decode_gates_compressed(spark):
         )
     ]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="pure-python codec for audio"):
+    # without soundfile: the documented NotImplementedError; with it:
+    # these fake bytes aren't a real mp3, so its open error surfaces
+    # (same contract as the image path's PIL gate test)
+    with pytest.raises(
+        Exception, match="pure-python codec for audio|soundfile|[Ff]ormat"
+    ):
         M.decode_audio(df).collect()
+
+
+@pytest.mark.skipif(not M._HAS_SOUNDFILE, reason="soundfile not installed")
+def test_soundfile_seam_decodes_ogg(spark):
+    # real ogg fixture via soundfile itself; the seam routes any
+    # non-RIFF format through sf.read (mirror of the webp/PIL test)
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    buf = io.BytesIO()
+    sf.write(buf, wave, rate, format="OGG", subtype="VORBIS")
+    rows = [
+        Row(
+            media_id=31,
+            kind="audio",
+            data=buf.getvalue(),
+            meta=Row(
+                width=None,
+                height=None,
+                sample_rate=rate,
+                duration_ms=1000,
+                format="ogg",
+            ),
+        )
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.decode_audio(df).collect()[0]
+    assert out["sample_rate_real"] == rate
+    assert abs(out["duration_ms_real"] - 1000) <= 50
+    assert out["rms"] > 0.2  # a 0.5-amplitude sine decodes near 0.35
 
 
 def test_audio_features_content_derived(real_audio):

@@ -47,6 +47,13 @@ try:  # pragma: no cover - not present in this environment
 except Exception:
     _HAS_PIL = False
 
+try:  # pragma: no cover - not present in this environment
+    import soundfile  # noqa: F401
+
+    _HAS_SOUNDFILE = True
+except Exception:
+    _HAS_SOUNDFILE = False
+
 
 def _decode_raster(data, fmt: str):
     """Decode to an HxWxC uint8 array via the pure-python codecs,
@@ -140,12 +147,38 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def _decode_waveform(data, fmt: str):
+    """Decode to (samples[n, ch] float64, rate) — the ONE gating seam
+    every waveform consumer (decode_audio, extract_audio_features)
+    shares, mirroring ``_decode_raster``. RIFF/WAVE goes through the
+    pure-python codec (PCM 8/16/32-bit, float, G.711 mu-law/A-law,
+    mono IMA ADPCM); perceptual formats (mp3/ogg/flac) route through
+    the optional ``soundfile`` library when importable and raise the
+    documented NotImplementedError otherwise — a native decoder is
+    genuinely required for those bitstreams."""
+    if fmt in ("wav", "wave", ""):
+        return codecs.decode_wav(bytes(data))
+    if not _HAS_SOUNDFILE:
+        raise NotImplementedError(
+            f"no pure-python codec for audio format {fmt!r} and "
+            "soundfile is not installed; use fake_decode_audio"
+        )
+    import io
+
+    import soundfile as sf
+
+    x, rate = sf.read(io.BytesIO(bytes(data)), always_2d=True, dtype="float64")
+    return x, int(rate)
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode for RIFF/WAVE rows (PCM 8/16/32-bit, float,
     G.711 mu-law/A-law and mono IMA ADPCM — codecs.decode_wav):
     emits true sample_rate, duration_ms, channel count, RMS level and
     zero-crossing rate from the waveform. Perceptual codecs
-    (mp3/ogg) raise — mirror of the image path's format gating."""
+    (mp3/ogg/flac) decode through the optional soundfile seam
+    (``_decode_waveform``) and raise without it — mirror of the image
+    path's PIL gating."""
     schema = (
         MEDIA_SCHEMA
         + ", sample_rate_real int, duration_ms_real int, n_channels int"
@@ -159,11 +192,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
             rates, durs, chans, rmss, zcrs = [], [], [], [], []
             for data, meta in zip(pdf["data"], pdf["meta"]):
                 fmt = ((meta["format"] if meta is not None else "") or "").lower()
-                if fmt not in ("wav", "wave"):
-                    raise NotImplementedError(
-                        f"no pure-python codec for audio format {fmt!r}"
-                    )
-                x, rate = codecs.decode_wav(bytes(data))
+                x, rate = _decode_waveform(data, fmt)
                 mono = x.mean(axis=1)
                 rates.append(rate)
                 durs.append(int(round(len(x) / rate * 1000)))
@@ -199,7 +228,8 @@ def extract_audio_features(df: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             vecs = []
             for data, meta in zip(pdf["data"], pdf["meta"]):
-                x, _ = codecs.decode_wav(bytes(data))
+                fmt = ((meta["format"] if meta is not None else "") or "").lower()
+                x, _ = _decode_waveform(data, fmt)
                 mono = x.mean(axis=1)
                 if len(mono) == 0:
                     vecs.append([0.0] * dim)
