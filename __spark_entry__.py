@@ -95,16 +95,18 @@ _GATE_PRIORITY = [
     "token_count",
     "topk_per_group",
     "type_inference",
-    # -- r5 cohort advanced (rotation hygiene: these 8 cycle now so
-    # the remaining 26 r5 entries fit in the r8 window)
-    "dedup_recall_audit",
-    "near_dedup_corpus",
-    "streaming_attribution",
-    "bpe_merges",       # rows-only by design (iterative trainer)
-    "cms_sketch",
-    "pack_sequences",
-    "q4_late_shipments",
-    "q7_volume_shipping",
+    # -- new this round: the six shapes completing the 22-query
+    # TPC-H matrix (no driver contact yet — they take the rotation
+    # slots; the r5 cohort cycles in the r8 window instead)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_dominant_suppliers",
+    # -- new this round: Bloom sketch prefilter + dynamic batching
+    "bloom_prefilter",
+    "length_batches",
     # demoted to past-window this round (all r5/r6-green, unchanged
     # plans; the local parity replica still hash-proves every one):
     # cms_daily, kmv_daily, hll_daily, kmv_distinct, node_references,

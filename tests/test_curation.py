@@ -725,3 +725,73 @@ def test_hll_daily_merge_equals_from_raw(spark):
         assert rolled[wk]["n_zero"] == sum(1 for v in direct.values() if v == 0)
         exact = raw_week.distinct().count()
         assert rolled[wk]["exact_distinct"] == exact
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fpr(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import (
+            bloom_bits,
+            bloom_member_values,
+        )
+
+        members = spark.range(0, 200).select(
+            F.concat(F.lit("in_"), F.col("id")).alias("v")
+        )
+        probes = spark.range(0, 1000).select(
+            F.concat(F.lit("out_"), F.col("id")).alias("v")
+        )
+        bits = bloom_bits(members, "v", m_bits=4096, k=3)
+        # every inserted value must pass (Bloom's defining guarantee)
+        hits = bloom_member_values(members, "v", bits, m_bits=4096, k=3)
+        assert hits.count() == 200
+        # non-members pass only by collision; with n=200, m=4096, k=3
+        # theory gives ~0.3% FPR — allow a generous 5% ceiling
+        fp = bloom_member_values(probes, "v", bits, m_bits=4096, k=3).count()
+        assert fp <= 50, f"false-positive rate implausibly high: {fp}/1000"
+
+    def test_mergeable_by_union(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import bloom_bits
+
+        a = spark.range(0, 50).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+        b = spark.range(0, 50).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+        merged = (
+            bloom_bits(a, "v", 1024, 3)
+            .unionByName(bloom_bits(b, "v", 1024, 3))
+            .distinct()
+        )
+        direct = bloom_bits(a.unionByName(b), "v", 1024, 3)
+        assert sorted(r["bit"] for r in merged.collect()) == sorted(
+            r["bit"] for r in direct.collect()
+        )
+
+
+class TestLengthBucketedBatches:
+    def test_partition_and_padding_invariants(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import (
+            length_bucketed_batches,
+        )
+
+        docs = spark.range(0, 333).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.col("id") * 37, 500) + 1).alias("n_tokens"),
+        )
+        out = length_bucketed_batches(
+            docs, tokens_col="n_tokens", batch_size=8, bucket_width=64
+        ).collect()
+        # every doc assigned exactly once
+        assert len(out) == 333
+        assert len({r["doc_id"] for r in out}) == 333
+        by_batch: dict = {}
+        for r in out:
+            by_batch.setdefault(r["batch_id"], []).append(r)
+        for rows in by_batch.values():
+            assert len(rows) <= 8
+            assert len(rows) == rows[0]["batch_n"]
+            # one bucket per batch; max matches; padding in [0, 1)
+            assert len({r["bucket"] for r in rows}) == 1
+            mx = max(r["n_tokens"] for r in rows)
+            assert all(r["batch_max_tokens"] == mx for r in rows)
+            assert all(0.0 <= r["padding_frac"] < 1.0 for r in rows)
+            # similar lengths: within a width-64 bucket the spread is
+            # bounded by the bucket width
+            assert mx - min(r["n_tokens"] for r in rows) < 64

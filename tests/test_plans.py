@@ -312,3 +312,82 @@ def test_bm25_topk_is_distributed(spark):
     assert "PushedFilters: [" in fplan
     pushed = fplan.split("PushedFilters: [")[1].split("]")[0]
     assert "token" in pushed, fplan
+
+
+def test_q2_decorrelates_min_into_single_pass(spark):
+    """Q2's per-part minimum must be ONE aggregation over the
+    candidate set joined back — not a re-aggregation per row — and
+    the region gate must ride broadcast dimension joins."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as T
+
+    plan = _physical(T.q2_min_cost_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q11_single_aggregation_plus_scalar_broadcast(spark):
+    """Q11's HAVING threshold is a 1-row broadcast of the already-
+    computed total — the per-part value aggregate must appear
+    exactly twice (partial + final), not four times (which would
+    mean the total re-aggregated the corpus)."""
+    from xml_to_sqlite3_spark.plans import tpch_shapes as T
+
+    plan = _physical(T.q11_important_parts(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the nation filter must reach the scan side, not post-join
+    assert "EvalPython" not in plan
+
+
+def test_q16_excludes_suppliers_by_anti_join(spark):
+    from xml_to_sqlite3_spark.plans import tpch_shapes as T
+
+    plan = _physical(T.q16_supplier_counts(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q20_semi_join_not_correlated(spark):
+    from xml_to_sqlite3_spark.plans import tpch_shapes as T
+
+    plan = _physical(T.q20_dominant_suppliers(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_bits_broadcast_into_probe(spark):
+    """The Bloom bit table is model-sized and must broadcast into
+    the probe join — a shuffle of the probe side against a 4k-row
+    sketch would be the scale mistake."""
+    from xml_to_sqlite3_spark.operators.curation import (
+        bloom_bits,
+        bloom_member_values,
+    )
+    from pyspark.sql import functions as F
+
+    vals = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    bits = bloom_bits(vals.limit(100), "v", 1024, 3)
+    plan = _physical(bloom_member_values(vals, "v", bits, 1024, 3))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_length_batches_windows_stay_bucket_partitioned(spark):
+    """No global order-everything window: every window in the
+    batching plan must carry a partition spec (the length bucket)."""
+    from xml_to_sqlite3_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 13, 300) + 1).alias("n_tokens"),
+    )
+    plan = _physical(
+        length_bucketed_batches(docs, tokens_col="n_tokens")
+    )
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "bucket" in seg, "a window lost its bucket partitioning"

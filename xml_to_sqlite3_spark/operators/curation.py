@@ -352,6 +352,29 @@ def gopher_quality(
     )
 
 
+def shingle_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, shingle) rows: the md5 of each distinct n-token window of
+    the normalized text — the shared primitive of decontaminate and
+    the Bloom prefilter (one definition so both sides of any overlap
+    join hash identically)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -372,17 +395,7 @@ def decontaminate(
     """
 
     def shingles(df: DataFrame) -> DataFrame:
-        words = F.split(normalize_text(F.col(text_col)), " ")
-        sh = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
-            ),
-        ).otherwise(F.array())
-        return df.select(
-            F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
-        )
+        return shingle_hashes(df, id_col=id_col, text_col=text_col, n=n)
 
     eval_shingles = shingles(eval_df).select("shingle").distinct()
     hits = (
@@ -1288,4 +1301,146 @@ def equi_depth_histogram(
             F.sum("cnt").alias("n_rows"),
         )
         .orderBy("bucket")
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Portable Bloom-filter sketch, represented as the TABLE of set
+    bit positions (one row per set bit, <= m_bits rows — model-sized
+    state like the CMS/KMV/HLL sketches, and mergeable by plain
+    UNION/DISTINCT). The k hash functions are the shared portable
+    60-bit md5 under per-function tags, so the whole sketch — not
+    just its answers — is deterministic and SQL-replayable on any
+    engine (completes the sketch matrix: CMS / KMV / HLL / MG /
+    Bloom).
+
+    100 TB posture: build is one explode(k) + distinct over the
+    column's distinct values; the result broadcasts anywhere a
+    membership prefilter is needed (the classic use: thin a huge
+    probe side BEFORE an expensive join — no false negatives, FPR ~
+    (1 - e^(-kn/m))^k, tunable)."""
+    v = F.col(col).cast("string")
+    pos = F.array_distinct(
+        F.array(
+            *[
+                (
+                    stable_hash60(F.concat(F.lit(f"bloom{i}|"), v)) % m_bits
+                ).cast("long")
+                for i in range(k)
+            ]
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(pos).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_member_values(
+    df: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """The DISTINCT values of ``col`` that the Bloom filter ``bits``
+    (from bloom_bits with the SAME m_bits/k) may contain — i.e. ALL
+    k of the value's bit positions are set. No false negatives; the
+    caller semi-joins this against the full frame to apply the
+    prefilter.
+
+    Scale shape: probe values dedup once, explode to their (<= k)
+    distinct positions, inner-join the broadcast model-sized bit
+    table, and one count-per-value aggregation keeps values whose
+    every position matched — map-side until the single probe-value
+    shuffle."""
+    v = F.col(col).cast("string")
+    pos = F.array_distinct(
+        F.array(
+            *[
+                (
+                    stable_hash60(F.concat(F.lit(f"bloom{i}|"), v)) % m_bits
+                ).cast("long")
+                for i in range(k)
+            ]
+        )
+    )
+    vals = (
+        df.filter(v.isNotNull())
+        .select(v.alias(col))
+        .distinct()
+        .select(F.col(col), pos.alias("__pos"), F.size(pos).alias("__n"))
+    )
+    matched = (
+        vals.select(F.col(col), F.col("__n"), F.explode("__pos").alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy(col, "__n")
+        .agg(F.count(F.lit(1)).alias("__hit"))
+    )
+    return matched.filter(F.col("__hit") == F.col("__n")).select(col)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    batch_size: int = 8,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Dynamic-batching layout: group documents into fixed-size
+    training batches of SIMILAR token length so per-batch padding
+    (to the batch max) is minimized — the standard length-bucketing
+    pass before sequence-model training. Returns one row per doc:
+    (id, n_tokens, bucket, batch_id, batch_n, batch_max_tokens,
+    padding_frac) where batch_id is globally unique and
+    deterministic.
+
+    Scale shape: every window is PARTITIONED by the length bucket
+    (floor(n_tokens / bucket_width)) — thousands of independent
+    partitions, never a global order-everything window; within a
+    bucket docs rank by (n_tokens desc, id) and cut into batches of
+    ``batch_size``. The per-batch stats are a second window over the
+    same partitioning (no extra shuffle). Bucket skew is bounded by
+    the corpus length distribution; a pathological single-length
+    corpus degrades to one bucket — pick bucket_width accordingly."""
+    from pyspark.sql import Window as W
+
+    t = F.col(tokens_col).cast("long")
+    bucket = F.floor(t / bucket_width).alias("bucket")
+    ranked = df.select(F.col(id_col), t.alias("n_tokens"), bucket).withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy(F.desc("n_tokens"), id_col)
+        ),
+    )
+    batched = ranked.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.concat_ws(
+            "_",
+            F.col("bucket").cast("string"),
+            F.floor((F.col("__rk") - 1) / batch_size).cast("string"),
+        ).alias("batch_id"),
+    )
+    wb = W.partitionBy("bucket", "batch_id")
+    return batched.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        F.count(F.lit(1)).over(wb).alias("batch_n"),
+        F.max("n_tokens").over(wb).alias("batch_max_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").over(wb)
+            / (F.count(F.lit(1)).over(wb) * F.max("n_tokens").over(wb)),
+            6,
+        ).alias("padding_frac"),
     )

@@ -749,3 +749,131 @@ ORDER BY doc_id
 
 QUERIES["dsir_selection"] = dsir_selection
 ORACLES["dsir_selection"] = DSIR_ORACLE
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination PREFILTER next to its exact twin:
+    docs 0-9 are the eval set; a 4096-bit / 3-hash Bloom sketch of
+    their 8-token shingles prefilters the training side, and each
+    train doc reports (bloom_candidate, exact_contaminated) — every
+    exact hit must be a bloom candidate (no false negatives), and
+    the visible difference IS the measured false-positive surface.
+    The sketch hashes are the portable md5, so the entire filter —
+    bits, candidates, and flags — replays in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 10)
+    tr = docs.filter(F.col("doc_id") >= 10)
+    esh = C.shingle_hashes(ev, n=8)
+    # three consumers below (member probe, bloom flag, exact flag) —
+    # materialize the train postings once (repo two-consumer rule)
+    tsh = C.shingle_hashes(tr, n=8).localCheckpoint(eager=True)
+    bits = C.bloom_bits(esh, "shingle", m_bits=4096, k=3)
+    member = C.bloom_member_values(tsh, "shingle", bits, m_bits=4096, k=3)
+    bloom_docs = (
+        tsh.join(member, "shingle", "left_semi").select("doc_id").distinct()
+        .withColumn("bloom_candidate", F.lit(True))
+    )
+    exact_docs = (
+        tsh.join(esh.select("shingle").distinct(), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_contaminated", F.lit(True))
+    )
+    return (
+        tr.select("doc_id")
+        .join(bloom_docs, "doc_id", "left")
+        .join(exact_docs, "doc_id", "left")
+        .na.fill({"bloom_candidate": False, "exact_contaminated": False})
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_HASH = "(('0x' || substr(md5('bloom{i}|' || shingle), 1, 15))::BIGINT % 4096)"
+
+BLOOM_PREFILTER_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 7, 0) + 1),
+           i -> md5(array_to_string(w[i:i+7], ' ')))) AS s
+  FROM tok
+), eval_sh AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 10
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT {_BLOOM_HASH.format(i=0)} AS bit FROM eval_sh
+    UNION ALL SELECT {_BLOOM_HASH.format(i=1)} FROM eval_sh
+    UNION ALL SELECT {_BLOOM_HASH.format(i=2)} FROM eval_sh
+  )
+), train_sh AS (
+  SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 10
+), member AS (
+  SELECT shingle FROM (SELECT DISTINCT shingle FROM train_sh)
+  WHERE {_BLOOM_HASH.format(i=0)} IN (SELECT bit FROM bits)
+    AND {_BLOOM_HASH.format(i=1)} IN (SELECT bit FROM bits)
+    AND {_BLOOM_HASH.format(i=2)} IN (SELECT bit FROM bits)
+), bloom_docs AS (
+  SELECT DISTINCT doc_id FROM train_sh JOIN member USING (shingle)
+), exact_docs AS (
+  SELECT DISTINCT doc_id FROM train_sh
+  WHERE shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT d.doc_id,
+       (b.doc_id IS NOT NULL) AS bloom_candidate,
+       (e.doc_id IS NOT NULL) AS exact_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+LEFT JOIN bloom_docs b USING (doc_id)
+LEFT JOIN exact_docs e USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching over the documents corpus:
+    whitespace token counts bucket into width-32 length classes,
+    each class cuts into batches of 8 by (tokens desc, doc_id), and
+    every doc reports its batch plus the batch's padding fraction."""
+    from ..operators.text import ws_token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return C.length_bucketed_batches(
+        docs, batch_size=8, bucket_width=32
+    ).orderBy("bucket", "batch_id", F.desc("n_tokens"), "doc_id")
+
+
+LENGTH_BATCHES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, CAST(floor(n_tokens / 32) AS BIGINT) AS bucket,
+         row_number() OVER (PARTITION BY floor(n_tokens / 32)
+                            ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM toks
+), batched AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(bucket AS VARCHAR) || '_' ||
+         CAST(CAST(floor((rk - 1) / 8) AS BIGINT) AS VARCHAR) AS batch_id
+  FROM ranked
+)
+SELECT doc_id, n_tokens, bucket, batch_id,
+       CAST(count(*) OVER w AS BIGINT) AS batch_n,
+       max(n_tokens) OVER w AS batch_max_tokens,
+       round(1.0 - CAST(sum(n_tokens) OVER w AS DOUBLE)
+                   / (count(*) OVER w * max(n_tokens) OVER w), 6) AS padding_frac
+FROM batched
+WINDOW w AS (PARTITION BY bucket, batch_id)
+ORDER BY bucket, batch_id, n_tokens DESC, doc_id
+"""
+
+
+QUERIES["bloom_prefilter"] = bloom_prefilter
+ORACLES["bloom_prefilter"] = BLOOM_PREFILTER_ORACLE
+QUERIES["length_batches"] = length_batches
+ORACLES["length_batches"] = LENGTH_BATCHES_ORACLE
