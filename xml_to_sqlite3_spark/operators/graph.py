@@ -188,8 +188,10 @@ def pagerank(
     Distributed power iteration, all-DataFrame, engineered so each
     round is ONE job with ONE shuffle:
 
-    - The edge list is deduped, hash-partitioned by src, sorted
-      within partitions, and localCheckpointed once; the (node,
+    - The edge list is hash-partitioned by src in ONE shuffle
+      (dropDuplicates after the repartition dedups in place —
+      HashPartitioning(src) already satisfies the (src, dst)
+      clustering requirement) and localCheckpointed; the (node,
       out-degree) spine is built with a single marker-union groupBy
       (no distinct + join) and checkpointed hash-partitioned by node.
     - Per round, rank⋈edges runs as a co-partitioned shuffled hash
@@ -198,16 +200,24 @@ def pagerank(
       sum is the round's single shuffle, and the spine re-attaches
       by another exchange-free co-partitioned join. The iteration
       scopes spark.sql.shuffle.partitions / adaptive.enabled /
-      preferSortMergeJoin (restored in a finally) to keep those
-      joins exchange-free — AQE's runtime coalescing would break
-      the partitioning match, and on sketch-sized per-round frames
-      fixed P beats adaptive replanning.
-    - Dangling mass is a driver scalar whose aggregation job IS the
-      job that materializes the round's lazy localCheckpoint — the
-      model-sized scalar every iterative solver's convergence check
-      uses. (The old 1-row crossJoin(broadcast(dangling)) subquery
-      embedded the previous round's plan twice, so Catalyst's work
-      doubled per lazily-chained round.)
+      preferSortMergeJoin / autoBroadcastJoinThreshold (restored in
+      a finally) to keep those joins exchange-free — AQE's runtime
+      coalescing would break the partitioning match, and Catalyst's
+      default-stats view of a checkpointed LogicalRDD looks "small",
+      which silently turned the per-round edge join into a
+      BroadcastHashJoin that re-collected and re-broadcast the FULL
+      edge set every round (measured: 0.38s/round vs 0.21s for the
+      co-partitioned hash join at sf0.1).
+    - Dangling mass stays IN-PLAN: a 1-row aggregate over the
+      previous round's checkpointed blocks, attached by an explicit
+      crossJoin(broadcast(...)) (the hint overrides the disabled
+      auto-threshold). No per-round driver scalar means no per-round
+      changing literal, so every round compiles to the SAME
+      generated code and Janino's cache serves rounds 2..n — the
+      per-round driver-side cost collapses to job submission. (The
+      old driver-scalar dm embedded a fresh literal each round,
+      forcing a whole-stage recompile per round; the even older
+      lazily-chained dm subquery doubled Catalyst's work per round.)
 
     ``n_partitions`` defaults to min(8, defaultParallelism) — the
     per-round frames are sketch-sized and task-launch overhead
@@ -223,6 +233,7 @@ def pagerank(
         "spark.sql.shuffle.partitions": str(n_part),
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {}
     for k, v in scoped.items():
@@ -234,9 +245,8 @@ def pagerank(
     try:
         e = (
             edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-            .distinct()
             .repartition(n_part, "src")
-            .sortWithinPartitions("src")
+            .dropDuplicates(["src", "dst"])
             .localCheckpoint(eager=False)
         )
         # (node, out-degree) spine in ONE shuffle: src rows carry a
@@ -253,18 +263,23 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        n_total, n_dang = spine.agg(
-            F.count(F.lit(1)),
-            F.sum(F.when(F.col("__deg").isNull(), 1).otherwise(0)),
-        ).first()
+        n_total = spine.count()
         if n_total == 0:
             # empty graph degrades to an empty result like bfs/triangles
             # (1.0 / n_total below would raise on the driver otherwise)
             return spark.createDataFrame([], "node string, rank double")
-        dm = (n_dang or 0) / n_total
-        ranks = spine.withColumn("rank", F.lit(1.0 / n_total))
+        ranks = spine.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(
+            eager=True
+        )
         teleport = (1.0 - damping) / n_total
         for _i in range(n_iter):
+            # 1-row dangling-mass aggregate over the PREVIOUS round's
+            # materialized blocks — broadcast by explicit hint, so the
+            # round plan (and its generated code) is identical every
+            # iteration
+            dang = ranks.filter(F.col("__deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
             r = ranks.filter(F.col("__deg").isNotNull()).select(
                 F.col("node").alias("src"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -278,6 +293,7 @@ def pagerank(
             # damping * (in_mass + dm/n)
             ranks = (
                 spine.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
                     "__deg",
@@ -286,20 +302,12 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.lit(dm / n_total)
+                            + F.col("__dm") / F.lit(float(n_total))
                         )
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=(_i == n_iter - 1))
+                .localCheckpoint(eager=True)
             )
-            if _i < n_iter - 1:
-                # this aggregation job is what materializes the lazy
-                # checkpoint above: one job per round, not two
-                dm = (
-                    ranks.filter(F.col("__deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .first()[0]
-                )
         return ranks.select("node", F.round("rank", 8).alias("rank"))
     finally:
         for k, v in saved.items():
@@ -328,62 +336,101 @@ def triangle_count(
     vertex with 10M neighbors contributes sqrt-bounded work instead
     of 10M^2 wedge candidates. Three hash joins, no cross product,
     no driver state.
+
+    The whole pipeline runs under scoped confs (restored in a
+    finally): fixed shuffle partitions + AQE off keep the wedge
+    self-join co-partitioned with the (u, P)-partitioned oriented
+    checkpoint, and autoBroadcastJoinThreshold=-1 stops Catalyst
+    from treating the checkpointed LogicalRDDs (default stats =
+    "small") as broadcast candidates — which silently re-collected
+    and re-broadcast the FULL 1.5M-edge set per join.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    spark = edges.sparkSession
+    n_part = min(16, spark.sparkContext.defaultParallelism)
+    conf = spark.conf
+    scoped = {
+        "spark.sql.shuffle.partitions": str(n_part),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        und = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            # ONE shuffle: HashPartitioning(a) already satisfies the
+            # (a, b) clustering the dedup needs, and the a-partitioned
+            # blocks make the da join below exchange-free
+            .repartition(n_part, "a")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionByName(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionByName(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
         )
-        # hash-partition the checkpoint on the pivot: the wedge
-        # e1⋈e2 is a self-join on u, so with the blocks already
-        # partitioned by u it runs co-partitioned — the full oriented
-        # edge set never reshuffles for the fan-out stage (only the
-        # closing join's (v, w) shuffle remains)
-        .repartition(min(8, edges.sparkSession.sparkContext.defaultParallelism), "u")
-        .localCheckpoint(eager=True)
-    )
-    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
-    e2 = oriented.select(F.col("u"), F.col("w"))
-    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
-    # close the wedge with an oriented edge between v and w (either
-    # orientation — degree order between v and w is not known here)
-    closing = oriented.select(
-        F.least("u", "w").alias("v"), F.greatest("u", "w").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    # orientation is a bijection on undirected edges, so n_edges is a
-    # block count of the already-materialized oriented checkpoint — a
-    # driver scalar folded in as a literal, replacing the old
-    # und-aggregate + crossJoin(broadcast) branch (one whole job and
-    # a broadcast exchange on the result path)
-    n_e = oriented.count()
-    return tri.select(
-        F.lit(n_e).cast("long").alias("n_edges"), "n_triangles"
-    )
+        da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = (
+            und.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            )
+            # hash-partition the checkpoint on the pivot: the wedge
+            # e1⋈e2 is a self-join on u, so with the blocks already
+            # partitioned by u it runs co-partitioned — the full oriented
+            # edge set never reshuffles for the fan-out stage (only the
+            # closing join's (v, w) shuffle remains)
+            .repartition(n_part, "u")
+            .localCheckpoint(eager=True)
+        )
+        e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+        e2 = oriented.select(F.col("u"), F.col("w"))
+        wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+        # close the wedge with an oriented edge between v and w (either
+        # orientation — degree order between v and w is not known here)
+        closing = oriented.select(
+            F.least("u", "w").alias("v"), F.greatest("u", "w").alias("w")
+        )
+        tri = wedges.join(closing, ["v", "w"]).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+        # orientation is a bijection on undirected edges, so n_edges is a
+        # block count of the already-materialized oriented checkpoint — a
+        # driver scalar folded in as a literal, replacing the old
+        # und-aggregate + crossJoin(broadcast) branch (one whole job and
+        # a broadcast exchange on the result path)
+        n_e = oriented.count()
+        # materialize the 1-row result INSIDE the scoped-conf region:
+        # the caller's later action would otherwise re-plan the wedge
+        # joins under the restored default confs (AQE + broadcast
+        # threshold back on) and lose the co-partitioned strategy
+        return tri.select(
+            F.lit(n_e).cast("long").alias("n_edges"), "n_triangles"
+        ).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def adamic_adar_topk(
