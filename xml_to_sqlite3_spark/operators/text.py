@@ -184,59 +184,92 @@ def train_bpe(
     weighted by word count, one map-side-combinable sum, one
     1-ROW collect (the argmax IS the model parameter — same driver
     posture as the k-means codebook), and one Arrow-batched merge
-    apply over the vocab. localCheckpoint every 4 rounds caps the
-    plan's lineage growth.
+    apply over the vocab. Merges PENDING since the last checkpoint
+    are applied by a SINGLE fused UDF in round order (one Arrow
+    round-trip per count job, not one per pending merge), and the
+    loop scopes shuffle partitions down to vocab scale (restored in
+    a finally) — the per-round frames are vocabulary-sized, so 32
+    near-empty reduce tasks per round were pure launch overhead.
+    localCheckpoint every 4 rounds caps both lineage growth and the
+    fused UDF's re-applied-merge count.
     """
     from pyspark.sql.functions import pandas_udf
 
-    vocab = (
-        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "cnt",
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-            ).alias("symbols"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    merges: list[tuple[str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = vocab.select(
-            "cnt",
-            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
-        )
-        top = (
-            pairs.groupBy(F.col("p.a").alias("l"), F.col("p.b").alias("r"))
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_pair_count:
-            break
-        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append((left, right, n))
-
-        def _make(_l: str, _r: str):
-            @pandas_udf("array<string>")
-            def apply_merge(col: pd.Series) -> pd.Series:
-                return col.map(lambda s: _merge_pair_in_symbols(list(s), _l, _r))
-
-            return apply_merge
-
-        vocab = vocab.select("cnt", _make(left, right)("symbols").alias("symbols"))
-        if (rank + 1) % 4 == 0:
-            vocab = vocab.localCheckpoint(eager=True)
-
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
-        "rank int, left string, right string, pair_count long",
-    )
+    conf = spark.conf
+    n_part = min(8, spark.sparkContext.defaultParallelism)
+    try:
+        saved_sp = conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        saved_sp = None
+    conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        vocab = (
+            df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cnt",
+                F.concat(
+                    F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+                ).alias("symbols"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def _make(_pending: list):
+            @pandas_udf("array<string>")
+            def apply_merges(col: pd.Series) -> pd.Series:
+                def one(s) -> list:
+                    out = list(s)
+                    for _l, _r in _pending:
+                        out = _merge_pair_in_symbols(out, _l, _r)
+                    return out
+
+                return col.map(one)
+
+            return apply_merges
+
+        merges: list[tuple[str, str, int]] = []
+        pending: list[tuple[str, str]] = []
+        for _rank in range(n_merges):
+            cur = vocab
+            if pending:
+                cur = vocab.select(
+                    "cnt", _make(list(pending))("symbols").alias("symbols")
+                )
+            pairs = cur.select(
+                "cnt",
+                F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("l"), F.col("p.b").alias("r"))
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((left, right, n))
+            pending.append((left, right))
+            if len(pending) == 4:
+                vocab = vocab.select(
+                    "cnt", _make(list(pending))("symbols").alias("symbols")
+                ).localCheckpoint(eager=True)
+                pending = []
+
+        return spark.createDataFrame(
+            [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+            "rank int, left string, right string, pair_count long",
+        )
+    finally:
+        if saved_sp is None:
+            conf.unset("spark.sql.shuffle.partitions")
+        else:
+            conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def apply_bpe(

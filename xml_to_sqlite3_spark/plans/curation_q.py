@@ -763,12 +763,16 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") < 10)
     tr = docs.filter(F.col("doc_id") >= 10)
-    esh = C.shingle_hashes(ev, n=8)
-    # three consumers below (member probe, bloom flag, exact flag) —
-    # materialize the train postings once (repo two-consumer rule)
+    # every intermediate here has 2+ lazy consumers (repo
+    # two-consumer rule) — without the checkpoints the eval shingle
+    # scan re-ran four times and the member probe twice, measured as
+    # most of the gate's 7.45s r7 bench row
+    esh = C.shingle_hashes(ev, n=8).localCheckpoint(eager=True)
     tsh = C.shingle_hashes(tr, n=8).localCheckpoint(eager=True)
     bits = C.bloom_bits(esh, "shingle", m_bits=4096, k=3)
-    member = C.bloom_member_values(tsh, "shingle", bits, m_bits=4096, k=3)
+    member = C.bloom_member_values(
+        tsh, "shingle", bits, m_bits=4096, k=3
+    ).localCheckpoint(eager=True)
     bloom_docs = (
         tsh.join(member, "shingle", "left_semi").select("doc_id").distinct()
         .withColumn("bloom_candidate", F.lit(True))
