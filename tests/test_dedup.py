@@ -292,3 +292,35 @@ def test_minhash_rejects_bad_band_count(spark):
         minhash_lsh_pairs(df, k=64, bands=24)
     with _pytest.raises(ValueError, match="bands must divide k"):
         minhash_lsh_pairs(df, k=8, bands=16)
+
+
+def test_minhash_incremental_matches_symmetric(spark):
+    # pairs that CROSS the split must agree with the symmetric
+    # operator's verdict on the union; corpus-internal pairs must not
+    # appear at all
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "a completely different document about parquet file layouts"),
+        (4, "a completely different document about parquet file layout"),
+        (5, "nothing like the others at all in any way whatsoever here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    new = df.filter("doc_id IN (2, 4)")
+    corpus = df.filter("doc_id NOT IN (2, 4)")
+    inc = {
+        (r["doc_id"], r["match_id"]): r["jaccard"]
+        for r in D.minhash_lsh_incremental(new, corpus, threshold=0.2).collect()
+    }
+    sym = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
+        for r in D.minhash_lsh_pairs(df, threshold=0.2).collect()
+    }
+    cross_sym = {
+        p: j for p, j in sym.items() if (p[0] in (2, 4)) != (p[1] in (2, 4))
+    }
+    assert {tuple(sorted(p)) for p in inc} == set(cross_sym)
+    for p, j in inc.items():
+        assert j == cross_sym[tuple(sorted(p))]
+    # the near-dup pairs planted across the split are found
+    assert (2, 1) in inc and (4, 3) in inc

@@ -1467,3 +1467,113 @@ def length_bucketed_batches(
             6,
         ).alias("padding_frac"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the dedup-telemetry view a
+    multi-source corpus needs BEFORE choosing a dedup order: for
+    every pair of sources, how many distinct (normalized) texts
+    appear in both, and the Jaccard overlap of their text sets.
+    Returns (source_a, source_b, n_a, n_b, n_shared, jaccard) with
+    source_a < source_b; pairs sharing zero texts are kept (left
+    join + fill), so the matrix is complete.
+
+    Scale shape: each source's text set collapses once to distinct
+    (source, hash) rows (map-side-combinable hash agg on the
+    portable 60-bit md5 — whole texts never shuffle); per-source
+    sizes are one count; the pair counts come from the (hash,
+    source-list) self-join on the hash key, bounded per hash by
+    n_sources^2, never by corpus size. All-integer counts + one
+    rounded division, so the whole matrix SQL-replays exactly.
+    """
+    sh = (
+        df.select(
+            F.col(source_col).alias("s"),
+            stable_hash60(normalize_text(F.col(text_col))).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes AND the pair join
+    )
+    sizes = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("s").alias("source_a"), "h")
+    b = sh.select(F.col("s").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = (
+        sizes.select(F.col("s").alias("source_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(F.col("s").alias("source_b"), F.col("n").alias("n_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(shared, ["source_a", "source_b"], "left")
+        .na.fill({"n_shared": 0})
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str = "doc_id",
+    target_per_stratum: int = 100,
+    n_strata: int = 4,
+) -> DataFrame:
+    """Quantile-bucketed stratified sampling: bucket rows into
+    ``n_strata`` strata by the exact quantiles of ``strata_col``,
+    then take a deterministic ~``target_per_stratum`` hash-sample
+    from EACH stratum — equal representation across the value range
+    (a uniform sample of a long-tailed corpus is dominated by the
+    short head; stratified sampling is how an eval set covers the
+    tail). Returns the sampled rows as (key, strata value, stratum).
+
+    Scale shape: the quantile thresholds are one aggregate (a
+    model-sized array, broadcast back), stratum assignment and the
+    keep-decision are pure map-side expressions (the per-stratum
+    fraction comes from a broadcast n_strata-row size table), and
+    the hash decision is the same stable_unit coordinate as
+    stable_sample — deterministic per key, stable under corpus
+    growth, no global sort or window anywhere.
+    """
+    if n_strata < 2:
+        raise ValueError("n_strata must be >= 2")
+    qs = ", ".join(str(i / n_strata) for i in range(1, n_strata))
+    th = df.agg(
+        F.expr(f"percentile({strata_col}, array({qs}))").alias("__th")
+    )
+    strat = (
+        df.crossJoin(F.broadcast(th))
+        .withColumn(
+            "stratum",
+            F.size(F.filter(F.col("__th"), lambda t: F.col(strata_col) > t)),
+        )
+        .drop("__th")
+    )
+    sizes = strat.groupBy("stratum").agg(F.count(F.lit(1)).alias("__n"))
+    frac = F.least(
+        F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("__n")
+    )
+    return (
+        strat.join(F.broadcast(sizes), "stratum")
+        .filter(stable_unit(F.col(key_col)) < frac)
+        .select(F.col(key_col), F.col(strata_col), F.col("stratum"))
+    )

@@ -233,6 +233,35 @@ def minhash_signatures(
     return _signatures_from_tokens(_shingle_tokens(df, n, id_col, text_col), k)
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows: each band's signature slice
+    md5-folded to one bucket string — the shared banding step of the
+    symmetric (minhash_lsh_pairs) and incremental
+    (minhash_lsh_incremental) candidate joins."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col("signature")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 64,
@@ -272,28 +301,7 @@ def minhash_lsh_pairs(
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sigs = _signatures_from_tokens(tokens, k).localCheckpoint(eager=True)
 
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.col("signature")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, bands, rows)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -340,6 +348,95 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "est_jaccard")
+    )
+
+
+def minhash_lsh_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_margin: float = 0.2,
+) -> DataFrame:
+    """One-directional MinHash+LSH: which documents of a NEW batch
+    near-duplicate something already in the CORPUS — the production
+    dedup shape (a daily crawl checked against the accumulated
+    dataset). The critical scale property vs running
+    minhash_lsh_pairs on the union: the candidate join is NEW-side ⋈
+    CORPUS-side only — the corpus never self-joins, so a petabyte
+    corpus costs its (reusable, persistable) signature pass and
+    nothing quadratic, and the per-batch work scales with the batch.
+    Returns (doc_id, match_id, jaccard, est_jaccard): doc_id from the
+    new batch, match_id from the corpus, same signature/banding/
+    screen/verify pipeline (and therefore the same SQL replay) as
+    minhash_lsh_pairs.
+    """
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(f"bands must divide k: k={k}, bands={bands}")
+    rows = k // bands
+    tok_new = _shingle_tokens(new, n, id_col, text_col).localCheckpoint(eager=True)
+    tok_old = _shingle_tokens(corpus, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    sig_new = _signatures_from_tokens(tok_new, k).localCheckpoint(eager=True)
+    sig_old = _signatures_from_tokens(tok_old, k).localCheckpoint(eager=True)
+
+    a = _band_buckets(sig_new, bands, rows).alias("a")
+    b = _band_buckets(sig_old, bands, rows).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("match_id")
+        )
+        .distinct()
+    )
+
+    s_new = sig_new.select(
+        F.col("doc_id"), F.col("signature").alias("sig_a")
+    )
+    s_old = sig_old.select(
+        F.col("doc_id").alias("match_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(k))
+    screened = (
+        candidates.join(s_new, "doc_id")
+        .join(s_old, "match_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("doc_id", "match_id", "est_jaccard")
+    )
+
+    sizes_new = tok_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_a"))
+    sizes_old = tok_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_b"))
+    shared = (
+        screened.join(tok_new.select("doc_id", "h"), "doc_id")
+        .join(
+            tok_old.select(F.col("doc_id").alias("match_id"), "h"),
+            ["match_id", "h"],
+        )
+        .groupBy("doc_id", "match_id", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter") / (F.col("__n_a") + F.col("__n_b") - F.col("__inter"))
+    return (
+        shared.join(sizes_new, "doc_id")
+        .join(
+            sizes_old.select(F.col("doc_id").alias("match_id"), "__n_b"),
+            "match_id",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard", "est_jaccard")
     )
 
 

@@ -492,3 +492,65 @@ def unigram_logprob(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model quality score — the conditional
+    complement of ``unigram_logprob`` (CCNet's KenLM pass uses
+    higher-order context for exactly this reason: a doc of common
+    words in impossible ORDER looks fluent to a unigram model and
+    garbled to any n>1 model). Scores every document with >= 2
+    tokens by its mean conditional log-probability
+    ln P(w_i | w_{i-1}) under an add-alpha-smoothed bigram model
+    trained on the corpus itself:
+
+        P(b | a) = (c(a,b) + alpha) / (c(a,*) + alpha * (V + 1))
+
+    where c(a,*) sums over observed continuations of ``a`` and V is
+    the continuation vocabulary (distinct second-position types) —
+    both derived from the SAME pair frame, so the estimate is
+    self-consistent and exactly SQL-replayable. Returns (doc_id,
+    n_bigrams, avg_logprob); single-token and empty docs carry no
+    bigram evidence and are excluded (documented contract, mirrored
+    by the oracle).
+
+    Scale shape: one explode into adjacent pairs feeds the model
+    counts AND the scoring join; the bigram table is the trained
+    artifact (vocabulary-squared bounded, corpus-independent size)
+    broadcast back for scoring; per-token log-probs are rounded then
+    DECIMAL-summed, so the score is bit-stable at any cluster size
+    (unigram_logprob's determinism contract).
+    """
+    from .search import tokenize
+
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_adjacent_pairs(tokenize(F.col(text_col)))).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    prev = bi.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    v = bi.agg(F.count_distinct("b").alias("v"))
+    prob = (F.col("c_ab").cast("double") + F.lit(alpha)) / (
+        F.col("c_a").cast("double") + F.lit(alpha) * (F.col("v") + 1)
+    )
+    scored = (
+        pairs.join(F.broadcast(bi), ["a", "b"])
+        .join(F.broadcast(prev), "a")
+        .crossJoin(F.broadcast(v))
+        .withColumn("lp", F.round(F.log(prob), 9).cast("decimal(18,9)"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

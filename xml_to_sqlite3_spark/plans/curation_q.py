@@ -881,3 +881,81 @@ QUERIES["bloom_prefilter"] = bloom_prefilter
 ORACLES["bloom_prefilter"] = BLOOM_PREFILTER_ORACLE
 QUERIES["length_batches"] = length_batches
 ORACLES["length_batches"] = LENGTH_BATCHES_ORACLE
+
+
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the documents corpus
+    (operators/curation.py source_overlap): distinct normalized-text
+    hash sets per source, pairwise shared counts + Jaccard."""
+    return C.source_overlap(load(spark, sf_dir, "documents"))
+
+
+SOURCE_OVERLAP_ORACLE = rf"""
+WITH sh AS (
+  SELECT DISTINCT source AS s,
+         ('0x' || substr(md5({_NORM_SQL.format(c='text')}), 1, 15))::BIGINT AS h
+  FROM documents
+), sizes AS (
+  SELECT s, count(*) AS n FROM sh GROUP BY s
+), shared AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT sa.s AS source_a, sb.s AS source_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+       round(coalesce(sh2.n_shared, 0)
+             / (sa.n + sb.n - coalesce(sh2.n_shared, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.s < sb.s
+LEFT JOIN shared sh2 ON sh2.source_a = sa.s AND sh2.source_b = sb.s
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["source_overlap"] = source_overlap_q
+ORACLES["source_overlap"] = SOURCE_OVERLAP_ORACLE
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-stratified deterministic sample of documents: four
+    n_chars strata (exact quartile thresholds), ~100 docs hash-
+    sampled from each (operators/curation.py stratified_sample) —
+    tail-length documents represented equally with the short head."""
+    return (
+        C.stratified_sample(
+            load(spark, sf_dir, "documents"),
+            strata_col="n_chars",
+            key_col="doc_id",
+            target_per_stratum=100,
+            n_strata=4,
+        )
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH th AS (
+  SELECT quantile_cont(n_chars, 0.25) AS t1,
+         quantile_cont(n_chars, 0.5)  AS t2,
+         quantile_cont(n_chars, 0.75) AS t3
+  FROM documents
+), strat AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS stratum
+  FROM documents CROSS JOIN th
+), sizes AS (
+  SELECT stratum, count(*) AS n FROM strat GROUP BY stratum
+)
+SELECT s.doc_id, s.n_chars, CAST(s.stratum AS INT) AS stratum
+FROM strat s JOIN sizes z USING (stratum)
+WHERE {_UNIT.format(c='s.doc_id')} < least(1.0, 100.0 / z.n)
+ORDER BY s.doc_id
+"""
+
+
+QUERIES["stratified_sample"] = stratified_sample_q
+ORACLES["stratified_sample"] = STRATIFIED_SAMPLE_ORACLE

@@ -1224,3 +1224,115 @@ ORDER BY doc_id
 
 QUERIES["lm_quality"] = lm_quality
 ORACLES["lm_quality"] = LM_QUALITY_ORACLE
+
+
+def lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring over the documents corpus
+    (operators/text.py bigram_logprob) — the conditional complement
+    of lm_quality: impossible word ORDER scores low here even when
+    every word is common."""
+    from ..operators.text import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+LM_BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), bi AS (
+  SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2
+), prev AS (
+  SELECT a, sum(c_ab) AS c_a FROM bi GROUP BY 1
+), voc AS (
+  SELECT count(DISTINCT b) AS v FROM bi
+), scored AS (
+  SELECT doc_id,
+         CAST(round(ln((CAST(c_ab AS DOUBLE) + 0.5)
+                       / (CAST(c_a AS DOUBLE) + 0.5 * (v + 1))), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM pairs JOIN bi USING (a, b) JOIN prev USING (a) CROSS JOIN voc
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["lm_bigram"] = lm_bigram
+ORACLES["lm_bigram"] = LM_BIGRAM_ORACLE
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: a deterministic 10% of documents
+    plays the NEW batch, the rest the accumulated CORPUS; every new
+    doc near-duplicating a corpus doc is reported with its match
+    (operators/dedup.py minhash_lsh_incremental — the new⋈corpus
+    band join, never corpus⋈corpus). Same portable signatures as
+    dedup_minhash, so the oracle replays the asymmetric pipeline."""
+    from ..operators.curation import stable_unit
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = stable_unit(F.col("doc_id")) < 0.1
+    return D.minhash_lsh_incremental(
+        docs.filter(is_new), docs.filter(~is_new), threshold=0.2
+    )
+
+
+_INC_UNIT = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
+
+DEDUP_INCREMENTAL_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.g), 1, 15))::BIGINT AS h
+  FROM sh, unnest(sh.s) AS t(g)
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS}
+  FROM (SELECT doc_id, h % {_P31} AS hm FROM tok)
+  GROUP BY doc_id
+), hsets AS (
+  SELECT doc_id, list(h) AS hs, count(*) AS n_sh FROM tok GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+         round({_MINHASH_EST}, 6) AS est_jaccard
+  FROM sigs a JOIN sigs b
+    ON {_INC_UNIT.format(c='a.doc_id')} < 0.1
+   AND {_INC_UNIT.format(c='b.doc_id')} >= 0.1
+  WHERE {_MINHASH_BAND_MATCH}
+), verified AS (
+  SELECT c.doc_id, c.match_id, c.est_jaccard,
+         len(list_intersect(x.hs, y.hs)) AS inter,
+         x.n_sh AS n_a, y.n_sh AS n_b
+  FROM cand c
+  JOIN hsets x ON c.doc_id = x.doc_id
+  JOIN hsets y ON c.match_id = y.doc_id
+)
+SELECT doc_id, match_id,
+       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard,
+       est_jaccard
+FROM verified
+WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.2
+  AND est_jaccard >= 0.0
+"""
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_ORACLE
