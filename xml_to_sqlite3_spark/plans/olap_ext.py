@@ -923,3 +923,66 @@ ORDER BY agg.week
 
 QUERIES["hll_daily"] = hll_daily
 ORACLES["hll_daily"] = _hll_daily_oracle()
+
+
+def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group aggregates: plain, TRIMMED (drop values
+    outside the exact [p5, p95] percentiles), and WINSORIZED (clamp
+    to them) means of l_extendedprice per return flag — the
+    outlier-resistant summary statistics an ANALYZE/profiling pass
+    reports next to the plain mean. Scale shape: one groupBy
+    computes the per-group percentile thresholds (model-sized, 3
+    rows), broadcast back onto the rows; the conditional/clamped
+    sums are a second map-side-combinable aggregate — no window, no
+    sort of the group's values beyond percentile's own machinery.
+    Determinism: double sums round(4) — group cardinality ~15k keeps
+    accumulation error ~1e-9, far below the rounding (same contract
+    as price_percentiles / q1's averages)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    th = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    v = F.col("l_extendedprice")
+    inside = v.between(F.col("lo"), F.col("hi"))
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(v), 4).alias("mean"),
+            F.round(F.avg(F.when(inside, v)), 4).alias("trimmed_mean"),
+            F.round(
+                F.avg(F.greatest(F.least(v, F.col("hi")), F.col("lo"))), 4
+            ).alias("winsorized_mean"),
+            F.round(F.first("lo"), 4).alias("p5"),
+            F.round(F.first("hi"), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ROBUST_PRICE_STATS_ORACLE = """
+WITH th AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_extendedprice), 4) AS mean,
+       round(avg(CASE WHEN l_extendedprice BETWEEN lo AND hi
+                      THEN l_extendedprice END), 4) AS trimmed_mean,
+       round(avg(greatest(least(l_extendedprice, hi), lo)), 4)
+         AS winsorized_mean,
+       round(any_value(lo), 4) AS p5,
+       round(any_value(hi), 4) AS p95
+FROM lineitem l JOIN th USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES["robust_price_stats"] = robust_price_stats
+ORACLES["robust_price_stats"] = ROBUST_PRICE_STATS_ORACLE
