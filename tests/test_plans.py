@@ -317,11 +317,20 @@ def test_bm25_topk_is_distributed(spark):
 def test_q2_decorrelates_min_into_single_pass(spark):
     """Q2's per-part minimum must be ONE aggregation over the
     candidate set joined back — not a re-aggregation per row — and
-    the region gate must ride broadcast dimension joins."""
+    the region gate must ride broadcast dimension joins. The gate
+    checkpoints the candidate frame (two consumers), so the
+    broadcast-dim chain is pinned on the pre-checkpoint builder and
+    the join-back shape on the gate plan (its candidate side must be
+    the materialized Scan ExistingRDD, proving the expensive build
+    is not re-run per consumer)."""
     from xml_to_sqlite3_spark.plans import tpch_shapes as T
 
+    cand_plan = _physical(T._q2_candidates(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in cand_plan
+    assert "EvalPython" not in cand_plan
+
     plan = _physical(T.q2_min_cost_supplier(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" in plan
     assert "EvalPython" not in plan
 
 

@@ -737,15 +737,11 @@ ORACLES["q21_sole_returned_supplier"] = Q21_ORACLE
 # ---------------------------------------------------------------------------
 
 
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 shape: correlated MIN subquery decorrelated into one
-    group-aggregate + equality join back — the per-part minimum
-    supply cost is computed ONCE over the candidate set, never
-    re-aggregated per row. Supply cost is the minimum observed unit
-    price per (part, supplier) from lineitem (exact decimal division,
-    one double round at the end, mirrored in the oracle); candidate
-    suppliers are restricted to one region through the
-    supplier->nation->region broadcast-dim chain."""
+def _q2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's candidate frame BEFORE materialization — split out so the
+    plan pin (tests/test_plans.py) can assert the broadcast-dim chain
+    and single-pass supply aggregate, which the gate's checkpoint
+    otherwise hides behind a Scan ExistingRDD."""
     li = load(spark, sf_dir, "lineitem")
     supply = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
@@ -769,11 +765,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") == 5) & (F.col("p_type") == "PROMO")
     )
-    cand = (
+    return (
         p.join(supply, p.p_partkey == F.col("pk"))
         .join(eur, F.col("sk") == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_cost")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery decorrelated into one
+    group-aggregate + equality join back — the per-part minimum
+    supply cost is computed ONCE over the candidate set, never
+    re-aggregated per row. Supply cost is the minimum observed unit
+    price per (part, supplier) from lineitem (exact decimal division,
+    one double round at the end, mirrored in the oracle); candidate
+    suppliers are restricted to one region through the
+    supplier->nation->region broadcast-dim chain (plan-pinned on
+    _q2_candidates)."""
+    # cand feeds BOTH the per-part min aggregate and the equality
+    # join back (repo two-consumer rule) — checkpoint so the
+    # lineitem aggregation + dim joins run once, not per consumer
+    cand = _q2_candidates(spark, sf_dir).localCheckpoint(eager=True)
     mins = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(
         F.min("supply_cost").alias("min_cost")
     )
