@@ -129,3 +129,22 @@ def test_random_sign_projection_exact_and_jl(spark):
                 )
             )
             assert got[(v, j)] == want, (v, j, got[(v, j)], want)
+
+
+def test_codebook_cache_attach_identical(spark, tmp_path, monkeypatch):
+    import numpy as np
+
+    from xml_to_sqlite3_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    path = f"{sf}/embeddings.parquet"
+    built = S.get_codebook(emb, path, k=4, n_iter=2)
+    # drop the in-session memo: the next call must ATTACH from disk
+    S._CODEBOOK_MEMO.clear()
+    attached = S.get_codebook(emb.limit(0), path, k=4, n_iter=2)  # empty df
+    # proves no retrain happened (training an empty frame would differ
+    # or fail) and the attached artifact is bit-identical
+    assert np.array_equal(built, attached)
+    S.clear_codebook_cache()

@@ -410,3 +410,70 @@ def random_sign_projection(
     return df.select(
         F.col(id_col), F.explode(F.array(*comps)).alias("__p")
     ).select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.component").alias("component"))
+
+
+_CODEBOOK_MEMO: dict[str, np.ndarray] = {}
+_CODEBOOK_DIRS: list[str] = []
+
+
+def get_codebook(
+    corpus: DataFrame,
+    src_path: str,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Content-keyed PERSISTENT spherical-k-means codebook for
+    ``src_path`` — the trained-model artifact of the IVF index,
+    following the same build-once/attach-many contract as the graph
+    store and BM25 index (shared cache_util machinery: atomic
+    publish, stale-sibling pruning, mtime lease). spherical_kmeans is
+    fully deterministic (hash-seeded init, lowest-id tie-breaks), so
+    an attached codebook is bit-identical to a retrained one; gates
+    and repeated sessions share one training run instead of each
+    paying ~5 Lloyd iterations over the corpus. Key = input file
+    identity + this module's code + (k, n_iter)."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+
+    key = content_key(
+        "cb",
+        src_path,
+        extra=f"k{k}_i{n_iter}_{id_col}_{vec_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    memo = _CODEBOOK_MEMO.get(key)
+    if memo is not None:
+        return memo
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        cents = spherical_kmeans(
+            corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+        np.save(os.path.join(tmp, "codebook.npy"), cents)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(key)
+
+    final = content_cached_dir(root, key, _build, owned_dirs=_CODEBOOK_DIRS)
+    cents = np.load(os.path.join(final, "codebook.npy"))
+    _CODEBOOK_MEMO[key] = cents
+    return cents
+
+
+def clear_codebook_cache() -> None:
+    """Drop in-session memos AND on-disk entries THIS session built
+    (tests); attached-only entries are other sessions' property."""
+    import shutil
+
+    _CODEBOOK_MEMO.clear()
+    while _CODEBOOK_DIRS:
+        shutil.rmtree(_CODEBOOK_DIRS.pop(), ignore_errors=True)

@@ -861,10 +861,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means codebook converged — value-checked by the exact-cosine
     oracle. The reduced-probe configuration (n_probe << n_centroids,
     the actual scale path) keeps its recall/equivalence proof in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. The codebook comes from the persistent
+    content-keyed cache (get_codebook) — train once, attach in every
+    later session, the IVF model-artifact contract."""
+    import os
+
     emb = load(spark, sf_dir, "embeddings")
+    cents = S.get_codebook(
+        emb, os.path.join(sf_dir, "embeddings.parquet"), k=16, n_iter=5
+    )
     return S.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=16
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_centroids=16,
+        n_probe=16,
+        centroids=cents,
     )
 
 
