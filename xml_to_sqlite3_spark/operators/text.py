@@ -520,11 +520,15 @@ def bigram_logprob(
     by the oracle).
 
     Scale shape: one explode into adjacent pairs feeds the model
-    counts AND the scoring join; the bigram table is the trained
-    artifact (vocabulary-squared bounded, corpus-independent size)
-    broadcast back for scoring; per-token log-probs are rounded then
-    DECIMAL-summed, so the score is bit-stable at any cluster size
-    (unigram_logprob's determinism contract).
+    counts AND the scoring join; the prev-token and vocab frames are
+    model-sized (vocabulary rows / 1 row) and broadcast explicitly,
+    while the bigram table — corpus-independent but only
+    OBSERVED-pairs bounded, which can outgrow a broadcast budget on
+    a web-scale vocabulary — is joined WITHOUT a hint so Catalyst
+    broadcasts it when small and shuffle-joins on (a, b) when not;
+    per-token log-probs are rounded then DECIMAL-summed, so the
+    score is bit-stable at any cluster size (unigram_logprob's
+    determinism contract).
     """
     from .search import tokenize
 
@@ -539,7 +543,7 @@ def bigram_logprob(
         F.col("c_a").cast("double") + F.lit(alpha) * (F.col("v") + 1)
     )
     scored = (
-        pairs.join(F.broadcast(bi), ["a", "b"])
+        pairs.join(bi, ["a", "b"])
         .join(F.broadcast(prev), "a")
         .crossJoin(F.broadcast(v))
         .withColumn("lp", F.round(F.log(prob), 9).cast("decimal(18,9)"))
