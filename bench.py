@@ -63,6 +63,22 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — one failure must not kill the run
         errors["graph_build"] = (str(e) or repr(e)).splitlines()[0][:300]
 
+    # same fair-accounting entry for the persistent MinHash store
+    # (postings + signatures shared by the dedup-family gates): its
+    # one-time build must not be silently attributed to whichever
+    # dedup query runs first
+    from xml_to_sqlite3_spark.operators.dedup import get_minhash_store
+
+    t0 = time.perf_counter()
+    try:
+        for df in get_minhash_store(
+            spark, os.path.join(sf_dir, "documents.parquet"), n=3, k=64
+        ):
+            df.count()
+        timings["minhash_store"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # noqa: BLE001
+        errors["minhash_store"] = (str(e) or repr(e)).splitlines()[0][:300]
+
     def _release_query_state() -> None:
         # per-query memory isolation: operators persist/checkpoint
         # intermediates (minhash tokens, signatures, edge blocks)

@@ -324,3 +324,27 @@ def test_minhash_incremental_matches_symmetric(spark):
         assert j == cross_sym[tuple(sorted(p))]
     # the near-dup pairs planted across the split are found
     assert (2, 1) in inc and (4, 3) in inc
+
+
+def test_minhash_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/documents.parquet"
+    tokens, sigs = D.get_minhash_store(spark, path, n=3, k=64)
+    docs = spark.read.parquet(path)
+    # store contents equal a direct computation (pure function of text)
+    direct_tok = D._shingle_tokens(docs, 3, "doc_id", "text")
+    assert tokens.count() == direct_tok.count()
+    assert tokens.exceptAll(direct_tok).count() == 0
+    direct_sig = D._signatures_from_tokens(direct_tok, 64)
+    assert sigs.exceptAll(direct_sig).count() == 0
+    # attach path: drop the memo; the second call must not rebuild
+    # (pin by poisoning the build input — attach never reads it)
+    D._MINHASH_STORE_MEMO.clear()
+    t2, s2 = D.get_minhash_store(spark, path, n=3, k=64)
+    assert t2.count() == tokens.count() and s2.count() == sigs.count()
+    # store-fed pairs == self-computed pairs
+    a = D.minhash_lsh_pairs(docs, threshold=0.2)
+    b = D.minhash_lsh_pairs(docs, threshold=0.2, tokens=t2, sigs=s2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    D.clear_minhash_store()

@@ -26,6 +26,8 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document keep/drop decisions.
 
@@ -84,16 +86,36 @@ def curate_corpus(
         # consumer — measured as curate_corpus's remaining ~1.3s gap
         # over the sum of its parts in r6. Projecting to (id, text)
         # keeps the checkpointed blocks minimal.
-        surviving_docs = (
-            docs.select(id_col, text_col)
-            .join(
-                survivors.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        if tokens is not None and sigs is not None:
+            # persistent-store path: postings/signatures are per-doc
+            # rows, so the survivor subset is a semi-join filter —
+            # the funnel never re-shingles the text at all
+            surv_tokens = tokens.join(survivors, "doc_id", "left_semi")
+            surv_sigs = sigs.join(survivors, "doc_id", "left_semi")
+            near = D.minhash_lsh_pairs(
+                docs.select(id_col, text_col),
+                threshold=near_dup_threshold,
+                id_col=id_col,
+                text_col=text_col,
+                tokens=surv_tokens,
+                sigs=surv_sigs,
+            ).select(F.col("doc_b").alias("doc_id")).distinct()
+        else:
+            surviving_docs = (
+                docs.select(id_col, text_col)
+                .join(
+                    survivors.withColumnRenamed("doc_id", id_col),
+                    id_col,
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        near = D.minhash_lsh_pairs(
-            surviving_docs, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
-        ).select(F.col("doc_b").alias("doc_id")).distinct()
+            near = D.minhash_lsh_pairs(
+                surviving_docs,
+                threshold=near_dup_threshold,
+                id_col=id_col,
+                text_col=text_col,
+            ).select(F.col("doc_b").alias("doc_id")).distinct()
 
     decided = (
         base.join(near.withColumn("is_near_dup", F.lit(True)), "doc_id", "left")

@@ -134,9 +134,14 @@ FROM documents ORDER BY doc_id
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise n-gram Jaccard (inverted index in Spark,
-    brute-force in the oracle — same answer, different plan)."""
+    brute-force in the oracle — same answer, different plan). Reads
+    the persistent store's postings (n_sh re-derived by one
+    count+join)."""
+    tokens, _ = _minhash_store(spark, sf_dir)
     return (
-        D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.01, n=3)
+        D.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"), threshold=0.01, n=3, tokens=tokens
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -196,6 +201,16 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _minhash_store(spark: SparkSession, sf_dir: str):
+    """The shared persistent (tokens, sigs) store for the documents
+    corpus at the operator family's default (n=3, k=64)."""
+    import os
+
+    return D.get_minhash_store(
+        spark, os.path.join(sf_dir, "documents.parquet"), n=3, k=64
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. Fully oracle-checked: the
     signatures are k universal-hash permutations of the portable
@@ -204,8 +219,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the SAME perm_coeffs in SQL, replays the banding as
     per-band signature-slice equality (bucket md5s collide with
     their inputs' equality), and verifies exact Jaccard brute-force
-    (fine at gate scale; the Spark side stays banded)."""
-    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
+    (fine at gate scale; the Spark side stays banded). Postings +
+    signatures come from the persistent content-keyed store
+    (dedup.get_minhash_store) shared by every MinHash consumer."""
+    tokens, sigs = _minhash_store(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.2, tokens=tokens, sigs=sigs
+    )
 
 
 # --- MinHash oracle: generated from the very coefficients the Spark
@@ -351,14 +371,19 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> quality/lang filter -> MinHash near-dup over survivors, one
     keep/drop decision per document. Value-oracled since round 5: the
     MinHash stage is deterministic (fixed perm_coeffs replayed in
-    CURATE_CORPUS_ORACLE), so the whole funnel hash-checks."""
+    CURATE_CORPUS_ORACLE), so the whole funnel hash-checks. The
+    MinHash stage reads the persistent store, survivor-filtered by
+    semi-join — the funnel never re-shingles text."""
     from ..operators.pipeline import curate_corpus
 
+    tokens, sigs = _minhash_store(spark, sf_dir)
     return curate_corpus(
         load(spark, sf_dir, "documents"),
         min_quality=0.3,
         allowed_langs=("en", "es", "fr", "de", "zh", "und"),
         near_dup_threshold=0.5,
+        tokens=tokens,
+        sigs=sigs,
     ).orderBy("doc_id")
 
 
@@ -371,7 +396,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE."""
     from ..operators.graph import duplicate_groups
 
-    pairs = D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.3, n=3)
+    tokens, _ = _minhash_store(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.3, n=3, tokens=tokens
+    )
     return duplicate_groups(pairs).orderBy("doc_id")
 
 
@@ -1033,8 +1061,13 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded dedup at 100 TB (both sides here are banded/indexed joins;
     nothing all-pairs at corpus scale except the oracle's replay)."""
     docs = load(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.05, n=3).select("doc_a", "doc_b")
-    caught = D.minhash_lsh_pairs(docs, threshold=0.05).select("doc_a", "doc_b")
+    tokens, sigs = _minhash_store(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(
+        docs, threshold=0.05, n=3, tokens=tokens
+    ).select("doc_a", "doc_b")
+    caught = D.minhash_lsh_pairs(
+        docs, threshold=0.05, tokens=tokens, sigs=sigs
+    ).select("doc_a", "doc_b")
     hit = caught.join(exact, ["doc_a", "doc_b"])
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_c = hit.agg(F.count(F.lit(1)).alias("n_caught"))
@@ -1110,7 +1143,8 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import duplicate_groups
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    tokens, _ = _minhash_store(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3, tokens=tokens)
     drop = duplicate_groups(pairs).filter(~F.col("is_keeper")).select("doc_id")
     return (
         docs.join(drop, "doc_id", "left_anti")
@@ -1294,9 +1328,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import stable_unit
 
     docs = load(spark, sf_dir, "documents")
+    tokens, sigs = _minhash_store(spark, sf_dir)
     is_new = stable_unit(F.col("doc_id")) < 0.1
     return D.minhash_lsh_incremental(
-        docs.filter(is_new), docs.filter(~is_new), threshold=0.2
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        threshold=0.2,
+        tokens=tokens,
+        sigs=sigs,
     )
 
 
