@@ -228,3 +228,36 @@ def test_triangle_count_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, ["source_node_id", "target_node_id"])
     r = triangle_count(df).collect()[0]
     assert (r["n_edges"], r["n_triangles"]) == (len(edges), want)
+
+
+def test_scoped_confs_restored(spark):
+    """pagerank / triangle_count / the streaming runner all scope
+    session confs (shuffle partitions, AQE, broadcast threshold) —
+    a leak would silently re-plan every later query in the session."""
+    keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.join.preferSortMergeJoin",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+
+    def snap():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "source_node_id string, target_node_id string",
+    )
+    before = snap()
+    from xml_to_sqlite3_spark.operators.graph import pagerank, triangle_count
+
+    pagerank(edges, n_iter=2).count()
+    assert snap() == before
+    triangle_count(edges).count()
+    assert snap() == before
