@@ -538,6 +538,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into
     ``max_hamming + 1`` chunks (pigeonhole: two signatures within
@@ -546,8 +547,11 @@ def simhash_pairs(
     chunk, verify with popcount(xor). Candidate generation is
     therefore COMPLETE for the requested threshold, at the cost of
     narrower chunks (64/(h+1) bits) and hence more hash-collision
-    candidates as h grows — the inherent LSH recall/cost trade."""
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    candidates as h grows — the inherent LSH recall/cost trade.
+    ``sigs`` accepts precomputed (doc_id, simhash) rows (the shared
+    persistent store's third signature family)."""
+    if sigs is None:
+        sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
     return hamming_pairs(sigs, max_hamming=max_hamming, sig_col="simhash")
 
 
@@ -803,6 +807,7 @@ def remove_duplicated_spans(
 
 
 _MINHASH_STORE_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_SIMHASH_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
 _MINHASH_STORE_DIRS: list[str] = []
 
 
@@ -856,18 +861,53 @@ def get_minhash_store(
         _signatures_from_tokens(toks, k).write.mode("overwrite").parquet(
             f"{tmp}/sigs"
         )
+        # the 64-bit SimHash rides the same store: a third per-doc
+        # signature family over the same corpus, built in the same
+        # pass family and attached by the same consumers' contract
+        simhash_signatures(docs, id_col=id_col, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/simhash")
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
     final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
-    for sub in ("tokens", "sigs"):
+    for sub in ("tokens", "sigs", "simhash"):
         spark.catalog.refreshByPath(f"{final}/{sub}")
     out = (
         spark.read.parquet(f"{final}/tokens"),
         spark.read.parquet(f"{final}/sigs"),
     )
     _MINHASH_STORE_MEMO[memo_key] = out
+    _SIMHASH_STORE_MEMO[memo_key] = spark.read.parquet(f"{final}/simhash")
     return out
+
+
+def get_simhash_store(
+    spark,
+    doc_path: str,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash) from the shared dedup store (built by the
+    same get_minhash_store entry — n/k participate in the key because
+    the entry is one artifact)."""
+    from ..cache_util import content_key
+
+    ck = content_key(
+        "mh",
+        doc_path,
+        extra=f"n{n}_k{k}_{id_col}_{text_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    memo_key = (spark.sparkContext.applicationId, ck)
+    if memo_key not in _SIMHASH_STORE_MEMO:
+        get_minhash_store(
+            spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col
+        )
+    return _SIMHASH_STORE_MEMO[memo_key]
 
 
 def clear_minhash_store() -> None:
@@ -876,5 +916,6 @@ def clear_minhash_store() -> None:
     import shutil
 
     _MINHASH_STORE_MEMO.clear()
+    _SIMHASH_STORE_MEMO.clear()
     while _MINHASH_STORE_DIRS:
         shutil.rmtree(_MINHASH_STORE_DIRS.pop(), ignore_errors=True)

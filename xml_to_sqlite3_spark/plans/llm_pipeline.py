@@ -299,8 +299,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming+1 banding is pigeonhole-COMPLETE, the operator's
     output is exactly the set of pairs with hamming <= max_hamming —
     which the oracle computes brute-force (O(n^2) is fine at gate
-    scale; the Spark side stays banded)."""
-    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=10)
+    scale; the Spark side stays banded). Signatures come from the
+    shared persistent store."""
+    import os
+
+    sigs = D.get_simhash_store(
+        spark, os.path.join(sf_dir, "documents.parquet"), n=3, k=64
+    )
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=10, sigs=sigs
+    )
 
 
 SIMHASH_ORACLE = r"""
