@@ -881,3 +881,41 @@ def test_stratified_sample_balance_and_determinism(spark):
         df, strata_col="n", key_col="doc_id", target_per_stratum=50, n_strata=4
     ).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_exact_percentiles_match_spark_percentile(spark):
+    # the distributed count-by-value formulation must reproduce
+    # Spark's exact `percentile` (rank = p*(n-1), linear
+    # interpolation) bit-for-bit on awkward shapes: duplicates,
+    # integral ranks, single-row groups, nulls
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g, n in (("a", 137), ("b", 64), ("c", 1)):
+        for _ in range(n):
+            rows.append((g, round(rng.uniform(0, 100), 1)))
+    rows += [("a", 50.0)] * 25  # heavy duplicate value
+    rows += [("b", None)] * 5  # nulls excluded on both paths
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.05, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["tag"]): r["value"]
+        for r in C.exact_percentiles(
+            df, "v", ps, group_cols=["g"], tags=[f"t{i}" for i in range(len(ps))]
+        ).collect()
+    }
+    qs = ", ".join(str(p) for p in ps)
+    want_rows = df.groupBy("g").agg(
+        F.expr(f"percentile(v, array({qs}))").alias("th")
+    ).collect()
+    for r in want_rows:
+        for i, w in enumerate(r["th"]):
+            assert got[(r["g"], f"t{i}")] == w, (r["g"], i, got[(r["g"], f"t{i}")], w)
+    # ungrouped path
+    got1 = {
+        r["tag"]: r["value"]
+        for r in C.exact_percentiles(df, "v", [0.5], tags=["med"]).collect()
+    }
+    want1 = df.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
+    assert got1["med"] == want1

@@ -338,11 +338,24 @@ def test_minhash_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
     assert tokens.exceptAll(direct_tok).count() == 0
     direct_sig = D._signatures_from_tokens(direct_tok, 64)
     assert sigs.exceptAll(direct_sig).count() == 0
-    # attach path: drop the memo; the second call must not rebuild
-    # (pin by poisoning the build input — attach never reads it)
+    # attach path: drop the memo; the second call must ATTACH, never
+    # rebuild — pin it by poisoning the build's first step (a silent
+    # rebuild would raise; attach never shingles)
     D._MINHASH_STORE_MEMO.clear()
-    t2, s2 = D.get_minhash_store(spark, path, n=3, k=64)
+
+    def _boom(*a, **kw):
+        raise AssertionError("rebuild attempted — attach contract broken")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(D, "_shingle_tokens", _boom)
+        t2, s2 = D.get_minhash_store(spark, path, n=3, k=64)
     assert t2.count() == tokens.count() and s2.count() == sigs.count()
+    # store frames carry their build parameters; a parameter-mismatched
+    # consumer call must fail loudly instead of pairing wrong
+    with pytest.raises(ValueError, match="built with"):
+        D.minhash_lsh_pairs(docs, k=32, bands=16, tokens=t2, sigs=s2)
+    with pytest.raises(ValueError, match="built with"):
+        D.ngram_jaccard_pairs(docs, n=5, tokens=t2)
     # store-fed pairs == self-computed pairs
     a = D.minhash_lsh_pairs(docs, threshold=0.2)
     b = D.minhash_lsh_pairs(docs, threshold=0.2, tokens=t2, sigs=s2)

@@ -138,13 +138,17 @@ def test_codebook_cache_attach_identical(spark, tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
     sf = "/root/testdata/sf0.001"
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     path = f"{sf}/embeddings.parquet"
-    built = S.get_codebook(emb, path, k=4, n_iter=2)
-    # drop the in-session memo: the next call must ATTACH from disk
+    built = S.get_codebook(spark, path, k=4, n_iter=2)
+    # drop the in-session memo: the next call must ATTACH from disk —
+    # pin it by poisoning the trainer (a silent retrain would raise)
     S._CODEBOOK_MEMO.clear()
-    attached = S.get_codebook(emb.limit(0), path, k=4, n_iter=2)  # empty df
-    # proves no retrain happened (training an empty frame would differ
-    # or fail) and the attached artifact is bit-identical
+
+    def _boom(*a, **kw):
+        raise AssertionError("retrain attempted — attach contract broken")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(S, "spherical_kmeans", _boom)
+        attached = S.get_codebook(spark, path, k=4, n_iter=2)
     assert np.array_equal(built, attached)
     S.clear_codebook_cache()

@@ -111,11 +111,37 @@ def content_cached_dir(
                 # entry (e.g. an interrupted prune) whose marker will
                 # never appear. Verify before trusting it; if the
                 # marker is absent, heal by replacing the wedged dir
-                # with our freshly built copy.
+                # with our freshly built copy. The heal must not
+                # rmtree(final) directly: between the marker check
+                # and the delete a concurrent builder can heal AND
+                # publish a complete entry, which a plain rmtree
+                # would destroy while other sessions read it. Rename
+                # the suspect dir ASIDE instead — rename is atomic,
+                # only one healer can win it — and re-verify the
+                # marker on the dir we now exclusively own.
                 if os.path.exists(marker):
                     shutil.rmtree(tmp, ignore_errors=True)
                 else:
-                    shutil.rmtree(final, ignore_errors=True)
+                    aside = f"{final}.wedged.{os.getpid()}"
+                    try:
+                        os.rename(final, aside)
+                    except OSError:
+                        # another healer already moved it (or a racer
+                        # pruned it); fall through and retry publish
+                        pass
+                    else:
+                        if os.path.exists(os.path.join(aside, "_COMPLETE")):
+                            # raced: a COMPLETE entry landed between
+                            # our check and the rename — put it back
+                            # (if that fails, a third copy already
+                            # occupies final; ours aside is an equal
+                            # duplicate and safe to drop)
+                            try:
+                                os.rename(aside, final)
+                            except OSError:
+                                shutil.rmtree(aside, ignore_errors=True)
+                        else:
+                            shutil.rmtree(aside, ignore_errors=True)
                     try:
                         os.rename(tmp, final)
                         published = True

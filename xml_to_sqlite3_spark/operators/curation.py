@@ -1327,6 +1327,96 @@ def equi_depth_histogram(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    group_cols: Sequence[str] = (),
+    tags: Sequence[str] | None = None,
+) -> DataFrame:
+    """EXACT linearly-interpolated percentiles (the `percentile` /
+    `quantile_cont` definition: rank = p*(n-1) over the sorted
+    multiset, threshold = x[floor(rank)] + frac*(x[floor(rank)+1] -
+    x[floor(rank)])) per group, WITHOUT Spark's exact `percentile`
+    aggregate — whose buffer materializes the group's full value
+    multiset in one aggregation state, a memory cliff on a 100 TB
+    column. Returns long format: (group_cols..., tag, value), one
+    row per (group, requested percentile).
+
+    Scale shape (the equi_depth_histogram factorization): the only
+    data-sized work is ONE map-side-combinable count by (group,
+    value); the cumulative window then runs over the DISTINCT-VALUE
+    table, bounded by the value domain (prices at fixed precision,
+    lengths, scores), not by row count. The positions frame (4 rows
+    per group per percentile bound) is model-sized and broadcast;
+    locating the order statistics is one pass over the distinct
+    table against that broadcast (a value with occupancy [cum-cnt,
+    cum-1] covers position j iff that range contains j). No
+    aggregation state ever holds more than a counter.
+    """
+    g = list(group_cols)
+    tags = list(tags) if tags is not None else [f"p{p}" for p in ps]
+    if len(tags) != len(ps):
+        raise ValueError("tags must match ps one-to-one")
+    v = F.col(value_col).cast("double")
+    vals = (
+        df.filter(v.isNotNull())
+        .groupBy(*g, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vals.withColumn("__cum", F.sum("__cnt").over(w))
+    tot = vals.groupBy(*g).agg(F.sum("__cnt").alias("__n"))
+    # the 0-indexed order statistics each percentile needs: j0 =
+    # floor(rank) and j1 = min(j0+1, n-1) (j1 collapses onto j0 when
+    # rank is integral or the group has one row — frac is 0 there)
+    pos_structs = []
+    for p, tag in zip(ps, tags):
+        rank = F.lit(float(p)) * (F.col("__n") - 1)
+        j0 = F.floor(rank)
+        for which, j in ((0, j0), (1, F.least(j0 + 1, F.col("__n") - 1))):
+            pos_structs.append(
+                F.struct(
+                    F.lit(tag).alias("tag"),
+                    j.cast("long").alias("j"),
+                    F.lit(which).alias("which"),
+                    (rank - j0).alias("frac"),
+                )
+            )
+    pos = tot.select(
+        *[F.col(c).alias(f"__g_{c}") for c in g],
+        F.explode(F.array(*pos_structs)).alias("__s"),
+    ).select(
+        *[f"__g_{c}" for c in g], "__s.tag", "__s.j", "__s.which", "__s.frac"
+    )
+    cond = (F.col("__cum") - F.col("__cnt") <= F.col("j")) & (
+        F.col("j") < F.col("__cum")
+    )
+    for c in g:
+        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
+    hit = cum.join(F.broadcast(pos), cond)
+    v0 = F.max(F.when(F.col("which") == 0, F.col("__v")))
+    v1 = F.max(F.when(F.col("which") == 1, F.col("__v")))
+    frac = F.first("frac")
+    # Spark's own association — (1-frac)*lower + frac*higher, not
+    # lower + frac*(higher-lower) — so the result is BIT-identical
+    # to the builtin exact `percentile` (last-ulp differences are
+    # harmless for threshold comparisons, which only need the value
+    # strictly inside (v0, v1), but bit-parity keeps the helper a
+    # drop-in replacement)
+    return hit.groupBy(
+        *[F.col(f"__g_{c}").alias(c) for c in g], "tag"
+    ).agg(
+        F.when(frac == 0.0, v0)
+        .otherwise((F.lit(1.0) - frac) * v0 + frac * v1)
+        .alias("value")
+    )
+
+
 def bloom_bits(
     df: DataFrame,
     col: str,
@@ -1546,19 +1636,25 @@ def stratified_sample(
     short head; stratified sampling is how an eval set covers the
     tail). Returns the sampled rows as (key, strata value, stratum).
 
-    Scale shape: the quantile thresholds are one aggregate (a
-    model-sized array, broadcast back), stratum assignment and the
-    keep-decision are pure map-side expressions (the per-stratum
-    fraction comes from a broadcast n_strata-row size table), and
-    the hash decision is the same stable_unit coordinate as
-    stable_sample — deterministic per key, stable under corpus
-    growth, no global sort or window anywhere.
+    Scale shape: the quantile thresholds come from
+    exact_percentiles (count-by-value + a cumulative window over the
+    domain-bounded distinct-value table — not Spark's exact
+    `percentile`, whose single aggregation buffer materializes the
+    full value multiset), collapsed to a model-sized array and
+    broadcast back; stratum assignment and the keep-decision are
+    pure map-side expressions (the per-stratum fraction comes from a
+    broadcast n_strata-row size table), and the hash decision is the
+    same stable_unit coordinate as stable_sample — deterministic per
+    key, stable under corpus growth, no global sort or window over
+    the data.
     """
     if n_strata < 2:
         raise ValueError("n_strata must be >= 2")
-    qs = ", ".join(str(i / n_strata) for i in range(1, n_strata))
-    th = df.agg(
-        F.expr(f"percentile({strata_col}, array({qs}))").alias("__th")
+    ps = [i / n_strata for i in range(1, n_strata)]
+    # quantiles are monotone in p, so sorting the collected values
+    # reconstructs threshold order without carrying the tag through
+    th = exact_percentiles(df, strata_col, ps).agg(
+        F.array_sort(F.collect_list("value")).alias("__th")
     )
     strat = (
         df.crossJoin(F.broadcast(th))

@@ -85,6 +85,31 @@ def shingles_udf(n: int = 3):
     return shingle
 
 
+def _check_store_meta(frame, what: str, n: int | None = None, k: int | None = None) -> None:
+    """Parameter-consistency guard for precomputed ``tokens``/``sigs``
+    frames: store frames carry the (n, k) they were built with (set
+    by get_minhash_store); a store built under different shingle
+    width or signature length would yield silently WRONG pairs if
+    passed to an operator called with other parameters. Hand-built
+    frames without the tag are the caller's responsibility and pass
+    through unchecked."""
+    meta = getattr(frame, "_mh_meta", None)
+    if meta is None:
+        return
+    if n is not None and meta.get("n") != n:
+        raise ValueError(
+            f"precomputed {what} built with n={meta.get('n')} but the "
+            f"operator was called with n={n} — rebuild or re-fetch the "
+            "store with matching parameters"
+        )
+    if k is not None and meta.get("k") != k:
+        raise ValueError(
+            f"precomputed {what} built with k={meta.get('k')} but the "
+            f"operator was called with k={k} — rebuild or re-fetch the "
+            "store with matching parameters"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -116,6 +141,7 @@ def ngram_jaccard_pairs(
     # the size re-derived by one count+join (postings are distinct
     # per doc, so the count IS the set size).
     if tokens is not None:
+        _check_store_meta(tokens, "tokens", n=n)
         sized = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         tokens = tokens.join(sized, "doc_id").select(
             "doc_id", "n_sh", F.col("h").alias("shingle")
@@ -309,6 +335,10 @@ def minhash_lsh_pairs(
         # caller asked for, and bands > k would make every band the
         # empty slice — one shared bucket, an O(N^2) cross product
         raise ValueError(f"bands must divide k: k={k}, bands={bands}")
+    if tokens is not None:
+        _check_store_meta(tokens, "tokens", n=n)
+    if sigs is not None:
+        _check_store_meta(sigs, "sigs", n=n, k=k)
     rows = k // bands
     # one shingle pass; postings feed signatures, banding, and verify.
     # localCheckpoint, not persist: blocks are dropped when the frames
@@ -405,6 +435,10 @@ def minhash_lsh_incremental(
     """
     if bands <= 0 or k % bands != 0:
         raise ValueError(f"bands must divide k: k={k}, bands={bands}")
+    if tokens is not None:
+        _check_store_meta(tokens, "tokens", n=n)
+    if sigs is not None:
+        _check_store_meta(sigs, "sigs", n=n, k=k)
     rows = k // bands
 
     def _slice(side: DataFrame, full: DataFrame) -> DataFrame:
@@ -873,10 +907,15 @@ def get_minhash_store(
     final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
     for sub in ("tokens", "sigs", "simhash"):
         spark.catalog.refreshByPath(f"{final}/{sub}")
-    out = (
-        spark.read.parquet(f"{final}/tokens"),
-        spark.read.parquet(f"{final}/sigs"),
-    )
+    tokens = spark.read.parquet(f"{final}/tokens")
+    sigs = spark.read.parquet(f"{final}/sigs")
+    # consumers validate these against their own (n, k) arguments —
+    # a store built under other parameters yields silently wrong
+    # pairs (see _check_store_meta)
+    meta = {"n": n, "k": k, "src": doc_path}
+    tokens._mh_meta = meta  # type: ignore[attr-defined]
+    sigs._mh_meta = meta  # type: ignore[attr-defined]
+    out = (tokens, sigs)
     _MINHASH_STORE_MEMO[memo_key] = out
     _SIMHASH_STORE_MEMO[memo_key] = spark.read.parquet(f"{final}/simhash")
     return out

@@ -417,7 +417,7 @@ _CODEBOOK_DIRS: list[str] = []
 
 
 def get_codebook(
-    corpus: DataFrame,
+    spark,
     src_path: str,
     k: int = 16,
     n_iter: int = 5,
@@ -433,7 +433,11 @@ def get_codebook(
     an attached codebook is bit-identical to a retrained one; gates
     and repeated sessions share one training run instead of each
     paying ~5 Lloyd iterations over the corpus. Key = input file
-    identity + this module's code + (k, n_iter)."""
+    identity + this module's code + (k, n_iter). The training corpus
+    is read FROM src_path inside the build (like get_minhash_store)
+    — the key names the input, so the trained artifact must be a
+    function of that input alone, never of a caller-supplied frame
+    that might not match it."""
     import os
     import tempfile
 
@@ -457,7 +461,11 @@ def get_codebook(
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
         cents = spherical_kmeans(
-            corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            spark.read.parquet(src_path),
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
         )
         np.save(os.path.join(tmp, "codebook.npy"), cents)
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:

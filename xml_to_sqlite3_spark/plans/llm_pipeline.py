@@ -904,7 +904,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = S.get_codebook(
-        emb, os.path.join(sf_dir, "embeddings.parquet"), k=16, n_iter=5
+        spark, os.path.join(sf_dir, "embeddings.parquet"), k=16, n_iter=5
     )
     return S.ivf_topk(
         emb.filter(F.col("vec_id") < 10),

@@ -930,18 +930,34 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the exact [p5, p95] percentiles), and WINSORIZED (clamp
     to them) means of l_extendedprice per return flag — the
     outlier-resistant summary statistics an ANALYZE/profiling pass
-    reports next to the plain mean. Scale shape: one groupBy
-    computes the per-group percentile thresholds (model-sized, 3
-    rows), broadcast back onto the rows; the conditional/clamped
-    sums are a second map-side-combinable aggregate — no window, no
-    sort of the group's values beyond percentile's own machinery.
+    reports next to the plain mean. Scale shape: the per-group
+    thresholds come from operators/curation.exact_percentiles —
+    count-by-(group, value) + a cumulative window over the
+    domain-bounded distinct-value table — NOT Spark's exact
+    `percentile` aggregate, whose buffer materializes the group's
+    full value multiset in one aggregation state (fine at sf0.1, a
+    memory cliff on a 100 TB column). The model-sized (3-row)
+    threshold table broadcasts back onto the rows; the conditional/
+    clamped sums are a second map-side-combinable aggregate.
     Determinism: double sums round(4) — group cardinality ~15k keeps
     accumulation error ~1e-9, far below the rounding (same contract
     as price_percentiles / q1's averages)."""
+    from ..operators.curation import exact_percentiles
+
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    th = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    th = (
+        exact_percentiles(
+            li,
+            "l_extendedprice",
+            [0.05, 0.95],
+            group_cols=["l_returnflag"],
+            tags=["lo", "hi"],
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("tag") == "lo", F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("tag") == "hi", F.col("value"))).alias("hi"),
+        )
     )
     v = F.col("l_extendedprice")
     inside = v.between(F.col("lo"), F.col("hi"))
