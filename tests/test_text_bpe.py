@@ -113,3 +113,85 @@ def test_compression_ratio_separates_repetitive_text(spark):
     # exact replica of the UDF's arithmetic
     want = round(len(zlib.compress(prose.encode(), 6)) / len(prose.encode()), 6)
     assert out[1] == want
+
+
+def test_select_safe_batch_is_sequential_greedy():
+    """Driver-side batch selection must be provably sequential: a
+    python trainer that takes _select_safe_batch's whole batch per
+    count snapshot must reproduce the one-merge-at-a-time reference
+    EXACTLY, on corpora engineered to stress the hazard ceiling —
+    chained same-symbol runs ('aaaa...'), near-tie counts, merges
+    that create high-count new pairs."""
+    import random
+
+    from xml_to_sqlite3_spark.operators.text import _select_safe_batch
+
+    def batched_bpe(texts, n_merges, min_pair_count=2, topk=8):
+        # small topk on purpose: exercises the c_tail bound
+        vocab = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                vocab[tuple(list(w) + ["</w>"])] += 1
+        merges = []
+        while len(merges) < n_merges:
+            pairs = Counter()
+            for sym, c in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            rows = sorted(
+                ((l, r, n) for (l, r), n in pairs.items()),
+                key=lambda x: (-x[2], x[0], x[1]),
+            )[:topk]
+            if rows[0][2] < min_pair_count:
+                break
+            batch = _select_safe_batch(
+                rows,
+                full_table=len(pairs) <= topk,
+                min_pair_count=min_pair_count,
+                remaining=n_merges - len(merges),
+            )
+            merges.extend(batch)
+            for l, r, _ in batch:
+                vocab = Counter(
+                    {
+                        tuple(_merge_pair_in_symbols(list(sym), l, r)): c
+                        for sym, c in vocab.items()
+                    }
+                )
+        return merges
+
+    rng = random.Random(31)
+    corpora = [CORPUS, ["aaaa aaaa aaaaaa aa ab ab ab b b b"] * 3]
+    for _ in range(40):
+        words = []
+        alphabet = "abc"
+        for _w in range(rng.randint(3, 12)):
+            n = rng.randint(1, 8)
+            words.append("".join(rng.choice(alphabet) for _ in range(n)))
+        # repeat words with skewed frequencies to force ties/near-ties
+        text = " ".join(w for w in words for _ in range(rng.randint(1, 6)))
+        corpora.append([text])
+    for corpus in corpora:
+        want = _ref_bpe(corpus, 14, min_pair_count=1)
+        got = batched_bpe(corpus, 14, min_pair_count=1)
+        assert got == want, (corpus, got, want)
+
+
+def test_train_bpe_local_and_distributed_paths_identical(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    local = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, n_merges=10).orderBy("rank").collect()
+    ]
+    # local_vocab_max=0 forces the distributed batched loop
+    dist = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, n_merges=10, local_vocab_max=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert local == dist == _ref_bpe(CORPUS, 10)

@@ -225,6 +225,12 @@ def pagerank(
     pass its own P. Output rounds to 8 decimals: per-partition float
     summation order perturbs ~1e-15 relative, far below the
     rounding, so results are deterministic run to run.
+
+    NOT thread-safe: the scoped confs mutate the session-global
+    spark.conf for the duration of the iteration (restored in the
+    finally) — any query PLANNED concurrently in the same session
+    compiles under them. Fine for the single-threaded harness; a
+    concurrent caller should scope the work to spark.newSession().
     """
     spark = edges.sparkSession
     n_part = n_partitions or min(8, spark.sparkContext.defaultParallelism)
@@ -317,10 +323,63 @@ def pagerank(
                 conf.set(k, v)
 
 
-def triangle_count(
+def orient_edges(
     edges: DataFrame,
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Degree-oriented edge list (u, w) of the undirected simple
+    graph of ``edges``: every edge oriented from its lower-degree
+    endpoint to its higher-degree endpoint (ties by id) — the
+    preprocessing that makes distributed triangle counting's wedge
+    fan-out O(sqrt(m)) per vertex. A pure deterministic function of
+    the input edge multiset, so it is PERSISTABLE: the node-graph
+    store materializes it once per content key (plans/node_graph.py
+    tri_oriented) and the triangle gate starts at the wedge join
+    instead of paying the dedup + degree + orientation joins per
+    query."""
+    spark = edges.sparkSession
+    n_part = n_partitions or min(16, spark.sparkContext.defaultParallelism)
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        # ONE shuffle: HashPartitioning(a) already satisfies the
+        # (a, b) clustering the dedup needs, and the a-partitioned
+        # blocks make the da join below exchange-free
+        .repartition(n_part, "a")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame | None,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+    oriented: DataFrame | None = None,
 ) -> DataFrame:
     """Global triangle count over the undirected simple graph of
     ``edges``. Returns one row: (n_edges, n_triangles).
@@ -344,8 +403,18 @@ def triangle_count(
     from treating the checkpointed LogicalRDDs (default stats =
     "small") as broadcast candidates — which silently re-collected
     and re-broadcast the FULL 1.5M-edge set per join.
+
+    ``oriented`` accepts a PRECOMPUTED orient_edges result (e.g. the
+    node-graph store's persisted tri_oriented table): the query then
+    skips the dedup/degree/orientation joins entirely — one
+    repartition of the (u, w) longs and straight to the wedge join.
+
+    NOT thread-safe: scoped confs mutate the session-global
+    spark.conf (restored in the finally) — see pagerank's note.
     """
-    spark = edges.sparkSession
+    if oriented is None and edges is None:
+        raise ValueError("triangle_count needs edges or a precomputed oriented set")
+    spark = (oriented if oriented is not None else edges).sparkSession
     n_part = min(16, spark.sparkContext.defaultParallelism)
     conf = spark.conf
     scoped = {
@@ -362,37 +431,12 @@ def triangle_count(
             saved[k] = None
         conf.set(k, v)
     try:
-        und = (
-            edges.select(
-                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        if oriented is None:
+            oriented = orient_edges(
+                edges, src_col, dst_col, n_partitions=n_part
             )
-            .filter(F.col("a") != F.col("b"))
-            # ONE shuffle: HashPartitioning(a) already satisfies the
-            # (a, b) clustering the dedup needs, and the a-partitioned
-            # blocks make the da join below exchange-free
-            .repartition(n_part, "a")
-            .dropDuplicates(["a", "b"])
-            .localCheckpoint(eager=False)
-        )
-        deg = (
-            und.select(F.col("a").alias("v"))
-            .unionByName(und.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-        db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-        lower_first = (F.col("da") < F.col("db")) | (
-            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-        )
         oriented = (
-            und.join(da, "a")
-            .join(db, "b")
-            .select(
-                F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-                F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-            )
+            oriented
             # hash-partition the checkpoint on the pivot: the wedge
             # e1⋈e2 is a self-join on u, so with the blocks already
             # partitioned by u it runs co-partitioned — the full oriented

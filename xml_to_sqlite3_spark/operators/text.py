@@ -158,11 +158,99 @@ def _merge_pair_in_symbols(symbols: list, left: str, right: str) -> list:
     return out
 
 
+def _select_safe_batch(
+    rows: list,
+    full_table: bool,
+    min_pair_count: int,
+    remaining: int,
+) -> list:
+    """From ONE pair-count snapshot, the longest merge batch provably
+    identical to sequential greedy BPE. ``rows`` is the collected
+    top of the (l, r, n) pair table sorted by (-n, l, r);
+    ``full_table`` says the snapshot holds EVERY pair (uncollected
+    counts are otherwise bounded by the tail count).
+
+    Soundness: merging disjoint pairs never increases any existing
+    pair's count, and every pair a merge CREATES is bounded by the
+    count of some current pair sharing a symbol with the merge
+    ((x,ab) <= count(x,a); (ab,y) <= count(b,y); cross-batch
+    (ab,cd) <= count(b,c)) — except the self-chain of a same-symbol
+    merge (s,s), where (ss,ss) <= count(s,s) // 2 (each chained pair
+    consumes two of the original adjacencies). So a candidate
+    disjoint from everything accepted, whose count strictly exceeds
+    that hazard ceiling, IS the next sequential merge with its count
+    unchanged. Scanning in sorted order and stopping at the first
+    non-provable row keeps ties resolved exactly as the sequential
+    argmax would."""
+    accepted = [rows[0]]
+    used = {rows[0][0], rows[0][1]}
+    c_tail = 0 if full_table else int(rows[-1][2])
+    for row in rows[1:]:
+        if len(accepted) >= remaining:
+            break
+        l, r, nn = row[0], row[1], int(row[2])
+        if nn < min_pair_count:
+            break
+        if l in used or r in used:
+            break
+        hazard = c_tail
+        acc_set = {(a, b) for a, b, _ in accepted}
+        for l2, r2, n2 in rows:
+            if (l2, r2) in acc_set:
+                if l2 == r2:
+                    hazard = max(hazard, int(n2) // 2)
+            elif l2 in used or r2 in used:
+                hazard = max(hazard, int(n2))
+        if nn <= hazard:
+            break
+        accepted.append((l, r, nn))
+        used.update((l, r))
+    return [(l, r, int(n)) for l, r, n in accepted]
+
+
+def _sequential_bpe(
+    rows: list,
+    n_merges: int,
+    min_pair_count: int,
+) -> list:
+    """The exact sequential greedy BPE loop over a collected (cnt,
+    symbols) vocabulary — max pair count, lexicographic (l, r)
+    tie-break (python string order == Spark's UTF8 binary order:
+    UTF-8 preserves code-point order). The driver-local fast path of
+    train_bpe; the distributed path must produce the identical merge
+    sequence (pinned in tests/test_text_bpe.py)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for cnt, syms in rows:
+        vocab[tuple(syms)] += cnt
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for ab in zip(sym, sym[1:]):
+                pairs[ab] += c
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((l, r, int(n)))
+        vocab = Counter(
+            {
+                tuple(_merge_pair_in_symbols(list(sym), l, r)): c
+                for sym, c in vocab.items()
+            }
+        )
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 12,
     min_pair_count: int = 2,
+    local_vocab_max: int = 200_000,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus
     (Sennrich et al. 2016). Returns (rank, left, right, pair_count):
@@ -179,22 +267,30 @@ def train_bpe(
 
     Scale shape (the standard distributed-BPE factorization): the
     corpus collapses ONCE to a (word, count, symbols) vocabulary —
-    corpus-size work happens once, every iteration after that is
-    vocabulary-sized. Per merge: one explode of adjacent pairs
-    weighted by word count, one map-side-combinable sum, one
-    1-ROW collect (the argmax IS the model parameter — same driver
-    posture as the k-means codebook), and one Arrow-batched merge
-    apply over the vocab. Merges PENDING since the last checkpoint
-    are applied by a SINGLE fused UDF in round order (one Arrow
-    round-trip per count job, not one per pending merge), and the
-    loop scopes shuffle partitions down to vocab scale (restored in
-    a finally) — the per-round frames are vocabulary-sized, so 32
-    near-empty reduce tasks per round were pure launch overhead.
-    localCheckpoint every 4 rounds caps both lineage growth and the
-    fused UDF's re-applied-merge count.
-    """
-    from pyspark.sql.functions import pandas_udf
+    corpus-size work happens once, and the merge loop's input is
+    MODEL-SIZED by definition (bounded by the word-form domain, not
+    by row count). The loop therefore runs where the vocab fits:
 
+    - vocab <= ``local_vocab_max`` rows (the common case — Sennrich's
+      learn_bpe and SentencePiece both train on the collected vocab):
+      collect ONCE and run the exact sequential greedy loop
+      driver-side — zero Spark jobs per merge. 200k (symbols, cnt)
+      rows is a few MB; what must never be collected is the CORPUS,
+      which was already reduced away.
+    - larger vocabs: a distributed loop. Per COUNT JOB, one fused
+      Arrow pass over the vocab (apply pending merges + count
+      adjacent pairs with a map-side Counter — only each partition's
+      DISTINCT pairs reach the shuffle), a top-64 collect, and from
+      each snapshot the longest PROVABLY-SEQUENTIAL merge batch
+      (_select_safe_batch: mutually disjoint pairs whose counts
+      strictly dominate every pair a merge could create or grow),
+      cutting count jobs ~2-3x with a bit-identical sequence. The
+      loop scopes shuffle partitions down to vocab scale (restored
+      in a finally — NOTE: session-global conf, like pagerank's
+      scoped block; not safe against queries planned CONCURRENTLY in
+      the same session). Both paths are pinned identical by
+      tests/test_text_bpe.py.
+    """
     spark = df.sparkSession
     conf = spark.conf
     n_part = min(8, spark.sparkContext.defaultParallelism)
@@ -218,6 +314,16 @@ def train_bpe(
             .localCheckpoint(eager=True)
         )
 
+        if vocab.count() <= local_vocab_max:
+            rows = [(int(r["cnt"]), list(r["symbols"])) for r in vocab.collect()]
+            merges = _sequential_bpe(rows, n_merges, min_pair_count)
+            return spark.createDataFrame(
+                [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+                "rank int, left string, right string, pair_count long",
+            )
+
+        from pyspark.sql.functions import pandas_udf
+
         def _make(_pending: list):
             @pandas_udf("array<string>")
             def apply_merges(col: pd.Series) -> pd.Series:
@@ -231,31 +337,59 @@ def train_bpe(
 
             return apply_merges
 
+        def _make_counter(_pending: list):
+            # ONE Arrow pass per count job: apply the pending merges
+            # AND count adjacent pairs with a map-side Counter — the
+            # old apply-UDF + explode + hash-agg pipeline shuffled
+            # vocab_size * avg_word_len pair rows per job; this
+            # shuffles only each partition's DISTINCT pairs (the
+            # classic map-side combine, done where the symbols
+            # already are)
+            from collections import Counter
+
+            def count_pairs(batches):
+                for pdf in batches:
+                    c: Counter = Counter()
+                    for cnt, syms in zip(pdf["cnt"], pdf["symbols"]):
+                        out = list(syms)
+                        for _l, _r in _pending:
+                            out = _merge_pair_in_symbols(out, _l, _r)
+                        w = int(cnt)
+                        for ab in zip(out, out[1:]):
+                            c[ab] += w
+                    if c:
+                        yield pd.DataFrame(
+                            [(a, b, n) for (a, b), n in c.items()],
+                            columns=["l", "r", "n"],
+                        )
+
+            return count_pairs
+
         merges: list[tuple[str, str, int]] = []
         pending: list[tuple[str, str]] = []
-        for _rank in range(n_merges):
-            cur = vocab
-            if pending:
-                cur = vocab.select(
-                    "cnt", _make(list(pending))("symbols").alias("symbols")
-                )
-            pairs = cur.select(
-                "cnt",
-                F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
+        topk = 64
+        while len(merges) < n_merges:
+            pairs = vocab.mapInPandas(
+                _make_counter(list(pending)), schema="l string, r string, n long"
             )
             top = (
-                pairs.groupBy(F.col("p.a").alias("l"), F.col("p.b").alias("r"))
-                .agg(F.sum("cnt").alias("n"))
+                pairs.groupBy("l", "r")
+                .agg(F.sum("n").alias("n"))
                 .orderBy(F.desc("n"), "l", "r")
-                .limit(1)
+                .limit(topk)
                 .collect()
             )
             if not top or top[0]["n"] < min_pair_count:
                 break
-            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-            merges.append((left, right, n))
-            pending.append((left, right))
-            if len(pending) == 4:
+            batch = _select_safe_batch(
+                [(row["l"], row["r"], int(row["n"])) for row in top],
+                full_table=len(top) < topk,
+                min_pair_count=min_pair_count,
+                remaining=n_merges - len(merges),
+            )
+            merges.extend(batch)
+            pending.extend((l, r) for l, r, _ in batch)
+            if len(pending) >= 4:
                 vocab = vocab.select(
                     "cnt", _make(list(pending))("symbols").alias("symbols")
                 ).localCheckpoint(eager=True)
