@@ -104,11 +104,13 @@ _GATE_PRIORITY = [
     # -- rows-only multimodal gates, last exercised r3/r5 end-to-end
     "multimodal_pipeline",
     "image_dedup",
+    # -- new this round: hash-oracled audio metadata (WAV header +
+    # mp3 frame-header walk, construction arithmetic replayed in SQL)
+    "audio_metadata",
     # -- r6 rotations (oldest remaining cohort starts cycling)
     "graph_distances",
     "bm25_search",
     "hierarchy_levels",
-    "dsir_selection",
     # demoted to past-window this round (all r6/r7-green, unchanged
     # plans; the local parity replica still hash-proves every one):
     # graph_pagerank, link_prediction, curate_corpus, hll_distinct,

@@ -434,3 +434,35 @@ def test_mjpeg_real_frame_sampling_and_near_dup(spark):
     assert (fid(0), fid(1)) in got, f"planted near-dup pair missing: {got}"
     for x, y in [(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
         assert (fid(x), fid(y)) not in got, f"false pair ({x},{y}): {got}"
+
+
+def test_audio_metadata_wav_mp3_and_unknown(spark, real_audio):
+    # a synthetic mp3: ID3v2 header + 38 MPEG1 Layer-III 128kbps
+    # 44.1kHz stereo frames (417 bytes each, headers only — the
+    # parser never touches payload) + a trailing ID3v1-style tag
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    mp3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10) + frame * 38 + b"TAGjunk"
+    rows = [
+        Row(
+            media_id=30, kind="audio", data=mp3,
+            meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format="mp3"),
+        ),
+        Row(
+            media_id=31, kind="audio", data=b"\x00\x01garbage",
+            meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format="ogg"),
+        ),
+    ]
+    df = real_audio.unionByName(spark.createDataFrame(rows, M.MEDIA_SCHEMA))
+    out = {r["media_id"]: r.asDict() for r in M.audio_metadata(df).collect()}
+    # wav rows: true header/waveform metadata, no bitrate concept
+    assert out[20]["sample_rate_real"] == 8000
+    assert out[20]["duration_ms_real"] == 500
+    assert out[20]["n_channels"] == 1
+    assert out[20]["bitrate_kbps"] is None
+    # mp3 row: real frame-header metadata without any decode
+    assert out[30]["sample_rate_real"] == 44100
+    assert out[30]["duration_ms_real"] == round(38 * 1152 / 44100 * 1000)
+    assert out[30]["n_channels"] == 2
+    assert out[30]["bitrate_kbps"] == 128
+    # unknown format: nulls, never a batch failure
+    assert out[31]["sample_rate_real"] is None and out[31]["bitrate_kbps"] is None

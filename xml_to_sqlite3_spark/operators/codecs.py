@@ -634,3 +634,94 @@ def resample_audio(
     hi = np.minimum(lo + 1, n - 1)
     frac = (src_pos - lo)[:, None]
     return samples[lo] * (1 - frac) + samples[hi] * frac
+
+
+# MPEG-1/2/2.5 audio (mp3) frame-header tables: bitrate kbps by
+# (version-group, layer, index) and sample rate by (version, index).
+# Metadata-only parsing — decoding the bitstream genuinely needs a
+# native codec (the soundfile seam); duration/bitrate/channels do NOT.
+_MP3_BITRATE = {
+    # (is_v1, layer): index -> kbps (index 0 = free, 15 = bad)
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATE = {
+    3: [44100, 48000, 32000],  # MPEG1
+    2: [22050, 24000, 16000],  # MPEG2
+    0: [11025, 12000, 8000],  # MPEG2.5
+}
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """Parse MPEG audio (mp3) FRAME HEADERS for real metadata —
+    sample_rate, duration_ms, n_channels, avg bitrate_kbps, n_frames,
+    vbr — without decoding a single sample (how far the pure-python
+    image codecs go for their formats). Skips a leading ID3v2 tag
+    (syncsafe size), walks frame to frame by each header's computed
+    frame length, stops cleanly at trailing garbage. Raises
+    ValueError when no valid frame exists (not an MPEG stream)."""
+    buf = bytes(data)
+    pos = 0
+    # ID3v2: 'ID3' + version(2) + flags(1) + syncsafe size(4)
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = (
+            (buf[6] & 0x7F) << 21
+            | (buf[7] & 0x7F) << 14
+            | (buf[8] & 0x7F) << 7
+            | (buf[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    rate = None
+    channels = None
+    bitrates = []
+    while pos + 4 <= len(buf):
+        h = int.from_bytes(buf[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break  # lost sync: trailing tag/garbage ends the walk
+        ver = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer_bits = (h >> 17) & 3  # 3=I, 2=II, 1=III, 0=reserved
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3  # 3 = mono
+        if ver == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        layer = 4 - layer_bits  # 1/2/3
+        is_v1 = ver == 3
+        kbps = _MP3_BITRATE[(is_v1, layer)][br_idx]
+        sr = _MP3_RATE[ver][sr_idx]
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // sr + padding) * 4
+            samples = 384
+        else:
+            # Layer III in MPEG2/2.5 halves both samples and length
+            per = 144 if (layer == 2 or is_v1) else 72
+            frame_len = per * kbps * 1000 // sr + padding
+            samples = 1152 if (layer == 2 or is_v1) else 576
+        if frame_len <= 4:
+            break
+        n_frames += 1
+        total_samples += samples
+        rate = rate or sr
+        channels = channels if channels is not None else (1 if mode == 3 else 2)
+        bitrates.append(kbps)
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MPEG audio frame found")
+    return {
+        "sample_rate": rate,
+        # half-UP, not python round()'s banker's rounding: the
+        # audio_metadata gate replays this arithmetic in SQL, where
+        # round() is half-away-from-zero
+        "duration_ms": int(total_samples / rate * 1000 + 0.5),
+        "n_channels": channels,
+        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates))),
+        "n_frames": n_frames,
+        "vbr": len(set(bitrates)) > 1,
+    }

@@ -1395,3 +1395,100 @@ WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.2
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_ORACLE
+
+
+def audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction over a constructed mixed-format
+    corpus, HASH-ORACLED end to end: even doc_ids render a real
+    RIFF/WAVE (PCM16 mono 8 kHz, 100 + doc_id % 400 samples of
+    silence), odd ids a real MPEG1 Layer-III frame stream (stereo
+    when doc_id % 4 == 1 else mono, 128 kbps, 44.1 kHz,
+    2 + doc_id % 40 frames, ID3v2-prefixed). Every metadata value
+    audio_metadata reports (operators/multimodal.py — WAV header
+    decode, mp3 frame-header walk, no sample decode) is a
+    deterministic function of doc_id, so the oracle replays the
+    construction arithmetic in SQL and the driver hash-checks that
+    the PARSERS recover exactly what the ENCODERS embedded — the
+    first value-gated path through the multimodal Arrow plumbing
+    (decode gates stay rows-only by design)."""
+    from ..operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def to_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    n = 100 + i % 400
+                    data = encode_wav(np.zeros(n), 8000)
+                    fmt = "wav"
+                else:
+                    stereo = i % 4 == 1
+                    # MPEG1 Layer III, bitrate idx 9 (128 kbps),
+                    # 44.1 kHz, no padding; mode bits 11 = mono
+                    hdr = bytes([0xFF, 0xFB, 0x90, 0xC0 if not stereo else 0x00])
+                    frame = hdr + bytes(413)  # 144*128000/44100 = 417
+                    n_frames = 2 + i % 40
+                    data = (
+                        b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10)
+                        + frame * n_frames
+                    )
+                    fmt = "mp3"
+                rows.append(
+                    (
+                        i,
+                        "audio",
+                        data,
+                        {
+                            "width": None,
+                            "height": None,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "format": fmt,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    media = docs.mapInPandas(to_media, schema=M.MEDIA_SCHEMA)
+    return (
+        M.audio_metadata(media)
+        .select(
+            "media_id",
+            "sample_rate_real",
+            "duration_ms_real",
+            "n_channels",
+            # wav rows have no bitrate concept; the gate coalesces the
+            # NULL to 0 because the driver's compare SORTS row tuples
+            # and a mixed None/int column is unorderable in python
+            F.coalesce("bitrate_kbps", F.lit(0)).alias("bitrate_kbps"),
+        )
+        .orderBy("media_id")
+    )
+
+
+AUDIO_METADATA_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 44100 END AS INT)
+         AS sample_rate_real,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN round((100 + doc_id % 400) / 8000.0 * 1000)
+                 ELSE round((2 + doc_id % 40) * 1152 / 44100.0 * 1000)
+            END AS INT) AS duration_ms_real,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS INT) AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 128 END AS INT)
+         AS bitrate_kbps
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+QUERIES["audio_metadata"] = audio_metadata_q
+ORACLES["audio_metadata"] = AUDIO_METADATA_ORACLE
