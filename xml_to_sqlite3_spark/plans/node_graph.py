@@ -489,10 +489,28 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # (reference_type, source_node_id) ordering already
         # satisfies the dynamic-partition writer's required
         # reference_type prefix.
+        #
+        # STAGED, not fused: repartitionByRange SAMPLES its child to
+        # estimate range boundaries — fused, that re-executed the
+        # whole detection pipeline (sibling windows and all) a second
+        # time for the sample job. Staging the detection output to
+        # plain parquet once makes the sampling pass a cheap
+        # column-pruned scan, and gives a free exact row count to
+        # size the sort partitions with (a fixed 32 meant ~5.6M-row
+        # per-partition sorts at sf1 — the GC-thrash source in the
+        # 10x scaling run; ~2M rows per sort partition keeps each
+        # task's sort buffer flat as data grows).
         par = spark.sparkContext.defaultParallelism
+        R.detect_all_relationships(nodes_tmp, props_tmp).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/xrefs_staged")
+        staged = spark.read.parquet(f"{tmp}/xrefs_staged")
+        n_xrefs = staged.count()  # parquet footer metadata — free
+        sort_parts = max(par, -(-n_xrefs // 2_000_000))
         (
-            R.detect_all_relationships(nodes_tmp, props_tmp)
-            .repartitionByRange(par, "reference_type", "source_node_id")
+            staged.repartitionByRange(
+                sort_parts, "reference_type", "source_node_id"
+            )
             .sortWithinPartitions("reference_type", "source_node_id")
             .write.mode("overwrite")
             .partitionBy("reference_type")
@@ -532,6 +550,12 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             .write.mode("overwrite")
             .parquet(f"{tmp}/tri_oriented")
         )
+        # the unsorted staging copy served the range sampling and the
+        # row count; shipping it in the published entry would double
+        # the store's disk footprint
+        import shutil as _sh
+
+        _sh.rmtree(f"{tmp}/xrefs_staged", ignore_errors=True)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
@@ -962,14 +986,23 @@ def broken_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointing at them are now dangling."""
     nodes, _, xrefs = get_graph(spark, sf_dir)
     surviving = nodes.filter(F.col("node_type") != "supplier")
+    # DISTINCT the targets BEFORE the anti-join: the distinct target
+    # set is node-domain-sized (map-side partial distinct collapses
+    # the ~90x fan-in per target), so the anti-join compares two
+    # node-sized sides. Anti-joining the raw xref multiset first
+    # worked at sf0.1 only because the node side still broadcast —
+    # at sf1 it crossed the broadcast threshold and the plan
+    # sort-merge-joined the full 180M-row multiset on string keys
+    # (measured: 192s, a 52x cliff for 10x data; this formulation
+    # removed it).
     return (
-        xrefs.join(
+        xrefs.select("target_node_id")
+        .distinct()
+        .join(
             surviving.select(F.col("id").alias("target_node_id")),
             "target_node_id",
             "left_anti",
         )
-        .select("target_node_id")
-        .distinct()
         .orderBy("target_node_id")
     )
 
