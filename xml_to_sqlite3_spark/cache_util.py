@@ -162,17 +162,24 @@ def content_cached_dir(
         if published and owned_dirs is not None and final not in owned_dirs:
             owned_dirs.append(final)
         # prune stale same-input siblings (older code / older data),
-        # but only entries COLD for an hour — see module docstring
+        # but only entries COLD for an hour — see module docstring.
+        # Abandoned BUILD dirs (a builder killed mid-write leaves its
+        # pid-suffixed .tmp behind — observed at 6 GB each for the
+        # sf1 graph store) get a longer 6h grace: a live builder's
+        # tmp dir mtime only moves when a direct child is created, so
+        # the window must comfortably exceed any single-table write.
         prefix = key.rsplit("_", 1)[0] + "_"
         for name in os.listdir(root):
-            if name.startswith(prefix) and name != key and ".tmp." not in name:
-                path = os.path.join(root, name)
-                try:
-                    cold = time.time() - os.path.getmtime(path) > 3600
-                except OSError:
-                    cold = True
-                if cold:
-                    shutil.rmtree(path, ignore_errors=True)
+            if not name.startswith(prefix) or name == key:
+                continue
+            path = os.path.join(root, name)
+            grace = 6 * 3600 if ".tmp." in name or ".wedged." in name else 3600
+            try:
+                cold = time.time() - os.path.getmtime(path) > grace
+            except OSError:
+                cold = True
+            if cold:
+                shutil.rmtree(path, ignore_errors=True)
 
     # renew the mtime lease on attach (reads never touch mtime)
     try:

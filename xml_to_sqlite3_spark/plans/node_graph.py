@@ -988,17 +988,22 @@ def broken_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving = nodes.filter(F.col("node_type") != "supplier")
     # DISTINCT the targets BEFORE the anti-join: the distinct target
     # set is node-domain-sized (map-side partial distinct collapses
-    # the ~90x fan-in per target), so the anti-join compares two
-    # node-sized sides. Anti-joining the raw xref multiset first
-    # worked at sf0.1 only because the node side still broadcast —
-    # at sf1 it crossed the broadcast threshold and the plan
-    # sort-merge-joined the full 180M-row multiset on string keys
-    # (measured: 192s, a 52x cliff for 10x data; this formulation
-    # removed it).
+    # the ~170x fan-in per target), so the anti-join compares two
+    # node-sized sides. Anti-joining the raw multiset worked at
+    # sf0.1 only while the node side broadcast cheaply; at the
+    # synthesized sf1 (1.1B xref rows) it was a 200s join. The
+    # distinct must sit behind a PLAN BARRIER (lazy localCheckpoint):
+    # Catalyst's PushDownLeftSemiAntiJoin otherwise rewrites
+    # anti-join-above-distinct back into anti-join-below-distinct —
+    # re-probing every multiset row against a node-sized hash
+    # relation, the exact plan the distinct exists to avoid
+    # (measured at sf1: 213s pushed-down vs scan-bound ~27s behind
+    # the barrier).
+    targets = xrefs.select("target_node_id").distinct().localCheckpoint(
+        eager=False
+    )
     return (
-        xrefs.select("target_node_id")
-        .distinct()
-        .join(
+        targets.join(
             surviving.select(F.col("id").alias("target_node_id")),
             "target_node_id",
             "left_anti",
