@@ -330,6 +330,12 @@ def test_minhash_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
     sf = "/root/testdata/sf0.001"
     path = f"{sf}/documents.parquet"
+    # the memo is keyed on content, not cache root: an entry left by
+    # an earlier test would satisfy this first call WITHOUT building
+    # under this test's root, and the attach below would then be a
+    # (poisoned) rebuild — clear so the build demonstrably happens here
+    D._MINHASH_STORE_MEMO.clear()
+    D._SIMHASH_STORE_MEMO.clear()
     tokens, sigs = D.get_minhash_store(spark, path, n=3, k=64)
     docs = spark.read.parquet(path)
     # store contents equal a direct computation (pure function of text)
