@@ -404,6 +404,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: flag training documents sharing any
     n-token shingle with the evaluation set (the GPT-3/PaLM 13-gram
@@ -415,9 +416,27 @@ def decontaminate(
     benchmark suites) — Spark's AQE broadcasts it; the train side
     never self-joins. Distinct shingles per doc before the join keep
     hit counts = number of DISTINCT leaked shingles.
+
+    ``shingles_df`` accepts precomputed (doc_id, shingle) window
+    postings covering BOTH sides' rows (the persistent dedup store's
+    win8 family, dedup.get_window_store) — each side's slice is
+    carved out by a doc-id semi-join, so the corpus-scale window
+    pass is a build-once artifact instead of a per-consumer cost.
     """
 
+    win_n = getattr(shingles_df, "_win_n", None)
+    if win_n is not None and win_n != n:
+        raise ValueError(
+            f"precomputed shingles built with n={win_n} but decontaminate "
+            f"was called with n={n} — window widths must match"
+        )
+
     def shingles(df: DataFrame) -> DataFrame:
+        if shingles_df is not None:
+            ids = df.select(F.col(id_col).alias("doc_id"))
+            return shingles_df.join(ids, "doc_id", "left_semi").select(
+                F.col("doc_id").alias(id_col), "shingle"
+            )
         return shingle_hashes(df, id_col=id_col, text_col=text_col, n=n)
 
     eval_shingles = shingles(eval_df).select("shingle").distinct()

@@ -842,6 +842,7 @@ def remove_duplicated_spans(
 
 _MINHASH_STORE_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _SIMHASH_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_WINDOW_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
 _MINHASH_STORE_DIRS: list[str] = []
 
 
@@ -901,11 +902,20 @@ def get_minhash_store(
         simhash_signatures(docs, id_col=id_col, text_col=text_col).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/simhash")
+        # fourth family: 8-token-WINDOW md5 postings (the
+        # decontamination shingle definition — GPT-3/PaLM n-gram
+        # rule), shared by the decontaminate and bloom_prefilter
+        # gates so neither re-shingles the training corpus per query
+        from .curation import shingle_hashes
+
+        shingle_hashes(docs, id_col=id_col, text_col=text_col, n=8).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/win8")
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
     final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
-    for sub in ("tokens", "sigs", "simhash"):
+    for sub in ("tokens", "sigs", "simhash", "win8"):
         spark.catalog.refreshByPath(f"{final}/{sub}")
     tokens = spark.read.parquet(f"{final}/tokens")
     sigs = spark.read.parquet(f"{final}/sigs")
@@ -918,6 +928,9 @@ def get_minhash_store(
     out = (tokens, sigs)
     _MINHASH_STORE_MEMO[memo_key] = out
     _SIMHASH_STORE_MEMO[memo_key] = spark.read.parquet(f"{final}/simhash")
+    win8 = spark.read.parquet(f"{final}/win8")
+    win8._win_n = 8  # type: ignore[attr-defined] — consumers validate
+    _WINDOW_STORE_MEMO[memo_key] = win8
     return out
 
 
@@ -949,6 +962,35 @@ def get_simhash_store(
     return _SIMHASH_STORE_MEMO[memo_key]
 
 
+def get_window_store(
+    spark,
+    doc_path: str,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle) 8-token-window md5 postings from the shared
+    dedup store (built by the same get_minhash_store entry; the
+    window width is fixed at the decontamination family's n=8 — the
+    n/k here are the STORE key's MinHash parameters)."""
+    from ..cache_util import content_key
+
+    ck = content_key(
+        "mh",
+        doc_path,
+        extra=f"n{n}_k{k}_{id_col}_{text_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    memo_key = (spark.sparkContext.applicationId, ck)
+    if memo_key not in _WINDOW_STORE_MEMO:
+        get_minhash_store(
+            spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col
+        )
+    return _WINDOW_STORE_MEMO[memo_key]
+
+
 def clear_minhash_store() -> None:
     """Drop in-session handles AND on-disk entries THIS session built
     (tests); attached-only entries are other sessions' property."""
@@ -956,5 +998,6 @@ def clear_minhash_store() -> None:
 
     _MINHASH_STORE_MEMO.clear()
     _SIMHASH_STORE_MEMO.clear()
+    _WINDOW_STORE_MEMO.clear()
     while _MINHASH_STORE_DIRS:
         shutil.rmtree(_MINHASH_STORE_DIRS.pop(), ignore_errors=True)

@@ -276,12 +276,21 @@ FROM j ORDER BY doc_id
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: docs 0-9 act as the held-out eval
-    set; every training doc sharing an 8-token shingle is flagged."""
+    set; every training doc sharing an 8-token shingle is flagged.
+    The window postings come from the persistent dedup store's win8
+    family (built once per content key; this gate and bloom_prefilter
+    stop re-shingling the training corpus per query)."""
+    import os
+
+    from ..operators.dedup import get_window_store
+
     docs = load(spark, sf_dir, "documents")
+    win8 = get_window_store(spark, os.path.join(sf_dir, "documents.parquet"))
     return C.decontaminate(
         docs.filter(F.col("doc_id") >= 10),
         docs.filter(F.col("doc_id") < 10),
         n=8,
+        shingles_df=win8,
     ).orderBy("doc_id")
 
 
@@ -760,15 +769,24 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the visible difference IS the measured false-positive surface.
     The sketch hashes are the portable md5, so the entire filter —
     bits, candidates, and flags — replays in SQL."""
+    import os
+
+    from ..operators.dedup import get_window_store
+
     docs = load(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") < 10)
     tr = docs.filter(F.col("doc_id") >= 10)
-    # every intermediate here has 2+ lazy consumers (repo
-    # two-consumer rule) — without the checkpoints the eval shingle
-    # scan re-ran four times and the member probe twice, measured as
-    # most of the gate's 7.45s r7 bench row
-    esh = C.shingle_hashes(ev, n=8).localCheckpoint(eager=True)
-    tsh = C.shingle_hashes(tr, n=8).localCheckpoint(eager=True)
+    # window postings from the persistent store's win8 family — the
+    # corpus shingle pass was most of this gate's 7.45s r7 bench row
+    # even WITH checkpoints (each consumer re-scans cheap sorted
+    # parquet now; the eval slice keeps its checkpoint because four
+    # consumers read it and it is ~10 docs)
+    win8 = get_window_store(spark, os.path.join(sf_dir, "documents.parquet"))
+    esh = (
+        win8.join(ev.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    tsh = win8.join(tr.select("doc_id"), "doc_id", "left_semi")
     bits = C.bloom_bits(esh, "shingle", m_bits=4096, k=3)
     member = C.bloom_member_values(
         tsh, "shingle", bits, m_bits=4096, k=3
