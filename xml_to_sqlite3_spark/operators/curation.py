@@ -1352,6 +1352,7 @@ def exact_percentiles(
     ps: Sequence[float],
     group_cols: Sequence[str] = (),
     tags: Sequence[str] | None = None,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """EXACT linearly-interpolated percentiles (the `percentile` /
     `quantile_cont` definition: rank = p*(n-1) over the sorted
@@ -1360,79 +1361,140 @@ def exact_percentiles(
     aggregate — whose buffer materializes the group's full value
     multiset in one aggregation state, a memory cliff on a 100 TB
     column. Returns long format: (group_cols..., tag, value), one
-    row per (group, requested percentile).
+    row per (group, requested percentile). BIT-identical to the
+    builtin (pinned by test): same rank formula, same
+    (1-frac)*lo + frac*hi association.
 
-    Scale shape (the equi_depth_histogram factorization): the only
-    data-sized work is ONE map-side-combinable count by (group,
-    value); the cumulative window then runs over the DISTINCT-VALUE
-    table, bounded by the value domain (prices at fixed precision,
-    lengths, scores), not by row count. The positions frame (4 rows
-    per group per percentile bound) is model-sized and broadcast;
-    locating the order statistics is one pass over the distinct
-    table against that broadcast (a value with occupancy [cum-cnt,
-    cum-1] covers position j iff that range contains j). No
-    aggregation state ever holds more than a counter.
+    Scale shape — the classic SKETCH-THEN-REFINE factorization:
+
+    1. A count aggregate yields each group's exact n (group keys are
+       MODEL-sized for every ANALYZE-style consumer — return flags,
+       strata, sources — so collecting the count table is the same
+       driver posture as the k-means codebook). From n, the target
+       positions j0/j1 and a per-group band [q_lo, q_hi] are computed
+       driver-side: `percentile_approx`'s GK summary guarantees rank
+       error <= n/accuracy, so querying at (j0-1)/n - 2/accuracy and
+       (j1+2)/n + 2/accuracy provably brackets the target order
+       statistics. The sketch buffer is O(accuracy log n) — never
+       the multiset.
+    2. The band table (groups x percentiles, model-sized) broadcasts
+       back; one map-side-combinable pass extracts the exact
+       sub-band rank offset (count of v < band-lo) and the band
+       members (O(n/accuracy) values per group-percentile — tune
+       ``accuracy`` upward as n grows); the exact order statistics
+       are picked from the sorted band by absolute position.
+
+    Nothing sorts or windows data-sized input; the approx sketch is
+    only ever a PRUNING device, so its partition-order
+    nondeterminism cannot reach the (exact) result. A band miss —
+    impossible within the GK bound, but belt-and-braces — surfaces
+    as a visible NULL (F.get), never a silently wrong value.
     """
     g = list(group_cols)
     tags = list(tags) if tags is not None else [f"p{p}" for p in ps]
     if len(tags) != len(ps):
         raise ValueError("tags must match ps one-to-one")
+    spark = df.sparkSession
     v = F.col(value_col).cast("double")
-    vals = (
-        df.filter(v.isNotNull())
-        .groupBy(*g, v.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    data = df.filter(v.isNotNull()).select(*g, v.alias("__v"))
+    # group counts are MODEL-sized for every ANALYZE-style consumer
+    # of this helper (return flags, strata, sources) — the same
+    # driver posture as the k-means codebook; n per group is what
+    # makes the band quantiles PROVABLY containing below
+    counts = {
+        tuple(r[c] for c in g): r["__n"]
+        for r in data.groupBy(*g).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:
+        empty_schema = ", ".join(
+            [*(f"`{c}` string" for c in g), "tag string", "value double"]
+        )
+        return spark.createDataFrame([], empty_schema)
+    # per (group, percentile): target 0-indexed positions j0/j1 and a
+    # band [q_lo, q_hi] whose GK rank-error guarantee (<= n/accuracy)
+    # plus one extra position of slack on each side provably covers
+    # [j0, j1] — all computed driver-side from the exact n
+    qset: list[float] = []
+
+    def _q(x: float) -> int:
+        x = min(1.0, max(0.0, x))
+        if x not in qset:
+            qset.append(x)
+        return qset.index(x)
+
+    pos_rows = []
+    for key, n in counts.items():
+        for p, tag in zip(ps, tags):
+            rank = float(p) * (n - 1)
+            j0 = int(rank)
+            j1 = min(j0 + 1, n - 1)
+            frac = rank - j0
+            qlo = _q((j0 - 1) / n - 2.0 / accuracy)
+            qhi = _q((j1 + 2) / n + 2.0 / accuracy)
+            pos_rows.append((*key, tag, j0, j1, frac, qlo, qhi))
+    from pyspark.sql import types as T
+
+    dmap = {f.name: f.dataType for f in data.schema.fields}
+    pos_schema = T.StructType(
+        [
+            *(T.StructField(f"__g_{c}", dmap[c]) for c in g),
+            T.StructField("tag", T.StringType()),
+            T.StructField("j0", T.LongType()),
+            T.StructField("j1", T.LongType()),
+            T.StructField("frac", T.DoubleType()),
+            T.StructField("qlo_idx", T.IntegerType()),
+            T.StructField("qhi_idx", T.IntegerType()),
+        ]
     )
-    w = (
-        Window.partitionBy(*g)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    pos = spark.createDataFrame(pos_rows, pos_schema)
+    pre = data.groupBy(*g).agg(
+        F.percentile_approx("__v", qset, accuracy).alias("__b")
     )
-    cum = vals.withColumn("__cum", F.sum("__cnt").over(w))
-    tot = vals.groupBy(*g).agg(F.sum("__cnt").alias("__n"))
-    # the 0-indexed order statistics each percentile needs: j0 =
-    # floor(rank) and j1 = min(j0+1, n-1) (j1 collapses onto j0 when
-    # rank is integral or the group has one row — frac is 0 there)
-    pos_structs = []
-    for p, tag in zip(ps, tags):
-        rank = F.lit(float(p)) * (F.col("__n") - 1)
-        j0 = F.floor(rank)
-        for which, j in ((0, j0), (1, F.least(j0 + 1, F.col("__n") - 1))):
-            pos_structs.append(
-                F.struct(
-                    F.lit(tag).alias("tag"),
-                    j.cast("long").alias("j"),
-                    F.lit(which).alias("which"),
-                    (rank - j0).alias("frac"),
+    on = F.lit(True)
+    for c in g:
+        on = on & (F.col(c) == F.col(f"__g_{c}"))
+    bands = pre.join(F.broadcast(pos), on).select(
+        *[f"__g_{c}" for c in g],
+        "tag", "j0", "j1", "frac",
+        F.get(F.col("__b"), F.col("qlo_idx")).alias("blo"),
+        F.get(F.col("__b"), F.col("qhi_idx")).alias("bhi"),
+    )
+    on = F.lit(True)
+    for c in g:
+        on = on & (F.col(c) == F.col(f"__g_{c}"))
+    tagged = data.join(F.broadcast(bands), on)
+    # exact rank offset below the band + the band members, one
+    # map-side-combinable pass over the (row x tags) replication
+    grp = [*[f"__g_{c}" for c in g], "tag", "j0", "j1", "frac"]
+    agg = tagged.groupBy(*grp).agg(
+        F.sum(F.when(F.col("__v") < F.col("blo"), 1).otherwise(0)).alias(
+            "__lt"
+        ),
+        # band members leave as a sorted array: O(n/accuracy) values
+        # per (group, percentile) — the pruned set, never the multiset
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("__v") >= F.col("blo"))
+                    & (F.col("__v") <= F.col("bhi")),
+                    F.col("__v"),
                 )
             )
-    pos = tot.select(
-        *[F.col(c).alias(f"__g_{c}") for c in g],
-        F.explode(F.array(*pos_structs)).alias("__s"),
-    ).select(
-        *[f"__g_{c}" for c in g], "__s.tag", "__s.j", "__s.which", "__s.frac"
+        ).alias("__band"),
     )
-    cond = (F.col("__cum") - F.col("__cnt") <= F.col("j")) & (
-        F.col("j") < F.col("__cum")
-    )
-    for c in g:
-        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
-    hit = cum.join(F.broadcast(pos), cond)
-    v0 = F.max(F.when(F.col("which") == 0, F.col("__v")))
-    v1 = F.max(F.when(F.col("which") == 1, F.col("__v")))
-    frac = F.first("frac")
-    # Spark's own association — (1-frac)*lower + frac*higher, not
-    # lower + frac*(higher-lower) — so the result is BIT-identical
-    # to the builtin exact `percentile` (last-ulp differences are
-    # harmless for threshold comparisons, which only need the value
-    # strictly inside (v0, v1), but bit-parity keeps the helper a
-    # drop-in replacement)
-    return hit.groupBy(
-        *[F.col(f"__g_{c}").alias(c) for c in g], "tag"
-    ).agg(
+    # absolute position j = __lt + (index within the sorted band);
+    # F.get returns NULL on an out-of-band index (provably impossible
+    # under the GK bound, but a miss must surface as a visible null,
+    # never a silently wrong value or a thrown task)
+    v0 = F.get(F.col("__band"), (F.col("j0") - F.col("__lt")).cast("int"))
+    v1 = F.get(F.col("__band"), (F.col("j1") - F.col("__lt")).cast("int"))
+    frac = F.col("frac")
+    return agg.select(
+        *[F.col(f"__g_{c}").alias(c) for c in g],
+        "tag",
         F.when(frac == 0.0, v0)
         .otherwise((F.lit(1.0) - frac) * v0 + frac * v1)
-        .alias("value")
+        .alias("value"),
     )
 
 
