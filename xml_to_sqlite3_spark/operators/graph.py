@@ -109,8 +109,20 @@ def connected_components(
     min(doc_id) per component (``duplicate_groups``).
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # symmetrize with ONE explode, not union(e, e.flipped): the union
+    # embeds the edge-producing subplan TWICE, and when the edges come
+    # from an expensive pipeline (a Jaccard verify join) the whole
+    # pipeline executed twice — explode reads each input row once
     und = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.u", "__p.v")
         .distinct()
         .localCheckpoint(eager=True)
     )

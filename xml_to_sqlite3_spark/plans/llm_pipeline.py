@@ -1070,9 +1070,13 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing all-pairs at corpus scale except the oracle's replay)."""
     docs = load(spark, sf_dir, "documents")
     tokens, sigs = _minhash_store(spark, sf_dir)
-    exact = D.ngram_jaccard_pairs(
-        docs, threshold=0.05, n=3, tokens=tokens
-    ).select("doc_a", "doc_b")
+    # two consumers (the hit join and the n_exact count) — without
+    # the checkpoint the inverted-index Jaccard join runs twice
+    exact = (
+        D.ngram_jaccard_pairs(docs, threshold=0.05, n=3, tokens=tokens)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     caught = D.minhash_lsh_pairs(
         docs, threshold=0.05, tokens=tokens, sigs=sigs
     ).select("doc_a", "doc_b")
