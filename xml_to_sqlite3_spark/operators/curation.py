@@ -659,8 +659,21 @@ def dsir_select(
     # materialize the (doc, bucket) postings once instead of running
     # the tokenize+explode twice (the repo-wide two-consumer rule)
     raw_b = grams(raw).localCheckpoint(eager=True)
-    raw_counts = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_counts = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    # both bucket-count tables are 1024-row MODELS with two consumers
+    # each (the totals aggregate and the log-ratio join) — without
+    # the checkpoints the data-sized counting pass (and the target
+    # side's whole tokenize+explode) ran twice
+    raw_counts = (
+        raw_b.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_counts = (
+        grams(target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=False)
+    )
     totals = raw_counts.agg(F.sum("rc").alias("rt")).crossJoin(
         tgt_counts.agg(F.sum("tc").alias("tt"))
     )
