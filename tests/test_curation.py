@@ -884,10 +884,10 @@ def test_stratified_sample_balance_and_determinism(spark):
 
 
 def test_exact_percentiles_match_spark_percentile(spark):
-    # the distributed count-by-value formulation must reproduce
-    # Spark's exact `percentile` (rank = p*(n-1), linear
-    # interpolation) bit-for-bit on awkward shapes: duplicates,
-    # integral ranks, single-row groups, nulls
+    # the sketch-then-refine formulation must reproduce Spark's exact
+    # `percentile` (rank = p*(n-1), linear interpolation) bit-for-bit
+    # on awkward shapes: duplicates, integral ranks, single-row
+    # groups, nulls
     import random
 
     rng = random.Random(7)
@@ -919,3 +919,25 @@ def test_exact_percentiles_match_spark_percentile(spark):
     }
     want1 = df.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
     assert got1["med"] == want1
+
+
+def test_exact_percentiles_empty_input_preserves_group_types(spark):
+    # the empty-input short-circuit must return the REAL group-column
+    # types (a long group key came back `string` before r9) so a
+    # union/join with a non-empty result never schema-mismatches
+    df = spark.createDataFrame([], "g bigint, v double")
+    out = C.exact_percentiles(df, "v", [0.5], group_cols=["g"])
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"g": "bigint", "tag": "string", "value": "double"}
+
+
+def test_exact_percentiles_rejects_unbounded_group_cardinality(spark, monkeypatch):
+    # the helper collects one row per group; the guard must fail
+    # loudly on a high-cardinality grouping instead of collecting
+    # unbounded rows driver-side
+    monkeypatch.setattr(C, "_MAX_PCT_GROUPS", 10)
+    df = spark.range(0, 50).select(
+        F.col("id").alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    with pytest.raises(ValueError, match="more than 10 groups"):
+        C.exact_percentiles(df, "v", [0.5], group_cols=["g"])

@@ -466,3 +466,26 @@ def test_audio_metadata_wav_mp3_and_unknown(spark, real_audio):
     assert out[30]["bitrate_kbps"] == 128
     # unknown format: nulls, never a batch failure
     assert out[31]["sample_rate_real"] is None and out[31]["bitrate_kbps"] is None
+
+
+def test_audio_metadata_truncated_wav_nulls_not_task_abort(spark):
+    # a TRUNCATED RIFF header raises struct.error (not ValueError)
+    # from unpack_from — the nulls-not-batch-failure contract must
+    # hold for malformed rows of a KNOWN format too (ADVICE r8)
+    rows = [
+        Row(
+            media_id=40, kind="audio", data=b"RIFF\x24\x00\x00\x00WAVEfmt ",
+            meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format="wav"),
+        ),
+        Row(
+            media_id=41, kind="audio", data=b"",
+            meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format=None),
+        ),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r.asDict() for r in M.audio_metadata(df).collect()}
+    for mid in (40, 41):
+        assert out[mid]["sample_rate_real"] is None
+        assert out[mid]["duration_ms_real"] is None
+        assert out[mid]["n_channels"] is None
+        assert out[mid]["bitrate_kbps"] is None

@@ -380,6 +380,22 @@ def test_bloom_bits_broadcast_into_probe(spark):
     assert "EvalPython" not in plan
 
 
+def test_price_percentiles_never_buffers_the_multiset(spark):
+    """price_percentiles must route through exact_percentiles'
+    sketch-then-refine (percentile_approx band + exact in-band
+    refinement) — Spark's exact `percentile` aggregate buffers each
+    group's FULL value multiset in one aggregation state, the last
+    100 TB memory cliff this repo retired. The plan may contain
+    percentile_approx (the O(accuracy log n) GK sketch) but never
+    the exact `percentile(` aggregate."""
+    from xml_to_sqlite3_spark.plans import olap_ext as OE
+
+    plan = _physical(OE.price_percentiles(spark, SF_SMOKE))
+    assert "percentile_approx" in plan, plan
+    assert "percentile(" not in plan.replace("percentile_approx", ""), plan
+    assert "EvalPython" not in plan
+
+
 def test_length_batches_windows_stay_bucket_partitioned(spark):
     """No global order-everything window: every window in the
     batching plan must carry a partition spec (the length bucket)."""

@@ -122,7 +122,14 @@ def content_cached_dir(
                 if os.path.exists(marker):
                     shutil.rmtree(tmp, ignore_errors=True)
                 else:
-                    aside = f"{final}.wedged.{os.getpid()}"
+                    # the aside name must be collision-proof, not just
+                    # pid-unique: after a crashed heal, pid reuse would
+                    # make this rename hit the dead process's leftover
+                    # aside dir (ENOTEMPTY), be misread as "another
+                    # healer moved it", and wedge the retry publish —
+                    # the nanosecond suffix makes every heal attempt
+                    # target a fresh name
+                    aside = f"{final}.wedged.{os.getpid()}.{time.time_ns()}"
                     try:
                         os.rename(final, aside)
                     except OSError:

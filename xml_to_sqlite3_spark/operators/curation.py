@@ -1359,6 +1359,12 @@ def equi_depth_histogram(
     )
 
 
+# exact_percentiles collects one (group, n) row per group; the bound
+# keeps that contract self-enforcing (ANALYZE-style consumers pass
+# return flags / strata / sources — a handful to a few thousand)
+_MAX_PCT_GROUPS = 100_000
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,
@@ -1410,17 +1416,31 @@ def exact_percentiles(
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
     data = df.filter(v.isNotNull()).select(*g, v.alias("__v"))
+    from pyspark.sql import types as T
+
+    dmap = {f.name: f.dataType for f in data.schema.fields}
     # group counts are MODEL-sized for every ANALYZE-style consumer
     # of this helper (return flags, strata, sources) — the same
     # driver posture as the k-means codebook; n per group is what
-    # makes the band quantiles PROVABLY containing below
-    counts = {
-        tuple(r[c] for c in g): r["__n"]
-        for r in data.groupBy(*g).agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    # makes the band quantiles PROVABLY containing below. The guard
+    # makes that contract self-enforcing: a high-cardinality caller
+    # fails loudly instead of collecting unbounded rows.
+    cnt_df = data.groupBy(*g).agg(F.count(F.lit(1)).alias("__n"))
+    if g and cnt_df.limit(_MAX_PCT_GROUPS + 1).count() > _MAX_PCT_GROUPS:
+        raise ValueError(
+            f"exact_percentiles: more than {_MAX_PCT_GROUPS} groups for "
+            f"group_cols={g!r} — this helper collects one row per group "
+            "driver-side (model-sized groups only); pre-aggregate or "
+            "bucket the grouping column first"
+        )
+    counts = {tuple(r[c] for c in g) : r["__n"] for r in cnt_df.collect()}
     if not counts:
-        empty_schema = ", ".join(
-            [*(f"`{c}` string" for c in g), "tag string", "value double"]
+        empty_schema = T.StructType(
+            [
+                *(T.StructField(c, dmap[c]) for c in g),
+                T.StructField("tag", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
         )
         return spark.createDataFrame([], empty_schema)
     # per (group, percentile): target 0-indexed positions j0/j1 and a
@@ -1445,9 +1465,6 @@ def exact_percentiles(
             qlo = _q((j0 - 1) / n - 2.0 / accuracy)
             qhi = _q((j1 + 2) / n + 2.0 / accuracy)
             pos_rows.append((*key, tag, j0, j1, frac, qlo, qhi))
-    from pyspark.sql import types as T
-
-    dmap = {f.name: f.dataType for f in data.schema.fields}
     pos_schema = T.StructType(
         [
             *(T.StructField(f"__g_{c}", dmap[c]) for c in g),
@@ -1731,8 +1748,9 @@ def stratified_sample(
     tail). Returns the sampled rows as (key, strata value, stratum).
 
     Scale shape: the quantile thresholds come from
-    exact_percentiles (count-by-value + a cumulative window over the
-    domain-bounded distinct-value table — not Spark's exact
+    exact_percentiles (SKETCH-THEN-REFINE: a percentile_approx band
+    that provably brackets the target order statistics, then one
+    exact pass over only the in-band values — not Spark's exact
     `percentile`, whose single aggregation buffer materializes the
     full value multiset), collapsed to a model-sized array and
     broadcast back; stratum assignment and the keep-decision are

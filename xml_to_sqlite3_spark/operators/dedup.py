@@ -92,7 +92,16 @@ def _check_store_meta(frame, what: str, n: int | None = None, k: int | None = No
     width or signature length would yield silently WRONG pairs if
     passed to an operator called with other parameters. Hand-built
     frames without the tag are the caller's responsibility and pass
-    through unchecked."""
+    through unchecked.
+
+    SCOPE: the tag is a plain Python attribute on the DataFrame
+    wrapper, so any DERIVED frame (filter/select/semi-join of a
+    store frame) loses it and passes through unchecked like a
+    hand-built frame — this guard catches the whole-store-with-wrong-
+    parameters mistake, NOT every provenance error. Operators that
+    slice a store frame before reuse must re-attach the tag
+    themselves (``derived._mh_meta = store._mh_meta``) if they want
+    the check downstream."""
     meta = getattr(frame, "_mh_meta", None)
     if meta is None:
         return

@@ -253,7 +253,11 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                         kbps.append(m["bitrate_kbps"])
                     else:
                         raise ValueError(f"no metadata parser for {fmt!r}")
-                except (ValueError, NotImplementedError):
+                # broad by design: a truncated RIFF chunk raises
+                # struct.error (not ValueError) from unpack_from, and
+                # the nulls-not-task-abort contract must hold for ANY
+                # malformed row in a mixed 100 TB corpus
+                except Exception:
                     rates.append(None)
                     durs.append(None)
                     chans.append(None)

@@ -98,15 +98,35 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group (Spark `percentile` == DuckDB
-    `quantile_cont`, both linear interpolation)."""
-    li = load(spark, sf_dir, "lineitem")
+    """Exact percentiles per group (same linear-interpolation
+    definition as Spark `percentile` / DuckDB `quantile_cont`),
+    computed via operators/curation.exact_percentiles — the
+    sketch-then-refine helper (percentile_approx band + exact
+    in-band refinement, proven bit-identical to the builtin) — NOT
+    Spark's exact `percentile` aggregate, whose buffer materializes
+    each group's full value multiset in one aggregation state: fine
+    at sf0.1, a memory cliff on a 100 TB column. The long (group,
+    tag, value) result pivots to wide via a conditional max over the
+    model-sized (3 groups x 3 tags) table."""
+    from ..operators.curation import exact_percentiles
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     return (
-        li.groupBy("l_returnflag")
+        exact_percentiles(
+            li,
+            "l_extendedprice",
+            [0.5, 0.9, 0.99],
+            group_cols=["l_returnflag"],
+            tags=["p50", "p90", "p99"],
+        )
+        .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            *(
+                F.round(
+                    F.max(F.when(F.col("tag") == t, F.col("value"))), 4
+                ).alias(t)
+                for t in ("p50", "p90", "p99")
+            )
         )
         .orderBy("l_returnflag")
     )
@@ -932,11 +952,13 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier-resistant summary statistics an ANALYZE/profiling pass
     reports next to the plain mean. Scale shape: the per-group
     thresholds come from operators/curation.exact_percentiles —
-    count-by-(group, value) + a cumulative window over the
-    domain-bounded distinct-value table — NOT Spark's exact
-    `percentile` aggregate, whose buffer materializes the group's
-    full value multiset in one aggregation state (fine at sf0.1, a
-    memory cliff on a 100 TB column). The model-sized (3-row)
+    SKETCH-THEN-REFINE (a percentile_approx band whose GK rank bound
+    provably brackets the target order statistics, then one exact
+    map-side-combinable pass that extracts only the O(n/accuracy)
+    in-band values) — NOT Spark's exact `percentile` aggregate,
+    whose buffer materializes the group's full value multiset in one
+    aggregation state (fine at sf0.1, a memory cliff on a 100 TB
+    column). The model-sized (3-row)
     threshold table broadcasts back onto the rows; the conditional/
     clamped sums are a second map-side-combinable aggregate.
     Determinism: double sums round(4) — group cardinality ~15k keeps
