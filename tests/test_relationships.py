@@ -181,3 +181,43 @@ def test_ancestors_descendants(spark, corpus):
 
     des = {r["descendant_id"]: r["depth"] for r in hierarchy.descendants(spark, xrefs, "albums").collect()}
     assert des == {"album_1": 1, "album_2": 1, "artist_1": 2, "artist_2": 2}
+
+
+def test_canonical_siblings_symmetrize_to_identical_multiset(spark):
+    """The store build stages id-canonical sibling pairs and restores
+    both directions with one explode (plans/node_graph.
+    _symmetrize_siblings) — the resulting multiset must be row-for-row
+    identical to the parity (both-directions) detection output,
+    including next/previous_sibling adjacency re-orientation."""
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.plans import node_graph as NG
+
+    sf = "/root/testdata/sf0.001"
+    nodes = NG.build_nodes(spark, sf)
+    props = NG.build_properties(spark, sf)
+    cols = list(R.XREF_COLS)
+
+    def counted(df):
+        # attribute_name is NULL on structural rows; fill before the
+        # join-key compare (NULL keys never match in an equi-join)
+        return df.na.fill({"attribute_name": "<null>"}).groupBy(*cols).count()
+
+    a = counted(R.detect_all_relationships(nodes, props)).withColumnRenamed(
+        "count", "ca"
+    )
+    b = counted(
+        NG._symmetrize_siblings(
+            R.detect_all_relationships(nodes, props, canonical_siblings=True)
+        )
+    ).withColumnRenamed("count", "cb")
+    diff = (
+        a.join(b, cols, "full_outer")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
+    assert diff == 0

@@ -191,6 +191,8 @@ def pagerank(
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
     n_partitions: int | None = None,
+    spine: DataFrame | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """PageRank over the directed edge set: (node, rank), ranks
     summing to ~1. The reference names "graph traversal operations"
@@ -243,6 +245,15 @@ def pagerank(
     finally) — any query PLANNED concurrently in the same session
     compiles under them. Fine for the single-threaded harness; a
     concurrent caller should scope the work to spark.newSession().
+
+    ``edges_deduped=True`` skips the (src, dst) dedup for an input
+    already known distinct; ``spine`` accepts a PRECOMPUTED (node,
+    __deg) table (out-degree NULL = dangling) — e.g. the node-graph
+    store's persisted pr_spine — so the per-query cost starts at the
+    iteration joins instead of re-paying the dedup shuffle and the
+    spine aggregation every session. Both are repartitioned here to
+    the iteration's co-partitioning (parquet persistence cannot carry
+    a HashPartitioning).
     """
     spark = edges.sparkSession
     n_part = n_partitions or min(8, spark.sparkContext.defaultParallelism)
@@ -261,26 +272,33 @@ def pagerank(
             saved[k] = None
         conf.set(k, v)
     try:
-        e = (
-            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-            .repartition(n_part, "src")
-            .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=False)
-        )
-        # (node, out-degree) spine in ONE shuffle: src rows carry a
-        # marker 1, dst rows 0; the groupBy both enumerates every
-        # node and counts out-edges (count 0 -> null = dangling)
-        spine = (
-            e.select(F.col("src").alias("node"), F.lit(1).alias("m"))
-            .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("m")))
-            .groupBy("node")
-            .agg(F.sum("m").alias("__cnt"))
-            .select(
-                "node",
-                F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("__deg"),
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).repartition(n_part, "src")
+        if not edges_deduped:
+            e = e.dropDuplicates(["src", "dst"])
+        e = e.localCheckpoint(eager=False)
+        if spine is not None:
+            spine = (
+                spine.select("node", "__deg")
+                .repartition(n_part, "node")
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            # (node, out-degree) spine in ONE shuffle: src rows carry a
+            # marker 1, dst rows 0; the groupBy both enumerates every
+            # node and counts out-edges (count 0 -> null = dangling)
+            spine = (
+                e.select(F.col("src").alias("node"), F.lit(1).alias("m"))
+                .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("m")))
+                .groupBy("node")
+                .agg(F.sum("m").alias("__cnt"))
+                .select(
+                    "node",
+                    F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("__deg"),
+                )
+                .localCheckpoint(eager=False)
+            )
         n_total = spine.count()
         if n_total == 0:
             # empty graph degrades to an empty result like bfs/triangles

@@ -69,7 +69,11 @@ def _name_contains_any(name_col, indicators) -> F.Column:
     )
 
 
-def structural_relationships(nodes: DataFrame, max_siblings: int | None = None) -> DataFrame:
+def structural_relationships(
+    nodes: DataFrame,
+    max_siblings: int | None = None,
+    canonical_siblings: bool = False,
+) -> DataFrame:
     """Structural adapter (structural_adapter.rb): parent_child /
     child_parent projections plus sibling pair joins.
 
@@ -84,6 +88,17 @@ def structural_relationships(nodes: DataFrame, max_siblings: int | None = None) 
       scale (a parent with 1M children would emit 10^12 pairs);
       groups larger than the cap are skipped, and the cap is OFF by
       default for reference parity.
+    - ``canonical_siblings=True`` emits each unordered sibling pair
+      ONCE (id-ordered a<b) instead of both directions — HALF the
+      dominant multiset. The caller owns symmetrization (one explode
+      per row — see plans/node_graph._symmetrize_siblings, which does
+      it between the store's range exchange and its within-partition
+      sort, so detection, staging, and the range shuffle all move
+      half the rows while the published store stays the full
+      both-directions multiset). next/previous_sibling are emitted
+      identically in both modes: adjacency is detected on
+      |pos_a - pos_b| == 1 and re-oriented by position, so the
+      id-canonical join loses no adjacent pair.
     """
     with_parent = nodes.filter(F.col("parent_id").isNotNull())
 
@@ -121,29 +136,71 @@ def structural_relationships(nodes: DataFrame, max_siblings: int | None = None) 
 
     a = sib.alias("a")
     b = sib.alias("b")
+    # id-canonical join: each unordered pair exactly once. The
+    # both-directions (parity) output is derived from it by a cheap
+    # union instead of a second quadratic join.
     pairs = a.join(
         b,
         (F.col("a.document_id") == F.col("b.document_id"))
         & (F.col("a.parent_id") == F.col("b.parent_id"))
-        & (F.col("a.id") != F.col("b.id")),
+        & (F.col("a.id") < F.col("b.id")),
     )
 
-    siblings = pairs.select(
-        *_rel(
-            F.col("a.id"),
-            F.col("b.id"),
-            "sibling",
-            None,
-            F.lit(1.0),
-            F.col("a.document_id"),
+    if canonical_siblings:
+        siblings = pairs.select(
+            *_rel(
+                F.col("a.id"),
+                F.col("b.id"),
+                "sibling",
+                None,
+                F.lit(1.0),
+                F.col("a.document_id"),
+            )
         )
-    )
+    else:
+        # both directions from the single canonical join via ONE
+        # explode per pair row (a union of two projections would
+        # re-execute the quadratic join per branch)
+        siblings = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a.id").alias("s"), F.col("b.id").alias("t")
+                    ),
+                    F.struct(
+                        F.col("b.id").alias("s"), F.col("a.id").alias("t")
+                    ),
+                )
+            ).alias("__p"),
+            F.col("a.document_id").alias("__doc"),
+        ).select(
+            *_rel(
+                F.col("__p.s"),
+                F.col("__p.t"),
+                "sibling",
+                None,
+                F.lit(1.0),
+                F.col("__doc"),
+            )
+        )
 
-    adjacent = pairs.filter(F.col("b.position") - F.col("a.position") == 1)
+    # adjacency on |Δposition| == 1 (either direction of the
+    # id-canonical pair), re-oriented by position: next points at the
+    # larger position, previous at the smaller — identical rows to
+    # the old both-directions join's (b.pos - a.pos == 1) filter
+    adjacent = pairs.filter(
+        F.abs(F.col("b.position") - F.col("a.position")) == 1
+    )
+    lo_id = F.when(
+        F.col("a.position") < F.col("b.position"), F.col("a.id")
+    ).otherwise(F.col("b.id"))
+    hi_id = F.when(
+        F.col("a.position") < F.col("b.position"), F.col("b.id")
+    ).otherwise(F.col("a.id"))
     next_sib = adjacent.select(
         *_rel(
-            F.col("a.id"),
-            F.col("b.id"),
+            lo_id,
+            hi_id,
             "next_sibling",
             None,
             F.lit(1.0),
@@ -152,8 +209,8 @@ def structural_relationships(nodes: DataFrame, max_siblings: int | None = None) 
     )
     prev_sib = adjacent.select(
         *_rel(
-            F.col("b.id"),
-            F.col("a.id"),
+            hi_id,
+            lo_id,
             "previous_sibling",
             None,
             F.lit(1.0),
@@ -370,13 +427,16 @@ def detect_all_relationships(
     nodes: DataFrame,
     properties: DataFrame,
     include_examples: bool = False,
+    canonical_siblings: bool = False,
 ) -> DataFrame:
     """The reference's default detector registers the structural and
     attribute-reference adapters (main.rb:104-110); the example
-    adapters are opt-in."""
-    out = structural_relationships(nodes).unionByName(
-        attribute_references(nodes, properties)
-    )
+    adapters are opt-in. ``canonical_siblings`` passes through to
+    structural_relationships — the store build stages half the
+    sibling multiset and symmetrizes after its range exchange."""
+    out = structural_relationships(
+        nodes, canonical_siblings=canonical_siblings
+    ).unionByName(attribute_references(nodes, properties))
     if include_examples:
         out = (
             out.unionByName(multi_references(nodes, properties))

