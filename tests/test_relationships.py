@@ -183,15 +183,19 @@ def test_ancestors_descendants(spark, corpus):
     assert des == {"album_1": 1, "album_2": 1, "artist_1": 2, "artist_2": 2}
 
 
-def test_canonical_siblings_symmetrize_to_identical_multiset(spark):
-    """The store build stages id-canonical sibling pairs and restores
-    both directions with one explode (plans/node_graph.
-    _symmetrize_siblings) — the resulting multiset must be row-for-row
-    identical to the parity (both-directions) detection output,
-    including next/previous_sibling adjacency re-orientation."""
+def test_store_build_decomposition_is_identical_multiset(spark):
+    """The store build's two-tier split — small groups' pairs staged
+    via detection (max_siblings = the split point), FAT groups' pairs
+    generated from O(children) member-list slices inside the final
+    write (plans/node_graph._sibling_slices/_sibling_rows) — must be
+    row-for-row identical to the parity (all-adapters,
+    both-directions) detection output, including the pos+1 adjacency
+    equi-join's next/previous_sibling rows. _SIB_FAT_K is forced low
+    so sf0.001 exercises BOTH tiers (nation groups go fat, order
+    groups stay staged)."""
     from pyspark.sql import functions as F
 
-    from xml_to_sqlite3_spark.plans import node_graph as NG
+    import xml_to_sqlite3_spark.plans.node_graph as NG
 
     sf = "/root/testdata/sf0.001"
     nodes = NG.build_nodes(spark, sf)
@@ -206,18 +210,80 @@ def test_canonical_siblings_symmetrize_to_identical_multiset(spark):
     a = counted(R.detect_all_relationships(nodes, props)).withColumnRenamed(
         "count", "ca"
     )
-    b = counted(
-        NG._symmetrize_siblings(
-            R.detect_all_relationships(nodes, props, canonical_siblings=True)
+    old = NG._SIB_FAT_K
+    NG._SIB_FAT_K = 10
+    try:
+        fat = NG._sibling_rows(NG._sibling_slices(nodes))
+        # both tiers must be non-trivial at this split point
+        assert fat.limit(1).count() == 1
+        rebuilt = R.detect_all_relationships(
+            nodes, props, max_siblings=NG._SIB_FAT_K
+        ).unionByName(
+            fat.select(
+                "source_node_id",
+                "target_node_id",
+                F.lit("sibling").alias("reference_type"),
+                "attribute_name",
+                "confidence",
+                "document_id",
+            )
         )
-    ).withColumnRenamed("count", "cb")
-    diff = (
-        a.join(b, cols, "full_outer")
-        .filter(
-            F.col("ca").isNull()
-            | F.col("cb").isNull()
-            | (F.col("ca") != F.col("cb"))
+        b = counted(rebuilt).withColumnRenamed("count", "cb")
+        diff = (
+            a.join(b, cols, "full_outer")
+            .filter(
+                F.col("ca").isNull()
+                | F.col("cb").isNull()
+                | (F.col("ca") != F.col("cb"))
+            )
+            .count()
         )
-        .count()
+        assert diff == 0
+    finally:
+        NG._SIB_FAT_K = old
+
+
+def test_sibling_slices_chunking_bounds_and_covers(spark):
+    """Chunking must cover every member exactly once regardless of
+    awkward k / rows-per-slice ratios, and each slice's pair
+    expansion must stay within the per-task budget."""
+    from pyspark.sql import functions as F
+
+    import xml_to_sqlite3_spark.plans.node_graph as NG
+
+    rows = []
+    for g, k in (("p1", 2), ("p2", 3), ("p3", 7), ("p4", 50), ("p5", 1)):
+        for i in range(k):
+            rows.append((f"{g}_n{i:03d}", "t", "doc", g, i, None, "/x"))
+    nodes = spark.createDataFrame(
+        rows,
+        "id string, node_type string, document_id string, parent_id string,"
+        " position int, content string, xpath string",
     )
-    assert diff == 0
+    old = NG._SIB_ROWS_PER_SLICE
+    old_k = NG._SIB_FAT_K
+    NG._SIB_ROWS_PER_SLICE = 100  # force multi-chunk groups
+    NG._SIB_FAT_K = 1  # every k>=2 group is "fat" for this test
+    try:
+        got = NG._sibling_slices(nodes)
+        # every member appears in exactly one chunk of its group
+        chunk_ids = got.select(F.explode("chunk").alias("m"))
+        dup = chunk_ids.groupBy("m").count().filter(F.col("count") != 1).count()
+        assert dup == 0
+        assert chunk_ids.count() == 2 + 3 + 7 + 50  # k=1 group excluded
+        # slice expansion bound: |chunk| * (k-1) <= budget (k=50 ->
+        # 2500 pairs > 100 forces chunking)
+        over = got.filter(
+            F.size("chunk") * (F.size("members") - 1)
+            > NG._SIB_ROWS_PER_SLICE + F.size("members")
+        ).count()
+        assert over == 0
+        # pair multiset equals the direct quadratic join
+        pairs = NG._sibling_rows(got).select("source_node_id", "target_node_id")
+        n = pairs.count()
+        assert pairs.distinct().count() == n
+        expect = sum(k * (k - 1) for k in (2, 3, 7, 50))
+        assert n == expect
+    finally:
+        NG._SIB_ROWS_PER_SLICE = old
+        NG._SIB_FAT_K = old_k

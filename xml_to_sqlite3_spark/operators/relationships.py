@@ -72,33 +72,38 @@ def _name_contains_any(name_col, indicators) -> F.Column:
 def structural_relationships(
     nodes: DataFrame,
     max_siblings: int | None = None,
-    canonical_siblings: bool = False,
+    emit_sibling_pairs: bool = True,
 ) -> DataFrame:
     """Structural adapter (structural_adapter.rb): parent_child /
     child_parent projections plus sibling pair joins.
 
     - parent_child + child_parent need NO join at all — they are
       projections of the nodes table.
-    - sibling: self-join per (document_id, parent_id) group; emits
-      both directions (the reference's i<j loop writes both rows).
-    - next/previous_sibling: strict position adjacency
-      (|pos1-pos2|==1, structural_adapter.rb:60-69) — computed from
-      the same pair join.
+    - sibling: id-canonical self-join per (document_id, parent_id)
+      group — each unordered pair produced ONCE by the quadratic
+      join, then both directions restored by one explode (the
+      reference's i<j loop writes both rows; a union of two
+      projections would re-execute the join per branch).
+    - next/previous_sibling: strict position adjacency (pos+1,
+      structural_adapter.rb:60-69) — an EQUI-join on (document_id,
+      parent_id, position+1 = position), O(children) output, never
+      routed through the quadratic pair join (duplicate positions
+      are handled exactly: every node at position p pairs with every
+      node at p+1, which a window lag would miss).
     - ``max_siblings`` guards the quadratic blowup of a hot parent at
       scale (a parent with 1M children would emit 10^12 pairs);
-      groups larger than the cap are skipped, and the cap is OFF by
-      default for reference parity.
-    - ``canonical_siblings=True`` emits each unordered sibling pair
-      ONCE (id-ordered a<b) instead of both directions — HALF the
-      dominant multiset. The caller owns symmetrization (one explode
-      per row — see plans/node_graph._symmetrize_siblings, which does
-      it between the store's range exchange and its within-partition
-      sort, so detection, staging, and the range shuffle all move
-      half the rows while the published store stays the full
-      both-directions multiset). next/previous_sibling are emitted
-      identically in both modes: adjacency is detected on
-      |pos_a - pos_b| == 1 and re-oriented by position, so the
-      id-canonical join loses no adjacent pair.
+      groups larger than the cap are skipped BY THE PAIR JOIN ONLY
+      (adjacency is O(children) and always emitted — the cap is an
+      anti-quadratic guard, not a semantic filter). OFF by default
+      for reference parity.
+    - ``emit_sibling_pairs=False`` omits the 'sibling' pair multiset
+      (and its quadratic join) entirely — together with
+      ``max_siblings`` this is the node-graph store build's two-tier
+      split: small groups' pairs ride detection/staging (O(k²) but
+      small), FAT groups' pairs are generated from O(children)
+      member-list slices INSIDE the store's final write tasks
+      (plans/node_graph._sibling_slices), so nothing upstream of the
+      write ever moves or materializes a hot parent's k² multiset.
     """
     with_parent = nodes.filter(F.col("parent_id").isNotNull())
 
@@ -124,83 +129,23 @@ def structural_relationships(
     )
 
     sib = with_parent.select("document_id", "parent_id", "id", "position")
-    if max_siblings is not None:
-        counts = sib.groupBy("document_id", "parent_id").agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        sib = (
-            sib.join(counts, ["document_id", "parent_id"])
-            .filter(F.col("__n") <= max_siblings)
-            .drop("__n")
-        )
-
     a = sib.alias("a")
     b = sib.alias("b")
-    # id-canonical join: each unordered pair exactly once. The
-    # both-directions (parity) output is derived from it by a cheap
-    # union instead of a second quadratic join.
-    pairs = a.join(
+
+    # strict pos+1 adjacency as an EQUI-join (hash join on
+    # (document_id, parent_id, position+1), O(children) output):
+    # identical multiset to filtering the all-pairs join on
+    # (b.position - a.position == 1), at none of its quadratic cost
+    adjacent = a.join(
         b,
         (F.col("a.document_id") == F.col("b.document_id"))
         & (F.col("a.parent_id") == F.col("b.parent_id"))
-        & (F.col("a.id") < F.col("b.id")),
+        & (F.col("a.position") + 1 == F.col("b.position")),
     )
-
-    if canonical_siblings:
-        siblings = pairs.select(
-            *_rel(
-                F.col("a.id"),
-                F.col("b.id"),
-                "sibling",
-                None,
-                F.lit(1.0),
-                F.col("a.document_id"),
-            )
-        )
-    else:
-        # both directions from the single canonical join via ONE
-        # explode per pair row (a union of two projections would
-        # re-execute the quadratic join per branch)
-        siblings = pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("a.id").alias("s"), F.col("b.id").alias("t")
-                    ),
-                    F.struct(
-                        F.col("b.id").alias("s"), F.col("a.id").alias("t")
-                    ),
-                )
-            ).alias("__p"),
-            F.col("a.document_id").alias("__doc"),
-        ).select(
-            *_rel(
-                F.col("__p.s"),
-                F.col("__p.t"),
-                "sibling",
-                None,
-                F.lit(1.0),
-                F.col("__doc"),
-            )
-        )
-
-    # adjacency on |Δposition| == 1 (either direction of the
-    # id-canonical pair), re-oriented by position: next points at the
-    # larger position, previous at the smaller — identical rows to
-    # the old both-directions join's (b.pos - a.pos == 1) filter
-    adjacent = pairs.filter(
-        F.abs(F.col("b.position") - F.col("a.position")) == 1
-    )
-    lo_id = F.when(
-        F.col("a.position") < F.col("b.position"), F.col("a.id")
-    ).otherwise(F.col("b.id"))
-    hi_id = F.when(
-        F.col("a.position") < F.col("b.position"), F.col("b.id")
-    ).otherwise(F.col("a.id"))
     next_sib = adjacent.select(
         *_rel(
-            lo_id,
-            hi_id,
+            F.col("a.id"),
+            F.col("b.id"),
             "next_sibling",
             None,
             F.lit(1.0),
@@ -209,8 +154,8 @@ def structural_relationships(
     )
     prev_sib = adjacent.select(
         *_rel(
-            hi_id,
-            lo_id,
+            F.col("b.id"),
+            F.col("a.id"),
             "previous_sibling",
             None,
             F.lit(1.0),
@@ -218,9 +163,58 @@ def structural_relationships(
         )
     )
 
-    return parent_child.unionByName(child_parent).unionByName(siblings).unionByName(
+    out = parent_child.unionByName(child_parent).unionByName(
         next_sib
     ).unionByName(prev_sib)
+    if not emit_sibling_pairs:
+        return out
+
+    # the anti-quadratic cap applies to the PAIR join only (adjacency
+    # above is O(children) and exempt)
+    ps = sib
+    if max_siblings is not None:
+        counts = ps.groupBy("document_id", "parent_id").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        ps = (
+            ps.join(counts, ["document_id", "parent_id"])
+            .filter(F.col("__n") <= max_siblings)
+            .drop("__n")
+        )
+    pa = ps.alias("a")
+    pb = ps.alias("b")
+    # id-canonical join: each unordered pair exactly once, then both
+    # directions from ONE explode per pair row (a union of two
+    # projections would re-execute the quadratic join per branch)
+    pairs = pa.join(
+        pb,
+        (F.col("a.document_id") == F.col("b.document_id"))
+        & (F.col("a.parent_id") == F.col("b.parent_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    siblings = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a.id").alias("s"), F.col("b.id").alias("t")
+                ),
+                F.struct(
+                    F.col("b.id").alias("s"), F.col("a.id").alias("t")
+                ),
+            )
+        ).alias("__p"),
+        F.col("a.document_id").alias("__doc"),
+    ).select(
+        *_rel(
+            F.col("__p.s"),
+            F.col("__p.t"),
+            "sibling",
+            None,
+            F.lit(1.0),
+            F.col("__doc"),
+        )
+    )
+    return out.unionByName(siblings)
 
 
 def _properties_with_document(nodes: DataFrame, properties: DataFrame) -> DataFrame:
@@ -427,15 +421,20 @@ def detect_all_relationships(
     nodes: DataFrame,
     properties: DataFrame,
     include_examples: bool = False,
-    canonical_siblings: bool = False,
+    emit_sibling_pairs: bool = True,
+    max_siblings: int | None = None,
 ) -> DataFrame:
     """The reference's default detector registers the structural and
     attribute-reference adapters (main.rb:104-110); the example
-    adapters are opt-in. ``canonical_siblings`` passes through to
-    structural_relationships — the store build stages half the
-    sibling multiset and symmetrizes after its range exchange."""
+    adapters are opt-in. ``emit_sibling_pairs`` / ``max_siblings``
+    pass through to structural_relationships — the store build caps
+    the staged pair join at the two-tier split point and generates
+    hot parents' k² sibling multisets inside its final write tasks
+    instead of routing them through detection."""
     out = structural_relationships(
-        nodes, canonical_siblings=canonical_siblings
+        nodes,
+        max_siblings=max_siblings,
+        emit_sibling_pairs=emit_sibling_pairs,
     ).unionByName(attribute_references(nodes, properties))
     if include_examples:
         out = (

@@ -397,46 +397,100 @@ _PR_SAMPLE_KEEP = 3
 # level without partitionBy's dynamic-partition sort.
 
 
-def _symmetrize_siblings(df: DataFrame) -> DataFrame:
-    """Restore both directions of the id-canonical sibling rows with
-    ONE explode per row (non-sibling rows pass through a 1-element
-    array). Placed between the store build's range exchange and its
-    within-partition sort: Generate is a narrow operator, so the
-    RangePartitioning survives and no second shuffle ever sees the
-    doubled multiset. Confidence/attribute/document are direction-
-    independent (structural_adapter.rb writes identical metadata on
-    both rows), so only (source, target) swap."""
-    both = F.array(
-        F.struct(
-            F.col("source_node_id").alias("s"),
-            F.col("target_node_id").alias("t"),
-        ),
-        F.struct(
-            F.col("target_node_id").alias("s"),
-            F.col("source_node_id").alias("t"),
-        ),
+# target pair rows per sibling slice (and per sort task): bounds the
+# per-task sort buffer regardless of data scale — the same ~2M-row
+# budget the non-sibling range write uses
+_SIB_ROWS_PER_SLICE = 2_000_000
+
+# two-tier split point: groups with more members than this are FAT
+# and go through the slice path; smaller groups' pairs (<= ~1M rows
+# per group) ride detection/staging like any other reference type.
+# The split is what makes the fat slices' range partitioning balanced
+# BY CONSTRUCTION: fat slices are uniform (~_SIB_ROWS_PER_SLICE pairs
+# each), so partitioning them by slice count IS partitioning by pair
+# count. A single mixed-tier slice table measured catastrophically at
+# sf1: 1.5M skinny order-group slices (~12 pairs) dominated the range
+# sampler while 525 nation slices carried 2M pairs each — boundaries
+# landed in the skinny id range and a couple of tasks sorted ~500M
+# rows (1228s build vs 568s; the r8 GC-thrash lesson re-learned).
+_SIB_FAT_K = 1000
+
+
+def _sibling_slices(nodes: DataFrame) -> DataFrame:
+    """The FAT parent groups' sibling-pair multiset in O(children)
+    form: one row per (fat group, source-chunk) carrying
+    (document_id, chunk, members, min_source). A hot parent's k²
+    pair rows NEVER exist upstream of the store's final write — each
+    slice expands to ~_SIB_ROWS_PER_SLICE pairs (chunk sources × all
+    members) inside the write task itself (_sibling_rows), so
+    detection, staging, and the range shuffle move member LISTS
+    (Σk ids), not pair rows (Σk² — 530M rows and ~210s of range
+    shuffle at sf1, measured before this design).
+
+    Chunking: a parent with k members yields ceil(k²/R) slices of
+    ceil(k/ceil(k²/R)) sorted member ids each; min_source (the
+    chunk's first id) is the range-partition key, so every write
+    task receives slices whose pair SOURCES fall in its key range —
+    the within-partition sort then gives each file the same tight
+    per-row-group source bounds the non-sibling dirs get.
+
+    Scale note: a slice row is O(k) (the member list rides along for
+    the target side) — a 10M-child hot parent would make ~50 GB of
+    slice rows; the max_siblings guard exists for exactly that
+    corpus, same trade as ngram_jaccard's max_df."""
+    with_parent = nodes.filter(F.col("parent_id").isNotNull())
+    groups = (
+        with_parent.groupBy("document_id", "parent_id")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .filter(F.size("members") > _SIB_FAT_K)
     )
-    one = F.array(
-        F.struct(
-            F.col("source_node_id").alias("s"),
-            F.col("target_node_id").alias("t"),
+    k = F.size("members")
+    n_chunks = F.ceil(
+        (k.cast("double") * k) / F.lit(float(_SIB_ROWS_PER_SLICE))
+    ).cast("int")
+    chunk_size = F.ceil(k / n_chunks).cast("int")
+    return (
+        groups.select(
+            "document_id",
+            "members",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(
+                        F.col("members"), i * chunk_size + 1, chunk_size
+                    ),
+                )
+            ).alias("chunk"),
         )
+        # ceil rounding can leave an empty trailing chunk
+        .filter(F.size("chunk") > 0)
+        .withColumn("min_source", F.element_at("chunk", 1))
     )
-    return df.select(
-        F.explode(
-            F.when(F.col("reference_type") == "sibling", both).otherwise(one)
-        ).alias("__p"),
-        "reference_type",
-        "attribute_name",
-        "confidence",
-        "document_id",
-    ).select(
-        F.col("__p.s").alias("source_node_id"),
-        F.col("__p.t").alias("target_node_id"),
-        "reference_type",
-        "attribute_name",
-        "confidence",
-        "document_id",
+
+
+def _sibling_rows(slices: DataFrame) -> DataFrame:
+    """Expand slices to the full both-directions sibling pair rows
+    (reference parity: structural_adapter.rb's i<j loop writes both
+    directions with identical metadata). Two chained explodes —
+    codegen'd Generates, no shuffle — so the k² multiset first
+    exists inside the consuming task."""
+    return (
+        slices.select(
+            "document_id", "members", F.explode("chunk").alias("source_node_id")
+        )
+        .select(
+            "document_id",
+            "source_node_id",
+            F.explode("members").alias("target_node_id"),
+        )
+        .filter(F.col("source_node_id") != F.col("target_node_id"))
+        .select(
+            "source_node_id",
+            "target_node_id",
+            F.lit(None).cast("string").alias("attribute_name"),
+            F.lit(1.0).alias("confidence"),
+            "document_id",
+        )
     )
 
 
@@ -543,55 +597,75 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         #
         # STAGED, not fused: repartitionByRange SAMPLES its child to
         # estimate range boundaries — fused, that re-executed the
-        # whole detection pipeline (sibling windows and all) a second
-        # time for the sample job. Staging the detection output to
-        # plain parquet once makes the sampling pass a cheap
-        # column-pruned scan, and gives a cheap exact row count to
-        # size the sort partitions with (a fixed 32 meant ~5.6M-row
-        # per-partition sorts at sf1 — the GC-thrash source in the
-        # 10x scaling run; ~2M rows per sort partition keeps each
-        # task's sort buffer flat as data grows).
+        # whole detection pipeline a second time for the sample job.
+        # Staging to plain parquet once makes the sampling pass a
+        # cheap column-pruned scan, and gives a free exact row count
+        # to size the sort partitions with (~2M rows per sort
+        # partition keeps each task's sort buffer flat as data
+        # grows).
         #
-        # CANONICAL sibling staging (r9): detection emits each
-        # unordered sibling pair ONCE (id-ordered), so the detection
-        # join output, the staged write+read, and the range shuffle
-        # all move HALF the dominant multiset (61x input growth at
-        # sf1 made sibling pairs ~1B of the 1.1B staged rows). The
-        # missing directions are restored by _symmetrize_siblings —
-        # ONE explode per row placed ABOVE the range exchange and
-        # BELOW the within-partition sort, so the published store is
-        # still the FULL both-directions multiset: a bare
-        # type-partitioned parquet scan, every file internally
-        # sorted by source_node_id (the explode doubles rows inside
-        # each range partition; the sort then orders them, so row-
-        # group min/max stay tight and point filters prune exactly
-        # as before — pinned by test_xref_store_sorted_by_source).
+        # A FAT parent's sibling multiset never exists upstream of
+        # its write (r9, two-tier): detection stages the O(children)
+        # reference types PLUS the small groups' sibling pairs
+        # (max_siblings=_SIB_FAT_K caps the staged pair join at ~1M
+        # rows per group); hot parents' pairs ship as member-list
+        # SLICES (_sibling_slices — Σk ids instead of Σk² pair rows)
+        # and expand to rows INSIDE the final write tasks
+        # (_sibling_rows). Measured at sf1 (61x adversarial multiset,
+        # 1.06B sibling rows, 97% from 25 hot dimension parents): the
+        # r8 design paid ~120s staging the pair rows and ~210s
+        # range-shuffling them; the two-tier build stages 59M rows
+        # and shuffles slice rows. The published store is unchanged:
+        # the fat pairs append into the same reference_type=sibling
+        # leaf dir, range-partitioned by the slices' min_source and
+        # sorted by source within partitions, so every file keeps the
+        # same tight per-row-group source bounds as the other dirs
+        # (pinned by test_xref_store_sorted_by_source).
         par = spark.sparkContext.defaultParallelism
         R.detect_all_relationships(
-            nodes_tmp, props_tmp, canonical_siblings=True
+            nodes_tmp, props_tmp, max_siblings=_SIB_FAT_K
         ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
         staged = spark.read.parquet(f"{tmp}/xrefs_staged")
-        # one cheap single-column aggregate: final row count =
-        # staged + sibling (each canonical sibling row doubles)
-        type_counts = {
-            r["reference_type"]: r["n"]
-            for r in staged.groupBy("reference_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_xrefs = sum(type_counts.values()) + type_counts.get("sibling", 0)
-        sort_parts = max(par, -(-n_xrefs // 2_000_000))
+        _sibling_slices(nodes_tmp).write.mode("overwrite").parquet(
+            f"{tmp}/sib_slices"
+        )
+        slices = spark.read.parquet(f"{tmp}/sib_slices")
+        n_staged = staged.count()  # parquet footer metadata — free
+        n_fat = (
+            slices.agg(
+                F.sum(
+                    F.size("chunk").cast("long")
+                    * (F.size("members") - 1)
+                ).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        sort_parts = max(par, -(-n_staged // 2_000_000))
         (
-            _symmetrize_siblings(
-                staged.repartitionByRange(
-                    sort_parts, "reference_type", "source_node_id"
-                )
+            staged.repartitionByRange(
+                sort_parts, "reference_type", "source_node_id"
             )
             .sortWithinPartitions("reference_type", "source_node_id")
             .write.mode("overwrite")
             .partitionBy("reference_type")
             .parquet(f"{tmp}/xrefs")
         )
+        if n_fat:
+            # fat slices are uniform (~_SIB_ROWS_PER_SLICE pairs), so
+            # the range partitioning is balanced by construction; the
+            # append lands in the partitioned tree's sibling leaf dir
+            # (directory-based partition discovery reads
+            # reference_type=sibling from the path, exactly like the
+            # dynamic-partition writer's own output)
+            sib_parts = max(par, -(-n_fat // _SIB_ROWS_PER_SLICE))
+            (
+                _sibling_rows(
+                    slices.repartitionByRange(sib_parts, "min_source")
+                )
+                .sortWithinPartitions("source_node_id")
+                .write.mode("append")
+                .parquet(f"{tmp}/xrefs/reference_type=sibling")
+            )
         # the EXAMPLE multi-reference adapter's output, cached
         # SEPARATELY from the main store: the store itself keeps
         # exact parity with the reference's default registration
@@ -673,12 +747,13 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             .write.mode("overwrite")
             .parquet(f"{tmp}/pr_spine")
         )
-        # the unsorted staging copy served the range sampling and the
-        # row count; shipping it in the published entry would double
+        # the staging copies served the range sampling and the row
+        # counts; shipping them in the published entry would bloat
         # the store's disk footprint
         import shutil as _sh
 
         _sh.rmtree(f"{tmp}/xrefs_staged", ignore_errors=True)
+        _sh.rmtree(f"{tmp}/sib_slices", ignore_errors=True)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
