@@ -287,3 +287,75 @@ def test_sibling_slices_chunking_bounds_and_covers(spark):
     finally:
         NG._SIB_ROWS_PER_SLICE = old
         NG._SIB_FAT_K = old_k
+
+
+def test_analytic_fat_degrees_match_full_aggregation(spark):
+    """The store's degree table adds a FAT group's contribution
+    analytically (k-1 out + k-1 in per member) instead of scanning
+    the written multiset — must equal the degree aggregation of the
+    full parity detection output. Forced low split point so sf0.001
+    exercises the analytic tier."""
+    from pyspark.sql import functions as F
+
+    import xml_to_sqlite3_spark.plans.node_graph as NG
+
+    sf = "/root/testdata/sf0.001"
+    nodes = NG.build_nodes(spark, sf)
+    props = NG.build_properties(spark, sf)
+
+    def degs(df):
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("source_node_id").alias("id"),
+                            F.lit(1).cast("long").alias("o"),
+                            F.lit(0).cast("long").alias("i"),
+                        ),
+                        F.struct(
+                            F.col("target_node_id").alias("id"),
+                            F.lit(0).cast("long").alias("o"),
+                            F.lit(1).cast("long").alias("i"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
+            .groupBy("id")
+            .agg(F.sum("o").alias("out_cnt"), F.sum("i").alias("in_cnt"))
+        )
+
+    want = {r["id"]: (r["out_cnt"], r["in_cnt"])
+            for r in degs(R.detect_all_relationships(nodes, props)).collect()}
+    old = NG._SIB_FAT_K
+    NG._SIB_FAT_K = 10
+    try:
+        staged = R.detect_all_relationships(nodes, props, max_siblings=10)
+        slices = NG._sibling_slices(nodes)
+        # same c*(k-c) construction as the build (handles the
+        # duplicate ids the driver tables carry)
+        cd = F.col("c") * (F.col("k") - F.col("c"))
+        fat = (
+            slices.select(
+                "document_id",
+                "parent_id",
+                F.size("members").alias("k"),
+                F.explode("chunk").alias("id"),
+            )
+            .groupBy("document_id", "parent_id", "k", "id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select("id", cd.cast("long").alias("o"), cd.cast("long").alias("i"))
+        )
+        got = {
+            r["id"]: (r["out_cnt"], r["in_cnt"])
+            for r in degs(staged)
+            .select("id", F.col("out_cnt").alias("o"), F.col("in_cnt").alias("i"))
+            .unionByName(fat)
+            .groupBy("id")
+            .agg(F.sum("o").alias("out_cnt"), F.sum("i").alias("in_cnt"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        NG._SIB_FAT_K = old

@@ -373,6 +373,7 @@ _MULTI_XREF_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TRI_ORIENTED_CACHE: dict[tuple[int, str], DataFrame] = {}
 _PR_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
 _PR_SPINE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DEGREES_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
 
 # the pagerank gate's deterministic edge subsample (xxhash64 mod 10
@@ -452,6 +453,7 @@ def _sibling_slices(nodes: DataFrame) -> DataFrame:
     return (
         groups.select(
             "document_id",
+            "parent_id",
             "members",
             F.explode(
                 F.transform(
@@ -729,6 +731,68 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             )
             .dropDuplicates(["src", "dst"])
         )
+        # full-graph degree table (id, out_cnt, in_cnt) — the
+        # aggregate most_connected / node_connection_counts otherwise
+        # recompute over the full multiset per query (34s at sf1, and
+        # the bench's noisiest row at sf0.1: the 1.4M-row count
+        # table's broadcast was GC-sensitive, 3-16s run to run). A
+        # pure function of the xref table, so it rides the content
+        # key like tri_oriented/pr_spine — but computed WITHOUT
+        # re-scanning the written multiset: the staged (O(children))
+        # rows aggregate directly, and a FAT group's contribution is
+        # ANALYTIC — an id with multiplicity c in a k-member group
+        # (the driver's tables DO carry duplicate ids) pairs with
+        # every non-equal member row, giving out = in = c*(k-c) at
+        # the id level; one O(members) aggregate off the slice table
+        # (a full-store pass measured ~50s at sf1; this is ~8s).
+        staged_deg = (
+            staged.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("source_node_id").alias("id"),
+                            F.lit(1).cast("long").alias("o"),
+                            F.lit(0).cast("long").alias("i"),
+                        ),
+                        F.struct(
+                            F.col("target_node_id").alias("id"),
+                            F.lit(0).cast("long").alias("o"),
+                            F.lit(1).cast("long").alias("i"),
+                        ),
+                    )
+                ).alias("e")
+            ).select("e.*")
+        )
+        fat_cd = F.col("c") * (F.col("k") - F.col("c"))
+        fat_deg = (
+            slices.select(
+                "document_id",
+                "parent_id",
+                F.size("members").alias("k"),
+                F.explode("chunk").alias("id"),
+            )
+            # chunks cover each member ROW exactly once, so the count
+            # is the id's multiplicity c within its (doc, parent)
+            # group; ids can repeat under DIFFERENT parents too, so
+            # the group key stays in until the final id-level sum
+            .groupBy("document_id", "parent_id", "k", "id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "id",
+                fat_cd.cast("long").alias("o"),
+                fat_cd.cast("long").alias("i"),
+            )
+        )
+        (
+            staged_deg.unionByName(fat_deg)
+            .groupBy("id")
+            .agg(
+                F.sum("o").alias("out_cnt"),
+                F.sum("i").alias("in_cnt"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/degrees")
+        )
         pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges")
         pr_e_back = spark.read.parquet(f"{tmp}/pr_edges")
         (
@@ -774,6 +838,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         "tri_oriented",
         "pr_edges",
         "pr_spine",
+        "degrees",
     ):
         spark.catalog.refreshByPath(f"{final}/{sub}")
     nodes = spark.read.parquet(f"{final}/nodes")
@@ -784,6 +849,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     _TRI_ORIENTED_CACHE[key] = spark.read.parquet(f"{final}/tri_oriented")
     _PR_EDGES_CACHE[key] = spark.read.parquet(f"{final}/pr_edges")
     _PR_SPINE_CACHE[key] = spark.read.parquet(f"{final}/pr_spine")
+    _DEGREES_CACHE[key] = spark.read.parquet(f"{final}/degrees")
     return _GRAPH_CACHE[key]
 
 
@@ -826,6 +892,16 @@ def get_pr_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PR_SPINE_CACHE[key]
 
 
+def get_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-graph (id, out_cnt, in_cnt) degree table, persisted
+    in the store (one build-time pass over the xref multiset; nodes
+    with no references are absent — consumers left-join + coalesce)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEGREES_CACHE:
+        get_graph(spark, sf_dir)
+    return _DEGREES_CACHE[key]
+
+
 def clear_graph_cache() -> None:
     """Drop the in-session handles AND the on-disk entries THIS
     session BUILT (tests use this to force a rebuild). Attached-only
@@ -838,6 +914,7 @@ def clear_graph_cache() -> None:
     _TRI_ORIENTED_CACHE.clear()
     _PR_EDGES_CACHE.clear()
     _PR_SPINE_CACHE.clear()
+    _DEGREES_CACHE.clear()
     while _GRAPH_CACHE_DIRS:
         shutil.rmtree(_GRAPH_CACHE_DIRS.pop(), ignore_errors=True)
 
@@ -1088,26 +1165,23 @@ def node_connection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """examples/sql_queries.md 'Node relationship counts' (restricted
     to customer nodes to keep the gate's result bounded; the pattern
     is identical for all types)."""
-    all_nodes, _, xrefs = get_graph(spark, sf_dir)
+    all_nodes, _, _ = get_graph(spark, sf_dir)
     nodes = all_nodes.filter(F.col("node_type") == "customer")
-    outgoing = xrefs.groupBy(F.col("source_node_id").alias("id")).agg(
-        F.count(F.lit(1)).alias("outgoing_relationships")
-    )
-    incoming = xrefs.groupBy(F.col("target_node_id").alias("id")).agg(
-        F.count(F.lit(1)).alias("incoming_relationships")
-    )
+    # the per-node counts come from the store's persisted degree
+    # table (one build-time pass over the multiset) — the query is a
+    # node-domain-sized join, never a 1.1B-row re-aggregation
+    deg = get_degrees(spark, sf_dir)
     return (
         nodes.select("id", "node_type")
-        .join(outgoing, "id", "left")
-        .join(incoming, "id", "left")
+        .join(deg, "id", "left")
         .select(
             "id",
             "node_type",
-            F.coalesce("outgoing_relationships", F.lit(0)).alias("outgoing_relationships"),
-            F.coalesce("incoming_relationships", F.lit(0)).alias("incoming_relationships"),
+            F.coalesce("out_cnt", F.lit(0)).alias("outgoing_relationships"),
+            F.coalesce("in_cnt", F.lit(0)).alias("incoming_relationships"),
             (
-                F.coalesce("outgoing_relationships", F.lit(0))
-                + F.coalesce("incoming_relationships", F.lit(0))
+                F.coalesce("out_cnt", F.lit(0))
+                + F.coalesce("in_cnt", F.lit(0))
             ).alias("total_relationships"),
         )
     )
@@ -1129,24 +1203,20 @@ WHERE n.node_type = 'customer'
 
 def most_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """examples/sql_queries.md 'Most connected nodes' top-10."""
-    nodes, _, xrefs = get_graph(spark, sf_dir)
-    # one scan, not union-of-two: explode both endpoints in-task,
-    # then a single map-side-combinable count
-    touches = (
-        xrefs.select(
-            F.explode(F.array("source_node_id", "target_node_id")).alias("id")
-        )
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("connection_count"))
+    nodes, _, _ = get_graph(spark, sf_dir)
+    # connection_count = out + in from the store's persisted degree
+    # table: the query is a TakeOrdered over the node-domain-sized
+    # table instead of re-aggregating the full multiset per call
+    # (34s at sf1; at sf0.1 the old count-table broadcast was the
+    # bench's noisiest row, 3-16s run to run).
+    touches = get_degrees(spark, sf_dir).select(
+        "id", (F.col("out_cnt") + F.col("in_cnt")).alias("connection_count")
     )
     # cut to top-10 BEFORE the node join: every xref endpoint resolves
     # in nodes by detector construction (structural endpoints ARE
     # nodes; attribute references require the target to exist), so
     # the pre-limit is exactly the post-join limit — and the join
-    # becomes a 10-row broadcast instead of shipping the ~1.4M-row
-    # count table (the 100MB+ BroadcastExchange was this query's
-    # whole cost, and its GC sensitivity made it the bench's
-    # noisiest row: 3-16s run to run).
+    # becomes a 10-row broadcast.
     top = touches.orderBy(F.desc("connection_count"), "id").limit(10)
     return (
         nodes.join(F.broadcast(top), "id")
