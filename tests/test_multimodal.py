@@ -482,9 +482,30 @@ def test_audio_metadata_truncated_wav_nulls_not_task_abort(spark):
             meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format=None),
         ),
     ]
+    # a STRUCTURALLY valid wav whose fmt chunk declares sample_rate=0:
+    # the failure fires AFTER the rate is known (duration divides by
+    # it) — the per-row appends must stay aligned so the good row
+    # beside it still reports (r9 review finding)
+    import struct
+
+    zero_rate = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    good = rows[0]  # truncated wav (nulls)
+    rows = [
+        Row(
+            media_id=42, kind="audio", data=zero_rate,
+            meta=Row(width=None, height=None, sample_rate=None, duration_ms=None, format="wav"),
+        ),
+        good,
+        rows[1],
+    ]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     out = {r["media_id"]: r.asDict() for r in M.audio_metadata(df).collect()}
-    for mid in (40, 41):
+    assert len(out) == 3
+    for mid in (40, 41, 42):
         assert out[mid]["sample_rate_real"] is None
         assert out[mid]["duration_ms_real"] is None
         assert out[mid]["n_channels"] is None

@@ -213,7 +213,8 @@ def test_store_build_decomposition_is_identical_multiset(spark):
     old = NG._SIB_FAT_K
     NG._SIB_FAT_K = 10
     try:
-        fat = NG._sibling_rows(NG._sibling_slices(nodes))
+        grp = NG._sibling_groups(nodes)
+        fat = NG._sibling_rows(NG._sibling_slices(grp), grp)
         # both tiers must be non-trivial at this split point
         assert fat.limit(1).count() == 1
         rebuilt = R.detect_all_relationships(
@@ -265,7 +266,8 @@ def test_sibling_slices_chunking_bounds_and_covers(spark):
     NG._SIB_ROWS_PER_SLICE = 100  # force multi-chunk groups
     NG._SIB_FAT_K = 1  # every k>=2 group is "fat" for this test
     try:
-        got = NG._sibling_slices(nodes)
+        grp = NG._sibling_groups(nodes)
+        got = NG._sibling_slices(grp)
         # every member appears in exactly one chunk of its group
         chunk_ids = got.select(F.explode("chunk").alias("m"))
         dup = chunk_ids.groupBy("m").count().filter(F.col("count") != 1).count()
@@ -274,12 +276,14 @@ def test_sibling_slices_chunking_bounds_and_covers(spark):
         # slice expansion bound: |chunk| * (k-1) <= budget (k=50 ->
         # 2500 pairs > 100 forces chunking)
         over = got.filter(
-            F.size("chunk") * (F.size("members") - 1)
-            > NG._SIB_ROWS_PER_SLICE + F.size("members")
+            F.size("chunk") * (F.col("k") - 1)
+            > NG._SIB_ROWS_PER_SLICE + F.col("k")
         ).count()
         assert over == 0
         # pair multiset equals the direct quadratic join
-        pairs = NG._sibling_rows(got).select("source_node_id", "target_node_id")
+        pairs = NG._sibling_rows(got, grp).select(
+            "source_node_id", "target_node_id"
+        )
         n = pairs.count()
         assert pairs.distinct().count() == n
         expect = sum(k * (k - 1) for k in (2, 3, 7, 50))
@@ -332,7 +336,7 @@ def test_analytic_fat_degrees_match_full_aggregation(spark):
     NG._SIB_FAT_K = 10
     try:
         staged = R.detect_all_relationships(nodes, props, max_siblings=10)
-        slices = NG._sibling_slices(nodes)
+        slices = NG._sibling_slices(NG._sibling_groups(nodes))
         # same c*(k-c) construction as the build (handles the
         # duplicate ids the driver tables carry)
         cd = F.col("c") * (F.col("k") - F.col("c"))
@@ -340,7 +344,7 @@ def test_analytic_fat_degrees_match_full_aggregation(spark):
             slices.select(
                 "document_id",
                 "parent_id",
-                F.size("members").alias("k"),
+                "k",
                 F.explode("chunk").alias("id"),
             )
             .groupBy("document_id", "parent_id", "k", "id")

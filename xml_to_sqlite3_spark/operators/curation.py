@@ -1425,15 +1425,23 @@ def exact_percentiles(
     # makes the band quantiles PROVABLY containing below. The guard
     # makes that contract self-enforcing: a high-cardinality caller
     # fails loudly instead of collecting unbounded rows.
-    cnt_df = data.groupBy(*g).agg(F.count(F.lit(1)).alias("__n"))
-    if g and cnt_df.limit(_MAX_PCT_GROUPS + 1).count() > _MAX_PCT_GROUPS:
+    # ONE job serves both the guard and the counts: collect at most
+    # bound+1 rows — a second full aggregation just to count groups
+    # would double the count-pass I/O on a 100 TB column
+    cnt_rows = (
+        data.groupBy(*g)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(_MAX_PCT_GROUPS + 1)
+        .collect()
+    )
+    if g and len(cnt_rows) > _MAX_PCT_GROUPS:
         raise ValueError(
             f"exact_percentiles: more than {_MAX_PCT_GROUPS} groups for "
             f"group_cols={g!r} — this helper collects one row per group "
             "driver-side (model-sized groups only); pre-aggregate or "
             "bucket the grouping column first"
         )
-    counts = {tuple(r[c] for c in g) : r["__n"] for r in cnt_df.collect()}
+    counts = {tuple(r[c] for c in g): r["__n"] for r in cnt_rows}
     if not counts:
         empty_schema = T.StructType(
             [

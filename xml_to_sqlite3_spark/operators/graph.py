@@ -184,6 +184,25 @@ def reachable(
     return bfs_distances(edges, source, max_depth, src_col, dst_col).select("node")
 
 
+def out_degree_spine(e: DataFrame) -> DataFrame:
+    """(node, __deg) spine of a directed (src, dst) edge frame in ONE
+    shuffle: src rows carry a marker 1, dst rows 0; the groupBy both
+    enumerates every node and counts out-edges (count 0 -> NULL __deg
+    = dangling). Shared by pagerank's inline prep and the node-graph
+    store's persisted pr_spine — the dangling-node encoding must stay
+    identical in both."""
+    return (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("m"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("m")))
+        .groupBy("node")
+        .agg(F.sum("m").alias("__cnt"))
+        .select(
+            "node",
+            F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("__deg"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -285,20 +304,7 @@ def pagerank(
                 .localCheckpoint(eager=False)
             )
         else:
-            # (node, out-degree) spine in ONE shuffle: src rows carry a
-            # marker 1, dst rows 0; the groupBy both enumerates every
-            # node and counts out-edges (count 0 -> null = dangling)
-            spine = (
-                e.select(F.col("src").alias("node"), F.lit(1).alias("m"))
-                .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("m")))
-                .groupBy("node")
-                .agg(F.sum("m").alias("__cnt"))
-                .select(
-                    "node",
-                    F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("__deg"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            spine = out_degree_spine(e).localCheckpoint(eager=False)
         n_total = spine.count()
         if n_total == 0:
             # empty graph degrades to an empty result like bfs/triangles

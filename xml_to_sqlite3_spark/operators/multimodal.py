@@ -236,21 +236,27 @@ def audio_metadata(df: DataFrame) -> DataFrame:
             rates, durs, chans, kbps = [], [], [], []
             for data, meta in zip(pdf["data"], pdf["meta"]):
                 fmt = ((meta["format"] if meta is not None else "") or "").lower()
+                # compute ALL four values inside the try and append
+                # ONCE after: appending as we go would leave the lists
+                # misaligned when a later expression raises (e.g. a
+                # declared sample_rate of 0 divides by zero AFTER the
+                # rate was already appended) — pdf.assign would then
+                # abort the batch on a length mismatch, violating the
+                # nulls-not-task-abort contract
                 try:
                     if fmt in ("wav", "wave", ""):
                         x, rate = codecs.decode_wav(bytes(data))
-                        rates.append(rate)
                         # half-up for SQL round() parity (see
                         # parse_mp3_metadata's note)
-                        durs.append(int(len(x) / rate * 1000 + 0.5))
-                        chans.append(x.shape[1])
-                        kbps.append(None)
+                        row = (rate, int(len(x) / rate * 1000 + 0.5), x.shape[1], None)
                     elif fmt in ("mp3", "mpga", "mpeg"):
                         m = codecs.parse_mp3_metadata(bytes(data))
-                        rates.append(m["sample_rate"])
-                        durs.append(m["duration_ms"])
-                        chans.append(m["n_channels"])
-                        kbps.append(m["bitrate_kbps"])
+                        row = (
+                            m["sample_rate"],
+                            m["duration_ms"],
+                            m["n_channels"],
+                            m["bitrate_kbps"],
+                        )
                     else:
                         raise ValueError(f"no metadata parser for {fmt!r}")
                 # broad by design: a truncated RIFF chunk raises
@@ -258,10 +264,11 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                 # the nulls-not-task-abort contract must hold for ANY
                 # malformed row in a mixed 100 TB corpus
                 except Exception:
-                    rates.append(None)
-                    durs.append(None)
-                    chans.append(None)
-                    kbps.append(None)
+                    row = (None, None, None, None)
+                rates.append(row[0])
+                durs.append(row[1])
+                chans.append(row[2])
+                kbps.append(row[3])
             yield pdf.assign(
                 sample_rate_real=pd.array(rates, dtype="Int32"),
                 duration_ms_real=pd.array(durs, dtype="Int32"),

@@ -72,7 +72,6 @@ def _name_contains_any(name_col, indicators) -> F.Column:
 def structural_relationships(
     nodes: DataFrame,
     max_siblings: int | None = None,
-    emit_sibling_pairs: bool = True,
 ) -> DataFrame:
     """Structural adapter (structural_adapter.rb): parent_child /
     child_parent projections plus sibling pair joins.
@@ -95,15 +94,13 @@ def structural_relationships(
       groups larger than the cap are skipped BY THE PAIR JOIN ONLY
       (adjacency is O(children) and always emitted — the cap is an
       anti-quadratic guard, not a semantic filter). OFF by default
-      for reference parity.
-    - ``emit_sibling_pairs=False`` omits the 'sibling' pair multiset
-      (and its quadratic join) entirely — together with
-      ``max_siblings`` this is the node-graph store build's two-tier
-      split: small groups' pairs ride detection/staging (O(k²) but
-      small), FAT groups' pairs are generated from O(children)
-      member-list slices INSIDE the store's final write tasks
-      (plans/node_graph._sibling_slices), so nothing upstream of the
-      write ever moves or materializes a hot parent's k² multiset.
+      for reference parity. The node-graph store build passes the
+      two-tier split point here: small groups' pairs ride
+      detection/staging (O(k²) but small), FAT groups' pairs are
+      generated from O(children) member-list slices INSIDE the
+      store's final write tasks (plans/node_graph._sibling_slices),
+      so nothing upstream of the write ever moves or materializes a
+      hot parent's k² multiset.
     """
     with_parent = nodes.filter(F.col("parent_id").isNotNull())
 
@@ -133,9 +130,14 @@ def structural_relationships(
     b = sib.alias("b")
 
     # strict pos+1 adjacency as an EQUI-join (hash join on
-    # (document_id, parent_id, position+1), O(children) output):
-    # identical multiset to filtering the all-pairs join on
-    # (b.position - a.position == 1), at none of its quadratic cost
+    # (document_id, parent_id, position+1), O(children) output) at
+    # none of the all-pairs join's quadratic cost. Deliberately NO
+    # id-inequality condition (the old pairs-derived adjacency had
+    # one): this matches the DuckDB oracle's adjacency definition
+    # (plans/node_graph.XREFS_SQL) exactly, and in the reference the
+    # case is unreachable — nodes.id is a PRIMARY KEY under INSERT OR
+    # REPLACE (db/migrate/001_create_base_schema.rb), so two rows
+    # sharing an id never coexist.
     adjacent = a.join(
         b,
         (F.col("a.document_id") == F.col("b.document_id"))
@@ -166,8 +168,6 @@ def structural_relationships(
     out = parent_child.unionByName(child_parent).unionByName(
         next_sib
     ).unionByName(prev_sib)
-    if not emit_sibling_pairs:
-        return out
 
     # the anti-quadratic cap applies to the PAIR join only (adjacency
     # above is O(children) and exempt)
@@ -421,20 +421,17 @@ def detect_all_relationships(
     nodes: DataFrame,
     properties: DataFrame,
     include_examples: bool = False,
-    emit_sibling_pairs: bool = True,
     max_siblings: int | None = None,
 ) -> DataFrame:
     """The reference's default detector registers the structural and
     attribute-reference adapters (main.rb:104-110); the example
-    adapters are opt-in. ``emit_sibling_pairs`` / ``max_siblings``
-    pass through to structural_relationships — the store build caps
-    the staged pair join at the two-tier split point and generates
-    hot parents' k² sibling multisets inside its final write tasks
-    instead of routing them through detection."""
+    adapters are opt-in. ``max_siblings`` passes through to
+    structural_relationships — the store build caps the staged pair
+    join at the two-tier split point and generates hot parents' k²
+    sibling multisets inside its final write tasks instead of
+    routing them through detection."""
     out = structural_relationships(
-        nodes,
-        max_siblings=max_siblings,
-        emit_sibling_pairs=emit_sibling_pairs,
+        nodes, max_siblings=max_siblings
     ).unionByName(attribute_references(nodes, properties))
     if include_examples:
         out = (

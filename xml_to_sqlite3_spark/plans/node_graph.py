@@ -417,34 +417,44 @@ _SIB_ROWS_PER_SLICE = 2_000_000
 _SIB_FAT_K = 1000
 
 
-def _sibling_slices(nodes: DataFrame) -> DataFrame:
-    """The FAT parent groups' sibling-pair multiset in O(children)
-    form: one row per (fat group, source-chunk) carrying
-    (document_id, chunk, members, min_source). A hot parent's k²
-    pair rows NEVER exist upstream of the store's final write — each
-    slice expands to ~_SIB_ROWS_PER_SLICE pairs (chunk sources × all
-    members) inside the write task itself (_sibling_rows), so
-    detection, staging, and the range shuffle move member LISTS
-    (Σk ids), not pair rows (Σk² — 530M rows and ~210s of range
-    shuffle at sf1, measured before this design).
+def _sibling_groups(nodes: DataFrame) -> DataFrame:
+    """(document_id, parent_id, members) for the FAT parent groups:
+    one row per parent whose child count exceeds the two-tier split
+    point, members sorted by id. Model-sized by nature (the hot tail
+    of the parent distribution — 25 rows at sf1); broadcast back
+    into the write tasks by _sibling_rows. A 10M-child hot parent
+    would make this a ~200 MB broadcast row — the max_siblings guard
+    exists for exactly that corpus, same trade as ngram_jaccard's
+    max_df."""
+    with_parent = nodes.filter(F.col("parent_id").isNotNull())
+    return (
+        with_parent.groupBy("document_id", "parent_id")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .filter(F.size("members") > _SIB_FAT_K)
+    )
+
+
+def _sibling_slices(groups: DataFrame) -> DataFrame:
+    """The FAT groups' sibling-pair multiset in O(children) form: one
+    row per (fat group, source-chunk) carrying (document_id,
+    parent_id, k, chunk, min_source) — deliberately WITHOUT the
+    members array, which rides in once per GROUP via a broadcast
+    join at expansion time (duplicating k members onto every one of
+    the ceil(k²/R) slices would make the slice table O(k³/R) ids for
+    a mega-parent). A hot parent's k² pair rows NEVER exist upstream
+    of the store's final write — each slice expands to
+    ~_SIB_ROWS_PER_SLICE pairs (chunk sources × all members) inside
+    the write task itself (_sibling_rows), so detection, staging,
+    and the range shuffle move member CHUNKS (Σk ids total), not
+    pair rows (Σk² — 530M rows and ~210s of range shuffle at sf1,
+    measured before this design).
 
     Chunking: a parent with k members yields ceil(k²/R) slices of
     ceil(k/ceil(k²/R)) sorted member ids each; min_source (the
     chunk's first id) is the range-partition key, so every write
     task receives slices whose pair SOURCES fall in its key range —
     the within-partition sort then gives each file the same tight
-    per-row-group source bounds the non-sibling dirs get.
-
-    Scale note: a slice row is O(k) (the member list rides along for
-    the target side) — a 10M-child hot parent would make ~50 GB of
-    slice rows; the max_siblings guard exists for exactly that
-    corpus, same trade as ngram_jaccard's max_df."""
-    with_parent = nodes.filter(F.col("parent_id").isNotNull())
-    groups = (
-        with_parent.groupBy("document_id", "parent_id")
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
-        .filter(F.size("members") > _SIB_FAT_K)
-    )
+    per-row-group source bounds the non-sibling dirs get."""
     k = F.size("members")
     n_chunks = F.ceil(
         (k.cast("double") * k) / F.lit(float(_SIB_ROWS_PER_SLICE))
@@ -454,7 +464,7 @@ def _sibling_slices(nodes: DataFrame) -> DataFrame:
         groups.select(
             "document_id",
             "parent_id",
-            "members",
+            k.alias("k"),
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), n_chunks - 1),
@@ -470,14 +480,22 @@ def _sibling_slices(nodes: DataFrame) -> DataFrame:
     )
 
 
-def _sibling_rows(slices: DataFrame) -> DataFrame:
+def _sibling_rows(slices: DataFrame, groups: DataFrame) -> DataFrame:
     """Expand slices to the full both-directions sibling pair rows
     (reference parity: structural_adapter.rb's i<j loop writes both
-    directions with identical metadata). Two chained explodes —
-    codegen'd Generates, no shuffle — so the k² multiset first
-    exists inside the consuming task."""
+    directions with identical metadata). The member list joins in
+    once per group by BROADCAST (narrow — the range partitioning of
+    the slices survives), then two chained explodes — codegen'd
+    Generates, no shuffle — so the k² multiset first exists inside
+    the consuming task."""
     return (
-        slices.select(
+        slices.join(
+            F.broadcast(
+                groups.select("document_id", "parent_id", "members")
+            ),
+            ["document_id", "parent_id"],
+        )
+        .select(
             "document_id", "members", F.explode("chunk").alias("source_node_id")
         )
         .select(
@@ -628,7 +646,11 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             nodes_tmp, props_tmp, max_siblings=_SIB_FAT_K
         ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
         staged = spark.read.parquet(f"{tmp}/xrefs_staged")
-        _sibling_slices(nodes_tmp).write.mode("overwrite").parquet(
+        _sibling_groups(nodes_tmp).write.mode("overwrite").parquet(
+            f"{tmp}/sib_groups"
+        )
+        groups = spark.read.parquet(f"{tmp}/sib_groups")
+        _sibling_slices(groups).write.mode("overwrite").parquet(
             f"{tmp}/sib_slices"
         )
         slices = spark.read.parquet(f"{tmp}/sib_slices")
@@ -636,13 +658,12 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         n_fat = (
             slices.agg(
                 F.sum(
-                    F.size("chunk").cast("long")
-                    * (F.size("members") - 1)
+                    F.size("chunk").cast("long") * (F.col("k") - 1)
                 ).alias("n")
             ).collect()[0]["n"]
             or 0
         )
-        sort_parts = max(par, -(-n_staged // 2_000_000))
+        sort_parts = max(par, -(-n_staged // _SIB_ROWS_PER_SLICE))
         (
             staged.repartitionByRange(
                 sort_parts, "reference_type", "source_node_id"
@@ -662,7 +683,8 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             sib_parts = max(par, -(-n_fat // _SIB_ROWS_PER_SLICE))
             (
                 _sibling_rows(
-                    slices.repartitionByRange(sib_parts, "min_source")
+                    slices.repartitionByRange(sib_parts, "min_source"),
+                    groups,
                 )
                 .sortWithinPartitions("source_node_id")
                 .write.mode("append")
@@ -768,7 +790,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             slices.select(
                 "document_id",
                 "parent_id",
-                F.size("members").alias("k"),
+                "k",
                 F.explode("chunk").alias("id"),
             )
             # chunks cover each member ROW exactly once, so the count
@@ -794,23 +816,11 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             .parquet(f"{tmp}/degrees")
         )
         pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges")
-        pr_e_back = spark.read.parquet(f"{tmp}/pr_edges")
-        (
-            pr_e_back.select(F.col("src").alias("node"), F.lit(1).alias("m"))
-            .unionByName(
-                pr_e_back.select(F.col("dst").alias("node"), F.lit(0).alias("m"))
-            )
-            .groupBy("node")
-            .agg(F.sum("m").alias("__cnt"))
-            .select(
-                "node",
-                F.when(F.col("__cnt") > 0, F.col("__cnt"))
-                .cast("long")
-                .alias("__deg"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/pr_spine")
-        )
+        from ..operators.graph import out_degree_spine
+
+        out_degree_spine(
+            spark.read.parquet(f"{tmp}/pr_edges")
+        ).write.mode("overwrite").parquet(f"{tmp}/pr_spine")
         # the staging copies served the range sampling and the row
         # counts; shipping them in the published entry would bloat
         # the store's disk footprint
@@ -818,6 +828,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
 
         _sh.rmtree(f"{tmp}/xrefs_staged", ignore_errors=True)
         _sh.rmtree(f"{tmp}/sib_slices", ignore_errors=True)
+        _sh.rmtree(f"{tmp}/sib_groups", ignore_errors=True)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
