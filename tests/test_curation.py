@@ -921,6 +921,37 @@ def test_exact_percentiles_match_spark_percentile(spark):
     assert got1["med"] == want1
 
 
+def test_exact_percentiles_all_null_group_kept_as_null(spark):
+    # builtin/`quantile_cont` parity on nullable columns: a group
+    # whose values are ALL NULL must appear with NULL percentiles,
+    # not vanish (r9 ADVICE: the null-filter-first formulation
+    # dropped it — a silent oracle divergence)
+    rows = [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["tag"]): r["value"]
+        for r in C.exact_percentiles(
+            df, "v", [0.5, 0.9], group_cols=["g"], tags=["p50", "p90"]
+        ).collect()
+    }
+    want = {
+        (r["g"], f"p{int(p * 100)}"): (r["th"][i] if r["th"] is not None else None)
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.5, 0.9))").alias("th"))
+        .collect()
+        for i, p in enumerate((0.5, 0.9))
+    }
+    assert got == want
+    assert got[("b", "p50")] is None and got[("b", "p90")] is None
+    # ungrouped all-NULL input: one NULL row per tag, like the builtin
+    dfn = spark.createDataFrame([(None,), (None,)], "v double")
+    got1 = {
+        r["tag"]: r["value"]
+        for r in C.exact_percentiles(dfn, "v", [0.5], tags=["med"]).collect()
+    }
+    assert got1 == {"med": None}
+
+
 def test_exact_percentiles_empty_input_preserves_group_types(spark):
     # the empty-input short-circuit must return the REAL group-column
     # types (a long group key came back `string` before r9) so a

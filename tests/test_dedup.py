@@ -362,6 +362,25 @@ def test_minhash_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
         D.minhash_lsh_pairs(docs, k=32, bands=16, tokens=t2, sigs=s2)
     with pytest.raises(ValueError, match="built with"):
         D.ngram_jaccard_pairs(docs, n=5, tokens=t2)
+    # DERIVED store frames keep the tag through the module's own
+    # slicing helpers (r10: _carry_meta), so a sliced store still
+    # fails loudly on (n, k) mismatch instead of silently pairing
+    # wrong — here via the incremental operator's semi-join slices
+    half = docs.limit(10)
+    rest = docs.join(half, "doc_id", "left_anti")
+    with pytest.raises(ValueError, match="built with"):
+        D.minhash_lsh_incremental(
+            half, rest, k=32, bands=16, tokens=t2, sigs=s2
+        )
+    from pyspark.sql import functions as F
+
+    from xml_to_sqlite3_spark.operators.dedup import _band_buckets, _carry_meta
+
+    banded = _band_buckets(s2, bands=16, rows=4)
+    assert getattr(banded, "_mh_meta", None) == s2._mh_meta
+    sliced = _carry_meta(t2.filter(F.length("h") >= 0), t2)
+    with pytest.raises(ValueError, match="built with"):
+        D.ngram_jaccard_pairs(docs, n=5, tokens=sliced)
     # store-fed pairs == self-computed pairs
     a = D.minhash_lsh_pairs(docs, threshold=0.2)
     b = D.minhash_lsh_pairs(docs, threshold=0.2, tokens=t2, sigs=s2)

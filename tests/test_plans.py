@@ -416,3 +416,46 @@ def test_length_batches_windows_stay_bucket_partitioned(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start() : m.start() + 400]
         assert "bucket" in seg, "a window lost its bucket partitioning"
+
+
+def test_sibling_write_shuffles_chunks_not_pairs(spark):
+    """The store's fat-tier sibling write must range-shuffle member
+    CHUNKS and generate the k² pair multiset ONLY inside the write
+    tasks: both pair-producing explodes must sit ABOVE the range
+    exchange in the physical plan. A regression to pair-row staging
+    (explode below the exchange) re-creates the measured ~210s
+    pair-multiset shuffle at sf1 — this pin is the structural guard
+    the r9 sf1 win was missing."""
+    from pyspark.sql import functions as F
+
+    import xml_to_sqlite3_spark.plans.node_graph as NG
+
+    old_k, old_r = NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE
+    NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE = 1, 20
+    try:
+        rows = [
+            (f"n{i:02d}", "t", "doc", "p", i, None, "/x") for i in range(30)
+        ]
+        nodes = spark.createDataFrame(
+            rows,
+            "id string, node_type string, document_id string,"
+            " parent_id string, position int, content string, xpath string",
+        )
+        chunks = NG._sibling_chunks(nodes)
+        write_frame = NG._sibling_rows(
+            chunks.repartitionByRange(4, "min_source"), chunks
+        )
+        plan = _physical(write_frame)
+        ex = plan.find("Exchange rangepartitioning")
+        assert ex != -1, plan
+        # every Generate (the two chained explodes) must appear
+        # BEFORE the exchange in the plan string = ABOVE it in the
+        # tree (executedPlan prints top-down)
+        gen_positions = [
+            m.start()
+            for m in __import__("re").finditer(r"Generate explode", plan)
+        ]
+        assert len(gen_positions) >= 2, plan
+        assert all(p < ex for p in gen_positions), plan
+    finally:
+        NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE = old_k, old_r

@@ -187,12 +187,15 @@ def test_store_build_decomposition_is_identical_multiset(spark):
     """The store build's two-tier split — small groups' pairs staged
     via detection (max_siblings = the split point), FAT groups' pairs
     generated from O(children) member-list slices inside the final
-    write (plans/node_graph._sibling_slices/_sibling_rows) — must be
+    write (plans/node_graph._sibling_chunks/_sibling_rows) — must be
     row-for-row identical to the parity (all-adapters,
     both-directions) detection output, including the pos+1 adjacency
     equi-join's next/previous_sibling rows. _SIB_FAT_K is forced low
     so sf0.001 exercises BOTH tiers (nation groups go fat, order
-    groups stay staged)."""
+    groups stay staged), and _SIB_ROWS_PER_SLICE is forced low so
+    every fat group splits into MULTIPLE chunks — the two-level
+    source-chunk × target-chunk expansion must reproduce the exact
+    multiset, not just the single-chunk degenerate case."""
     from pyspark.sql import functions as F
 
     import xml_to_sqlite3_spark.plans.node_graph as NG
@@ -211,10 +214,21 @@ def test_store_build_decomposition_is_identical_multiset(spark):
         "count", "ca"
     )
     old = NG._SIB_FAT_K
+    old_r = NG._SIB_ROWS_PER_SLICE
     NG._SIB_FAT_K = 10
+    NG._SIB_ROWS_PER_SLICE = 50
     try:
-        grp = NG._sibling_groups(nodes)
-        fat = NG._sibling_rows(NG._sibling_slices(grp), grp)
+        chunks = NG._sibling_chunks(nodes)
+        # the forced budget must actually produce multi-chunk groups
+        assert (
+            chunks.groupBy("document_id", "parent_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+            == 1
+        )
+        fat = NG._sibling_rows(chunks, chunks)
         # both tiers must be non-trivial at this split point
         assert fat.limit(1).count() == 1
         rebuilt = R.detect_all_relationships(
@@ -242,6 +256,7 @@ def test_store_build_decomposition_is_identical_multiset(spark):
         assert diff == 0
     finally:
         NG._SIB_FAT_K = old
+        NG._SIB_ROWS_PER_SLICE = old_r
 
 
 def test_sibling_slices_chunking_bounds_and_covers(spark):
@@ -266,8 +281,7 @@ def test_sibling_slices_chunking_bounds_and_covers(spark):
     NG._SIB_ROWS_PER_SLICE = 100  # force multi-chunk groups
     NG._SIB_FAT_K = 1  # every k>=2 group is "fat" for this test
     try:
-        grp = NG._sibling_groups(nodes)
-        got = NG._sibling_slices(grp)
+        got = NG._sibling_chunks(nodes)
         # every member appears in exactly one chunk of its group
         chunk_ids = got.select(F.explode("chunk").alias("m"))
         dup = chunk_ids.groupBy("m").count().filter(F.col("count") != 1).count()
@@ -281,7 +295,7 @@ def test_sibling_slices_chunking_bounds_and_covers(spark):
         ).count()
         assert over == 0
         # pair multiset equals the direct quadratic join
-        pairs = NG._sibling_rows(got, grp).select(
+        pairs = NG._sibling_rows(got, got).select(
             "source_node_id", "target_node_id"
         )
         n = pairs.count()
@@ -336,7 +350,7 @@ def test_analytic_fat_degrees_match_full_aggregation(spark):
     NG._SIB_FAT_K = 10
     try:
         staged = R.detect_all_relationships(nodes, props, max_siblings=10)
-        slices = NG._sibling_slices(NG._sibling_groups(nodes))
+        slices = NG._sibling_chunks(nodes)
         # same c*(k-c) construction as the build (handles the
         # duplicate ids the driver tables carry)
         cd = F.col("c") * (F.col("k") - F.col("c"))

@@ -1408,6 +1408,12 @@ def exact_percentiles(
     nondeterminism cannot reach the (exact) result. A band miss —
     impossible within the GK bound, but belt-and-braces — surfaces
     as a visible NULL (F.get), never a silently wrong value.
+
+    NULL semantics match the builtin `percentile` / DuckDB
+    `quantile_cont`: NULL values are ignored within a group, and a
+    group whose values are ALL NULL still appears, with NULL for
+    every requested percentile (globally: an all-NULL or empty
+    ungrouped input yields one NULL row per tag).
     """
     g = list(group_cols)
     tags = list(tags) if tags is not None else [f"p{p}" for p in ps]
@@ -1428,9 +1434,15 @@ def exact_percentiles(
     # ONE job serves both the guard and the counts: collect at most
     # bound+1 rows — a second full aggregation just to count groups
     # would double the count-pass I/O on a 100 TB column
+    # counted over the UNFILTERED input with count(value): a group
+    # whose values are all NULL stays visible with __n = 0, so it can
+    # surface as (group, tag, NULL) like the builtin `percentile` and
+    # DuckDB `quantile_cont` keep it — the r9 null-filter-first
+    # formulation silently DROPPED such groups, an oracle divergence
+    # on any nullable value column (r9 ADVICE)
     cnt_rows = (
-        data.groupBy(*g)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        df.groupBy(*g)
+        .agg(F.count(v).alias("__n"))
         .limit(_MAX_PCT_GROUPS + 1)
         .collect()
     )
@@ -1441,16 +1453,32 @@ def exact_percentiles(
             "driver-side (model-sized groups only); pre-aggregate or "
             "bucket the grouping column first"
         )
-    counts = {tuple(r[c] for c in g): r["__n"] for r in cnt_rows}
-    if not counts:
-        empty_schema = T.StructType(
-            [
-                *(T.StructField(c, dmap[c]) for c in g),
-                T.StructField("tag", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-            ]
+    all_counts = {tuple(r[c] for c in g): r["__n"] for r in cnt_rows}
+    counts = {key: n for key, n in all_counts.items() if n > 0}
+    zero_keys = [key for key, n in all_counts.items() if n == 0]
+    out_schema = T.StructType(
+        [
+            *(T.StructField(c, dmap[c]) for c in g),
+            T.StructField("tag", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # all-NULL (or, globally, empty) groups: one NULL row per tag —
+    # builtin/`quantile_cont` parity
+    null_part = (
+        spark.createDataFrame(
+            [(*key, tag, None) for key in zero_keys for tag in tags],
+            out_schema,
         )
-        return spark.createDataFrame([], empty_schema)
+        if zero_keys
+        else None
+    )
+    if not counts:
+        return (
+            null_part
+            if null_part is not None
+            else spark.createDataFrame([], out_schema)
+        )
     # per (group, percentile): target 0-indexed positions j0/j1 and a
     # band [q_lo, q_hi] whose GK rank-error guarantee (<= n/accuracy)
     # plus one extra position of slack on each side provably covers
@@ -1527,13 +1555,14 @@ def exact_percentiles(
     v0 = F.get(F.col("__band"), (F.col("j0") - F.col("__lt")).cast("int"))
     v1 = F.get(F.col("__band"), (F.col("j1") - F.col("__lt")).cast("int"))
     frac = F.col("frac")
-    return agg.select(
+    out = agg.select(
         *[F.col(f"__g_{c}").alias(c) for c in g],
         "tag",
         F.when(frac == 0.0, v0)
         .otherwise((F.lit(1.0) - frac) * v0 + frac * v1)
         .alias("value"),
     )
+    return out.unionByName(null_part) if null_part is not None else out
 
 
 def bloom_bits(

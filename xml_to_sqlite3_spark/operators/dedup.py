@@ -95,13 +95,12 @@ def _check_store_meta(frame, what: str, n: int | None = None, k: int | None = No
     through unchecked.
 
     SCOPE: the tag is a plain Python attribute on the DataFrame
-    wrapper, so any DERIVED frame (filter/select/semi-join of a
-    store frame) loses it and passes through unchecked like a
-    hand-built frame — this guard catches the whole-store-with-wrong-
-    parameters mistake, NOT every provenance error. Operators that
-    slice a store frame before reuse must re-attach the tag
-    themselves (``derived._mh_meta = store._mh_meta``) if they want
-    the check downstream."""
+    wrapper, so a DERIVED frame (filter/select/semi-join of a store
+    frame) loses it unless the deriving code re-attaches it — this
+    module's own slicing helpers do (``_carry_meta``), so the
+    common subset-then-reuse patterns stay protected; only frames
+    sliced by CALLER code outside these helpers pass through
+    unchecked like hand-built frames."""
     meta = getattr(frame, "_mh_meta", None)
     if meta is None:
         return
@@ -152,8 +151,11 @@ def ngram_jaccard_pairs(
     if tokens is not None:
         _check_store_meta(tokens, "tokens", n=n)
         sized = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        tokens = tokens.join(sized, "doc_id").select(
-            "doc_id", "n_sh", F.col("h").alias("shingle")
+        tokens = _carry_meta(
+            tokens.join(sized, "doc_id").select(
+                "doc_id", "n_sh", F.col("h").alias("shingle")
+            ),
+            tokens,
         )
     else:
         tokens = _shingle_tokens(df, n, id_col, text_col, with_size=True).select(
@@ -277,12 +279,24 @@ def minhash_signatures(
     return _signatures_from_tokens(_shingle_tokens(df, n, id_col, text_col), k)
 
 
+def _carry_meta(derived: DataFrame, source: DataFrame) -> DataFrame:
+    """Copy the store's (n, k) provenance tag onto a frame DERIVED
+    from it, so _check_store_meta keeps protecting sliced store
+    frames (r9 ADVICE: a filter/select silently dropped the tag and
+    bypassed the guard)."""
+    meta = getattr(source, "_mh_meta", None)
+    if meta is not None:
+        derived._mh_meta = meta  # type: ignore[attr-defined]
+    return derived
+
+
 def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """(doc_id, band, bucket) LSH rows: each band's signature slice
     md5-folded to one bucket string — the shared banding step of the
     symmetric (minhash_lsh_pairs) and incremental
-    (minhash_lsh_incremental) candidate joins."""
-    return sigs.select(
+    (minhash_lsh_incremental) candidate joins. Carries the store's
+    (n, k) tag through (_carry_meta)."""
+    banded = sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -304,6 +318,7 @@ def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    return _carry_meta(banded, sigs)
 
 
 def minhash_lsh_pairs(
@@ -452,7 +467,7 @@ def minhash_lsh_incremental(
 
     def _slice(side: DataFrame, full: DataFrame) -> DataFrame:
         ids = side.select(F.col(id_col).alias("doc_id"))
-        return full.join(ids, "doc_id", "left_semi")
+        return _carry_meta(full.join(ids, "doc_id", "left_semi"), full)
 
     if tokens is None:
         tok_new = _shingle_tokens(new, n, id_col, text_col).localCheckpoint(

