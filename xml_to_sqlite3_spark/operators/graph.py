@@ -96,9 +96,11 @@ def bfs_distances(
         n_level = nxt.count()
         if n_level == 0:
             break
+        # the ids only parameterize the NEXT level's scan predicate —
+        # skip the collect on the final level
         frontier_ids = (
             [r["node"] for r in nxt.select("node").collect()]
-            if n_level <= pushdown_limit
+            if n_level <= pushdown_limit and depth < max_depth
             else None
         )
         # union of already-checkpointed frontiers — lineage stays
