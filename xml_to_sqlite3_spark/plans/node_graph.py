@@ -44,7 +44,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("region").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.lit(None).cast("string").alias("parent_id"),
-        F.col("r_regionkey").cast("int").alias("position"),
+        F.col("r_regionkey").cast("bigint").alias("position"),
         F.col("r_name").alias("content"),
         F.concat(F.lit("/tpch/region["), F.col("r_regionkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -53,7 +53,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("nation").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.concat(F.lit("region_"), "n_regionkey").alias("parent_id"),
-        F.col("n_nationkey").cast("int").alias("position"),
+        F.col("n_nationkey").cast("bigint").alias("position"),
         F.col("n_name").alias("content"),
         F.concat(F.lit("/tpch/nation["), F.col("n_nationkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -62,7 +62,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customer").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.concat(F.lit("nation_"), "c_nationkey").alias("parent_id"),
-        F.col("c_custkey").cast("int").alias("position"),
+        F.col("c_custkey").cast("bigint").alias("position"),
         F.col("c_name").alias("content"),
         F.concat(F.lit("/tpch/customer["), F.col("c_custkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -71,7 +71,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.concat(F.lit("nation_"), "s_nationkey").alias("parent_id"),
-        F.col("s_suppkey").cast("int").alias("position"),
+        F.col("s_suppkey").cast("bigint").alias("position"),
         F.col("s_name").alias("content"),
         F.concat(F.lit("/tpch/supplier["), F.col("s_suppkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -80,7 +80,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("part").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.lit(None).cast("string").alias("parent_id"),
-        F.col("p_partkey").cast("int").alias("position"),
+        F.col("p_partkey").cast("bigint").alias("position"),
         F.col("p_name").alias("content"),
         F.concat(F.lit("/tpch/part["), F.col("p_partkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -89,7 +89,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("order").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.concat(F.lit("customer_"), "o_custkey").alias("parent_id"),
-        F.col("o_orderkey").cast("int").alias("position"),
+        F.col("o_orderkey").cast("bigint").alias("position"),
         F.concat(F.col("o_orderstatus"), F.lit(" "), F.col("o_orderpriority")).alias("content"),
         F.concat(F.lit("/tpch/order["), F.col("o_orderkey") + 1, F.lit("]")).alias("xpath"),
     )
@@ -98,7 +98,7 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lineitem").alias("node_type"),
         F.lit("tpch").alias("document_id"),
         F.concat(F.lit("order_"), "l_orderkey").alias("parent_id"),
-        F.col("l_linenumber").cast("int").alias("position"),
+        F.col("l_linenumber").cast("bigint").alias("position"),
         F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("content"),
         F.concat(
             F.lit("/tpch/lineitem["), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber"), F.lit("]")
@@ -109,33 +109,33 @@ def build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NODES_SQL = """
   SELECT 'region_' || r_regionkey AS id, 'region' AS node_type, 'tpch' AS document_id,
-         CAST(NULL AS VARCHAR) AS parent_id, CAST(r_regionkey AS INT) AS position,
+         CAST(NULL AS VARCHAR) AS parent_id, CAST(r_regionkey AS BIGINT) AS position,
          r_name AS content, '/tpch/region[' || (r_regionkey + 1) || ']' AS xpath
   FROM region
   UNION ALL
   SELECT 'nation_' || n_nationkey, 'nation', 'tpch', 'region_' || n_regionkey,
-         CAST(n_nationkey AS INT), n_name, '/tpch/nation[' || (n_nationkey + 1) || ']'
+         CAST(n_nationkey AS BIGINT), n_name, '/tpch/nation[' || (n_nationkey + 1) || ']'
   FROM nation
   UNION ALL
   SELECT 'customer_' || c_custkey, 'customer', 'tpch', 'nation_' || c_nationkey,
-         CAST(c_custkey AS INT), c_name, '/tpch/customer[' || (c_custkey + 1) || ']'
+         CAST(c_custkey AS BIGINT), c_name, '/tpch/customer[' || (c_custkey + 1) || ']'
   FROM customer
   UNION ALL
   SELECT 'supplier_' || s_suppkey, 'supplier', 'tpch', 'nation_' || s_nationkey,
-         CAST(s_suppkey AS INT), s_name, '/tpch/supplier[' || (s_suppkey + 1) || ']'
+         CAST(s_suppkey AS BIGINT), s_name, '/tpch/supplier[' || (s_suppkey + 1) || ']'
   FROM supplier
   UNION ALL
   SELECT 'part_' || p_partkey, 'part', 'tpch', CAST(NULL AS VARCHAR),
-         CAST(p_partkey AS INT), p_name, '/tpch/part[' || (p_partkey + 1) || ']'
+         CAST(p_partkey AS BIGINT), p_name, '/tpch/part[' || (p_partkey + 1) || ']'
   FROM part
   UNION ALL
   SELECT 'order_' || o_orderkey, 'order', 'tpch', 'customer_' || o_custkey,
-         CAST(o_orderkey AS INT), o_orderstatus || ' ' || o_orderpriority,
+         CAST(o_orderkey AS BIGINT), o_orderstatus || ' ' || o_orderpriority,
          '/tpch/order[' || (o_orderkey + 1) || ']'
   FROM orders
   UNION ALL
   SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'lineitem', 'tpch',
-         'order_' || l_orderkey, CAST(l_linenumber AS INT),
+         'order_' || l_orderkey, CAST(l_linenumber AS BIGINT),
          l_returnflag || l_linestatus,
          '/tpch/lineitem[' || l_orderkey || '_' || l_linenumber || ']'
   FROM lineitem
