@@ -377,3 +377,78 @@ def test_analytic_fat_degrees_match_full_aggregation(spark):
         assert got == want
     finally:
         NG._SIB_FAT_K = old
+
+
+def test_store_targets_formula_matches_multiset_distinct(spark):
+    """The store's distinct-targets table is computed from the staged
+    tier + fat member chunks WITHOUT scanning the written multiset; a
+    fat member is a sibling target iff its multiplicity c < k. Must
+    equal DISTINCT target_node_id over the full parity detection
+    output — including the all-duplicate-ids group edge case, where
+    no pair exists and the id must NOT appear."""
+    from pyspark.sql import functions as F
+
+    import xml_to_sqlite3_spark.plans.node_graph as NG
+
+    sf = "/root/testdata/sf0.001"
+    nodes = NG.build_nodes(spark, sf)
+    props = NG.build_properties(spark, sf)
+    want = (
+        R.detect_all_relationships(nodes, props)
+        .select("target_node_id")
+        .distinct()
+    )
+    old_k, old_r = NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE
+    NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE = 10, 50
+    try:
+        staged = R.detect_all_relationships(nodes, props, max_siblings=10)
+        slices = NG._sibling_chunks(nodes)
+        fat_tgt = (
+            slices.select(
+                "document_id", "parent_id", "k", F.explode("chunk").alias("id")
+            )
+            .groupBy("document_id", "parent_id", "k", "id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") < F.col("k"))
+            .select(F.col("id").alias("target_node_id"))
+        )
+        got = staged.select("target_node_id").unionByName(fat_tgt).distinct()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE = old_k, old_r
+
+
+def test_store_targets_all_duplicate_group_excluded(spark):
+    """A fat group whose members are all ONE id value produces zero
+    sibling pairs (the != filter compares values) — its id must not
+    enter the targets set from the fat tier."""
+    from pyspark.sql import functions as F
+
+    import xml_to_sqlite3_spark.plans.node_graph as NG
+
+    rows = [("dup", "t", "doc", "p", i, None, "/x") for i in range(5)]
+    rows += [(f"n{i}", "t", "doc", "q", i, None, "/x") for i in range(4)]
+    nodes = spark.createDataFrame(
+        rows,
+        "id string, node_type string, document_id string, parent_id string,"
+        " position int, content string, xpath string",
+    )
+    old_k = NG._SIB_FAT_K
+    NG._SIB_FAT_K = 2
+    try:
+        slices = NG._sibling_chunks(nodes)
+        fat_tgt = (
+            slices.select(
+                "document_id", "parent_id", "k", F.explode("chunk").alias("id")
+            )
+            .groupBy("document_id", "parent_id", "k", "id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") < F.col("k"))
+            .select("id")
+        )
+        ids = {r["id"] for r in fat_tgt.collect()}
+        assert "dup" not in ids
+        assert {"n0", "n1", "n2", "n3"} <= ids
+    finally:
+        NG._SIB_FAT_K = old_k
