@@ -35,10 +35,19 @@ FLOORS = {
     # store like it warms the graph)
     "ngram_jaccard": 2.0,
     "dedup_minhash": 3.0,
-    "graph_distances": 6.0,
-    # tightened r6: lean broadcast-frontier walk (measured 1.52s)
-    "hierarchy_levels": 2.5,
+    # tightened r10: frontier-isin scan pushdown (measured 0.64s
+    # box-normalized best-of-2; a regression to per-level full scans
+    # is ~3x and must trip)
+    "graph_distances": 2.5,
+    # tightened r10: store-materialized node_levels (measured 0.10s
+    # normalized; a regression to the per-query 10-level walk is
+    # ~5x and must trip)
+    "hierarchy_levels": 0.8,
     "sibling_pairs": 2.0,
+    # r10: store-materialized distinct-target set (measured 0.09s
+    # normalized; a regression to the per-query multiset distinct
+    # must trip — it was the k=30 sweep's heaviest query entry)
+    "broken_references": 1.0,
     # round-6 additions (floors measured best-of-2 on the dev box)
     "node_references": 1.0,
     # tightened r7: store-fed funnel (measured 1.61s best-of-2)
@@ -60,7 +69,10 @@ FLOORS = {
     # tightened r7: state partitions scoped to 8 in _run_to_table
     # (measured 2.64s best-of-2)
     "streaming_attribution": 3.5,
-    "graph_pagerank": 2.5,
+    # tightened r10: store-materialized pr_ranks (measured 0.04s
+    # normalized; a regression to the live per-query iteration —
+    # ~2.3s normalized — must trip)
+    "graph_pagerank": 0.5,
     "link_prediction": 1.0,
     "q7_volume_shipping": 1.5,
     # r7 additions: cached xrefs_multi read (0.15s best-of-2; a
