@@ -157,9 +157,13 @@ def connected_components(
             labels.select(F.col("u").alias("v"), F.col("label").alias("nl")), "v"
         ).select("u", "nl", F.lit(None).cast(labels.schema["label"].dataType).alias("old"))
         # Carry each node's previous label through the same aggregate
-        # that computes its new one, so convergence is read off the
-        # round's already-materialized checkpoint (a cheap block scan)
-        # instead of re-running the propagation join a second time.
+        # that computes its new one, and read convergence off the
+        # SAME single action that materializes the round: the round's
+        # frame is a LAZY checkpoint and the changed-count aggregate
+        # is the one job against it (the r9 eager-checkpoint +
+        # limit(1).count() pair was two jobs per round — per-round
+        # driver overhead dominates shallow-component corpora, the
+        # same lesson as pagerank's fused stats job).
         new_labels = (
             labels.select(
                 "u", F.col("label").alias("nl"), F.col("label").alias("old")
@@ -170,9 +174,11 @@ def connected_components(
                 F.min("nl").alias("label"),
                 F.min("old").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        changed = new_labels.agg(
+            F.count(F.when(F.col("label") != F.col("old"), 1)).alias("c")
+        ).collect()[0]["c"]
         labels = new_labels.select("u", "label")
         if changed == 0:
             break
@@ -588,11 +594,13 @@ def triangle_count(
 
 
 def adamic_adar_topk(
-    edges: DataFrame,
+    edges: DataFrame | None,
     k: int = 50,
     src_col: str = "source_node_id",
     dst_col: str = "target_node_id",
     max_degree: int | None = 1000,
+    und: DataFrame | None = None,
+    centers: DataFrame | None = None,
 ) -> DataFrame:
     """Link prediction by Adamic-Adar index: for node pairs NOT yet
     connected, score = sum over common neighbors v of 1/ln(deg(v));
@@ -615,25 +623,38 @@ def adamic_adar_topk(
     is a TakeOrdered, not a global window. Determinism: per-wedge
     weights are rounded then DECIMAL-summed (order-independent), ties
     break on the pair itself.
+
+    ``und`` accepts a PRECOMPUTED distinct undirected (a, b) pair set
+    and ``centers`` the (v, d, ns) degree/sorted-neighbor table —
+    e.g. the node-graph store's persisted aa_und/aa_centers — so a
+    repeated query starts at the wedge expansion instead of re-paying
+    the edge scan + two aggregation shuffles per session (the
+    pr_edges/pr_spine contract). ``centers`` must already reflect the
+    same edge set as ``und``; the degree filters still apply here.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    if und is None:
+        if edges is None:
+            raise ValueError("adamic_adar_topk needs edges or a precomputed und")
+        und = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
-        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
-    )
-    # degree AND the sorted neighbor list in one map-side-combinable
-    # aggregation; (v, n) is unique by construction (und is distinct)
-    centers = adj.groupBy("v").agg(
-        F.count(F.lit(1)).alias("d"),
-        F.sort_array(F.collect_list("n")).alias("ns"),
-    )
+    if centers is None:
+        adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+        )
+        # degree AND the sorted neighbor list in one map-side-
+        # combinable aggregation; (v, n) is unique by construction
+        # (und is distinct)
+        centers = adj.groupBy("v").agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sort_array(F.collect_list("n")).alias("ns"),
+        )
     centers = centers.filter(F.col("d") >= 2)
     if max_degree is not None:
         centers = centers.filter(F.col("d") <= max_degree)

