@@ -22,66 +22,76 @@ SF_DIR = "/root/testdata/sf0.001"
 # calibration means the plan regressed structurally (extra scan,
 # lost pushdown, serialization through one task), not that the box
 # is slow today.
-FLOORS = {
-    "bidirectional_refs": 2.0,
-    "relationship_summary": 2.5,
-    "broken_references": 2.5,
-    "ancestors": 3.0,
+#
+# A LIST of pairs, not a dict literal: r10 shipped a duplicate
+# "broken_references" key whose stale first entry Python silently
+# shadowed — exactly the silent drift this guard exists to catch.
+# The dict is built below behind a duplicate-key assert.
+_FLOOR_ITEMS = [
+    ("bidirectional_refs", 2.0),
+    ("relationship_summary", 2.5),
+    ("ancestors", 3.0),
     # tightened r6: persistent token-sorted index (measured 0.61s
     # best-of-2 at sf0.001 post-change; was 3.0)
-    "bm25_search": 1.5,
+    ("bm25_search", 1.5),
     # tightened r7: the persistent MinHash store feeds both (measured
     # 0.81 / 1.5s best-of-2 store-warm; the guard fixture warms the
     # store like it warms the graph)
-    "ngram_jaccard": 2.0,
-    "dedup_minhash": 3.0,
+    ("ngram_jaccard", 2.0),
+    ("dedup_minhash", 3.0),
     # tightened r10: frontier-isin scan pushdown (measured 0.64s
     # box-normalized best-of-2; a regression to per-level full scans
     # is ~3x and must trip)
-    "graph_distances": 2.5,
+    ("graph_distances", 2.5),
     # tightened r10: store-materialized node_levels (measured 0.10s
     # normalized; a regression to the per-query 10-level walk is
     # ~5x and must trip)
-    "hierarchy_levels": 0.8,
-    "sibling_pairs": 2.0,
+    ("hierarchy_levels", 0.8),
+    ("sibling_pairs", 2.0),
     # r10: store-materialized distinct-target set (measured 0.09s
     # normalized; a regression to the per-query multiset distinct
     # must trip — it was the k=30 sweep's heaviest query entry)
-    "broken_references": 1.0,
+    ("broken_references", 1.0),
     # round-6 additions (floors measured best-of-2 on the dev box)
-    "node_references": 1.0,
+    ("node_references", 1.0),
     # tightened r7: store-fed funnel (measured 1.61s best-of-2)
-    "curate_corpus": 3.0,
-    "kmv_daily": 1.0,
-    "hll_distinct": 1.0,
+    ("curate_corpus", 3.0),
+    ("kmv_daily", 1.0),
+    ("hll_distinct", 1.0),
     # round-5 additions (floors measured best-of-2 on the dev box)
     # tightened r7: store-fed (measured 1.85 / 1.97s best-of-2)
-    "dedup_recall_audit": 4.0,
-    "near_dedup_corpus": 3.5,
+    ("dedup_recall_audit", 4.0),
+    ("near_dedup_corpus", 3.5),
     # tightened r7: fused pending-merge UDF + vocab-scale shuffle
     # partitions (measured 3.91s best-of-2)
-    "bpe_merges": 5.0,
+    ("bpe_merges", 5.0),
     # tightened r7: one-job-per-round iteration with exchange-free
     # co-partitioned joins (pagerank measured 2.27s best-of-2,
     # triangles 0.99s) + the new single-pass combination-expansion
     # link_prediction (0.80s)
-    "graph_triangles": 1.2,
+    ("graph_triangles", 1.2),
     # tightened r7: state partitions scoped to 8 in _run_to_table
     # (measured 2.64s best-of-2)
-    "streaming_attribution": 3.5,
+    ("streaming_attribution", 3.5),
     # tightened r10: store-materialized pr_ranks (measured 0.04s
     # normalized; a regression to the live per-query iteration —
     # ~2.3s normalized — must trip)
-    "graph_pagerank": 0.5,
-    "link_prediction": 1.0,
-    "q7_volume_shipping": 1.5,
+    ("graph_pagerank", 0.5),
+    ("link_prediction", 1.0),
+    ("q7_volume_shipping", 1.5),
     # r7 additions: cached xrefs_multi read (0.15s best-of-2; a
     # regression back to per-query detection is ~10x) and the
     # Arrow-UDF shingle + checkpointed-intermediates Bloom gate
     # (1.66s best-of-2)
-    "multi_references": 0.5,
-    "bloom_prefilter": 2.5,
-}
+    ("multi_references", 0.5),
+    ("bloom_prefilter", 2.5),
+]
+assert len({k for k, _ in _FLOOR_ITEMS}) == len(_FLOOR_ITEMS), (
+    "duplicate query key in _FLOOR_ITEMS — the later floor would "
+    "silently shadow the earlier one: "
+    + str(sorted({k for k, _ in _FLOOR_ITEMS if [x for x, _ in _FLOOR_ITEMS].count(k) > 1}))
+)
+FLOORS = dict(_FLOOR_ITEMS)
 CALIBRATION_FLOOR = 0.5  # q6_revenue at sf0.001 on the dev box
 RATIO_LIMIT = 4.0
 

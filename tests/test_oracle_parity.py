@@ -32,9 +32,17 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle still must run and return a schema."""
+    """Queries without an oracle must run and return actual rows.
+
+    ``> 0``, not ``>= 0`` (r10 VERDICT item 4): every rows-only gate
+    is rows-only because its VALUES aren't SQL-expressible, not
+    because it may legitimately be empty — graph_pagerank reads the
+    store's materialized pr_ranks, so a store regression that empties
+    that table must fail HERE before the driver records a 0-row gate.
+    """
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     for name in sorted(set(qs) - set(oracles)):
         df = qs[name](spark, SF_SMOKE)
-        assert df.count() >= 0, name
+        assert df.count() > 0, f"{name}: rows-only gate returned 0 rows"
+        assert len(df.schema.fields) > 0, name

@@ -37,23 +37,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-HASH_BITS = 60
-HASH_SPACE = float(1 << HASH_BITS)
-
-
-def stable_hash60(col: Column) -> Column:
-    """First 60 bits of md5(value) as a non-negative int64.
-
-    Portable: DuckDB `('0x' || substr(md5(x), 1, 15))::BIGINT`
-    produces the identical value, so oracle gates can replicate any
-    decision made from this hash exactly.
-    """
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-
-
-def stable_unit(col: Column) -> Column:
-    """Hash mapped into [0, 1) — the sampling coordinate."""
-    return stable_hash60(col) / F.lit(HASH_SPACE)
+# the hash primitive lives in functions/hashing.py (its own module so
+# the node-graph store's content key can cover it without keying on
+# this whole file — r10 ADVICE); re-exported here because every
+# curation operator and oracle builds on it
+from ..functions.hashing import HASH_BITS, HASH_SPACE, stable_hash60, stable_unit
 
 
 def stable_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:

@@ -46,9 +46,12 @@ def bfs_distances(
     containing the frontier instead of streaming the full edge set
     through a broadcast join per level (measured at sf1: the full
     type-pruned scan was ~4s PER LEVEL; the pruned point-lookup is
-    milliseconds). A frontier that outgrows the limit falls back to
-    the broadcast (or shuffle, ``broadcast_frontier=False``) hash
-    join for that and all deeper levels.
+    milliseconds). The mode is re-evaluated PER LEVEL: a frontier
+    that outgrows the limit uses the broadcast (or shuffle,
+    ``broadcast_frontier=False``) hash join for that level, and
+    pushdown resumes whenever a later frontier shrinks back under
+    the limit — each mode decision depends only on the current
+    frontier's size, so there is nothing sticky to preserve.
 
     ``materialize_edges=True`` (default) evaluates derived/filtered
     edge inputs once into executor-local checkpoint blocks so every

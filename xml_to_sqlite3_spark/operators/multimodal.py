@@ -277,6 +277,12 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                     IndexError,
                     KeyError,
                     TypeError,
+                    # absurd declared header fields (e.g. a fuzzed
+                    # RIFF rate of 2^62) can overflow arithmetic
+                    # before any range check rejects them — still
+                    # malformed INPUT, not a programming error
+                    # (r10 ADVICE)
+                    OverflowError,
                 ):
                     row = (None, None, None, None)
                 rates.append(row[0])

@@ -557,6 +557,7 @@ def _graph_cache_key(sf_dir: str) -> str:
     or regenerated testdata produces a new key — the stale entry for
     that sf_dir is pruned after the fresh build succeeds."""
     from ..cache_util import content_key
+    from ..functions import hashing as _hash
     from ..functions import type_inference as _ti
     from ..operators import graph as _gr
     from ..operators import hierarchy as _hi
@@ -573,6 +574,11 @@ def _graph_cache_key(sf_dir: str) -> str:
             # node_levels is walked by hierarchy.node_tree_iterative
             # at build time — its code is store content too
             _hi.__file__,
+            # aa_und is subsampled with functions.hashing.stable_hash60
+            # at build time — a hash change must invalidate the store
+            # or the persisted subsample silently diverges from the
+            # oracle's live md5 replay (r10 ADVICE)
+            _hash.__file__,
         ),
         suffixes=(".parquet",),
     )
@@ -951,7 +957,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         # (max_degree, d >= 2) stay in the operator, so the tables
         # are parameter-free. Any drift from the operator's own
         # prep would trip the gate's full value oracle.
-        from ..operators.curation import stable_hash60 as _h60
+        from ..functions.hashing import stable_hash60 as _h60
 
         _aa_h = _h60(
             F.concat("source_node_id", F.lit("|"), "target_node_id")
