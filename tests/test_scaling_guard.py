@@ -1,0 +1,85 @@
+"""Scaling tripwire (r10 VERDICT task 7): the bench guard pins
+ABSOLUTE floors at sf0.001, but nothing pinned SCALING — r10's k=30
+sweep found a query (broken_references) that was fine at small sf and
+O(full multiset) at scale, a class of regression absolute floors
+cannot see. This guard runs the heavy queries at BOTH shipped
+testdata scales (sf0.001 → sf0.01, 10x data) in one session and
+bounds the wall-time RATIO: a plan that loses its pushdown / store
+table / bucketing typically picks up an O(data) or worse term, which
+moves the ratio far more than it moves a single small-sf time.
+
+Noise handling mirrors test_bench_guard: best-of-2 per (query, sf),
+measured back to back in one session so box-speed cancels out of the
+ratio entirely; the denominator is floored (a 0.05s small-sf run must
+not make a healthy 0.4s large-sf run look 8x); and the bounds carry
+~3x headroom over ratios measured on the healthy r11 plans (dev box,
+best-of-2 each side: graph_distances 0.92, graph_triangles 1.34,
+sessionization 1.12, link_prediction 1.61, broken_references 0.91,
+graph_pagerank 0.18 — store-fed reads and one-shuffle windows are
+overhead-dominated at these scales, so a healthy ratio sits near 1;
+a lost store table or full-multiset rescan multiplies the sf0.01
+side by the 10x data growth and trips the bound).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.01"
+
+# floor for the small-sf denominator: below this, the measurement is
+# pure session overhead and the ratio is noise
+_DENOM_FLOOR = 0.35
+
+# (query, max allowed time(sf0.01)/time(sf0.001)) — see module doc
+RATIO_BOUNDS = [
+    ("graph_distances", 5.0),
+    ("graph_triangles", 5.0),
+    ("sessionization", 6.0),
+    ("link_prediction", 6.0),
+    ("broken_references", 5.0),
+    ("graph_pagerank", 5.0),
+]
+assert len({k for k, _ in RATIO_BOUNDS}) == len(RATIO_BOUNDS)
+
+
+@pytest.fixture(scope="module")
+def warmed(spark):
+    """Warm the JVM and BOTH scale points' graph stores outside any
+    timed region — the tripwire times query plans, not builds."""
+    import __spark_entry__ as entry
+
+    from xml_to_sqlite3_spark.plans.node_graph import get_graph
+
+    qs = entry.queries()
+    for sf in (SF_SMALL, SF_BIG):
+        for df in get_graph(spark, sf):
+            df.count()
+    return qs
+
+
+def _best_of_2(fn) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        run = time.perf_counter() - t0
+        best = run if best is None else min(best, run)
+    return best
+
+
+@pytest.mark.parametrize("name,bound", RATIO_BOUNDS)
+def test_scaling_ratio(name, bound, warmed, spark):
+    qs = warmed
+    t_small = _best_of_2(lambda: qs[name](spark, SF_SMALL).collect())
+    t_big = _best_of_2(lambda: qs[name](spark, SF_BIG).collect())
+    ratio = t_big / max(t_small, _DENOM_FLOOR)
+    assert ratio <= bound, (
+        f"{name}: sf0.01 took {t_big:.2f}s vs sf0.001 {t_small:.2f}s — "
+        f"ratio {ratio:.1f} over the {bound} bound for 10x data; the "
+        "plan likely picked up an O(data) term (lost store table / "
+        "pushdown / bucket join)"
+    )

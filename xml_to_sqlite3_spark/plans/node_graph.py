@@ -548,38 +548,43 @@ def _graph_cache_root() -> str:
     )
 
 
-def _graph_cache_key(sf_dir: str) -> str:
-    """Content key: the input parquet identity (path + per-file size
-    and mtime) and the build code itself (this module + the
-    relationship / type-inference operators it drives + the graph
-    operators whose orient_edges output is a store table, plus the
-    shared cache machinery via cache_util.content_key). A code edit
-    or regenerated testdata produces a new key — the stale entry for
-    that sf_dir is pruned after the fresh build succeeds."""
-    from ..cache_util import content_key
+def _graph_code_files() -> tuple:
+    """The build-code identity shared by the base store key and the
+    appended-store keys: this module + the relationship /
+    type-inference operators the build drives + the graph operators
+    whose orient_edges/pagerank outputs are store tables + the
+    hierarchy walk (node_levels) + the hash primitive (aa_und's
+    subsample — r10 ADVICE: a stable_hash60 change must invalidate
+    the store or the persisted subsample silently diverges from the
+    oracle's live md5 replay)."""
     from ..functions import hashing as _hash
     from ..functions import type_inference as _ti
     from ..operators import graph as _gr
     from ..operators import hierarchy as _hi
     from ..operators import relationships as _rel
 
+    return (
+        __file__,
+        _rel.__file__,
+        _ti.__file__,
+        _gr.__file__,
+        _hi.__file__,
+        _hash.__file__,
+    )
+
+
+def _graph_cache_key(sf_dir: str) -> str:
+    """Content key: the input parquet identity (path + per-file size
+    and mtime) and the build code itself (_graph_code_files, plus the
+    shared cache machinery via cache_util.content_key). A code edit
+    or regenerated testdata produces a new key — the stale entry for
+    that sf_dir is pruned after the fresh build succeeds."""
+    from ..cache_util import content_key
+
     return content_key(
         "g",
         sf_dir,
-        code_files=(
-            __file__,
-            _rel.__file__,
-            _ti.__file__,
-            _gr.__file__,
-            # node_levels is walked by hierarchy.node_tree_iterative
-            # at build time — its code is store content too
-            _hi.__file__,
-            # aa_und is subsampled with functions.hashing.stable_hash60
-            # at build time — a hash change must invalidate the store
-            # or the persisted subsample silently diverges from the
-            # oracle's live md5 replay (r10 ADVICE)
-            _hash.__file__,
-        ),
+        code_files=_graph_code_files(),
         suffixes=(".parquet",),
     )
 
@@ -638,363 +643,8 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
             fp.result()
         nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
         props_tmp = spark.read.parquet(f"{tmp}/properties")
-        # Full xref set, PARTITIONED by reference_type: type
-        # filters prune whole directories, and the type value
-        # lives in the path instead of a per-row column (measured
-        # 2x faster full scans). WITHIN each type the rows are
-        # range-partitioned + sorted on source_node_id, so every
-        # file carries a tight (min, max) source range and a
-        # point filter on source_node_id prunes at the footer —
-        # the r5 store's per-task random source mix left every
-        # file spanning the whole id range, forcing OR-predicate
-        # consumers (node_references) to full-scan the doubled
-        # multiset (4.28s). The range shuffle is a one-time build
-        # cost; the write adds no extra sort because the child's
-        # (reference_type, source_node_id) ordering already
-        # satisfies the dynamic-partition writer's required
-        # reference_type prefix.
-        #
-        # STAGED, not fused: repartitionByRange SAMPLES its child to
-        # estimate range boundaries — fused, that re-executed the
-        # whole detection pipeline a second time for the sample job.
-        # Staging to plain parquet once makes the sampling pass a
-        # cheap column-pruned scan, and gives a free exact row count
-        # to size the sort partitions with (~2M rows per sort
-        # partition keeps each task's sort buffer flat as data
-        # grows).
-        #
-        # A FAT parent's sibling multiset never exists upstream of
-        # its write (r9, two-tier): detection stages the O(children)
-        # reference types PLUS the small groups' sibling pairs
-        # (max_siblings=_SIB_FAT_K caps the staged pair join at ~1M
-        # rows per group); hot parents' pairs ship as member-list
-        # SLICES (_sibling_chunks — Σk ids instead of Σk² pair rows)
-        # and expand to rows INSIDE the final write tasks
-        # (_sibling_rows). Measured at sf1 (61x adversarial multiset,
-        # 1.06B sibling rows, 97% from 25 hot dimension parents): the
-        # r8 design paid ~120s staging the pair rows and ~210s
-        # range-shuffling them; the two-tier build stages 59M rows
-        # and shuffles slice rows. The published store is unchanged:
-        # the fat pairs append into the same reference_type=sibling
-        # leaf dir, range-partitioned by the slices' min_source and
-        # sorted by source within partitions, so every file keeps the
-        # same tight per-row-group source bounds as the other dirs
-        # (pinned by test_xref_store_sorted_by_source).
-        par = spark.sparkContext.defaultParallelism
-        R.detect_all_relationships(
-            nodes_tmp, props_tmp, max_siblings=_SIB_FAT_K
-        ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
-        staged = spark.read.parquet(f"{tmp}/xrefs_staged")
-        _sibling_chunks(nodes_tmp).write.mode("overwrite").parquet(
-            f"{tmp}/sib_chunks"
-        )
-        slices = spark.read.parquet(f"{tmp}/sib_chunks")
-        n_staged = staged.count()  # parquet footer metadata — free
-        fat_row = slices.agg(
-            F.sum(F.size("chunk").cast("long") * (F.col("k") - 1)).alias("n"),
-            F.sum(F.size("chunk").cast("long")).alias("m"),
-        ).collect()[0]
-        n_fat = fat_row["n"] or 0
-        n_fat_members = fat_row["m"] or 0
-        # fail LOUD before the broadcast, not OOM inside it: the
-        # target side of _sibling_rows broadcasts Σk member ids
-        # across fat groups (~8B + overhead each). The cap is sized
-        # to a comfortable driver/executor budget; a corpus beyond
-        # it needs a shuffle-join variant of the expansion, not a
-        # silent attempt (r9 ADVICE: nothing failed loudly here)
-        if n_fat_members > _MAX_FAT_MEMBERS:
-            raise ValueError(
-                f"sibling store build: {n_fat_members} fat-group member ids "
-                f"exceed _MAX_FAT_MEMBERS={_MAX_FAT_MEMBERS} — the pair "
-                "expansion's broadcast side would not fit; raise the cap "
-                "only with executor memory to match, or partition the "
-                "offending parents upstream"
-            )
-        sort_parts = max(par, -(-n_staged // _SIB_ROWS_PER_SLICE))
-        (
-            staged.repartitionByRange(
-                sort_parts, "reference_type", "source_node_id"
-            )
-            .sortWithinPartitions("reference_type", "source_node_id")
-            .write.mode("overwrite")
-            .partitionBy("reference_type")
-            .parquet(f"{tmp}/xrefs")
-        )
-        if n_fat:
-            # fat slices are uniform (~_SIB_ROWS_PER_SLICE pairs), so
-            # the range partitioning is balanced by construction; the
-            # append lands in the partitioned tree's sibling leaf dir
-            # (directory-based partition discovery reads
-            # reference_type=sibling from the path, exactly like the
-            # dynamic-partition writer's own output)
-            sib_parts = max(par, -(-n_fat // _SIB_ROWS_PER_SLICE))
-            (
-                _sibling_rows(
-                    slices.repartitionByRange(sib_parts, "min_source"),
-                    slices,
-                )
-                .sortWithinPartitions("source_node_id")
-                .write.mode("append")
-                .parquet(f"{tmp}/xrefs/reference_type=sibling")
-            )
-        # the EXAMPLE multi-reference adapter's output, cached
-        # SEPARATELY from the main store: the store itself keeps
-        # exact parity with the reference's default registration
-        # (main.rb:104-110 — structural + attribute only), while the
-        # opt-in example adapter's detection (a properties⋈nodes join
-        # + explode + semi-join, ~6s/query at sf0.1) is paid once per
-        # content key instead of on every multi_references call
-        (
-            R.multi_references(nodes_tmp, props_tmp)
-            .repartitionByRange(max(2, par // 4), "source_node_id")
-            .sortWithinPartitions("source_node_id")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/xrefs_multi")
-        )
-        # degree-oriented edge set for the triangle gate's graph mix
-        # (attribute refs + sibling adjacency), a pure deterministic
-        # function of the xref table: persisting it moves the dedup/
-        # degree/orientation joins (the bulk of triangle_count's
-        # per-query work, and its single-shot JIT variance) into the
-        # one-time build — query time starts at the wedge join
-        from ..operators.graph import orient_edges
-
-        xr_tmp = spark.read.parquet(f"{tmp}/xrefs")
-        (
-            orient_edges(
-                xr_tmp.filter(
-                    F.col("reference_type").isin(
-                        "attribute_reference", "next_sibling"
-                    )
-                )
-            )
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/tri_oriented")
-        )
-        # pagerank-ready link graph (r9): the centrality gate's
-        # deterministic 30% attribute-reference subsample, deduped,
-        # plus its (node, out-degree) spine — both pure deterministic
-        # functions of the xref table, persisted so the gate's
-        # per-query cost starts at the iteration joins instead of
-        # re-paying the scan + subsample + dedup shuffle + spine
-        # aggregation every session (measured ~4-7s of graph_
-        # pagerank's single-shot time at sf0.1). Same contract as
-        # tri_oriented: a store table FOR a specific gate's graph
-        # mix, rebuilt with the store.
-        pr_e = (
-            xr_tmp.filter(F.col("reference_type") == "attribute_reference")
-            .filter(
-                F.pmod(
-                    F.xxhash64(
-                        F.concat(
-                            "source_node_id", F.lit("|"), "target_node_id"
-                        )
-                    ),
-                    F.lit(_PR_SAMPLE_MOD),
-                )
-                < _PR_SAMPLE_KEEP
-            )
-            .select(
-                F.col("source_node_id").alias("src"),
-                F.col("target_node_id").alias("dst"),
-            )
-            .dropDuplicates(["src", "dst"])
-        )
-        # full-graph degree table (id, out_cnt, in_cnt) — the
-        # aggregate most_connected / node_connection_counts otherwise
-        # recompute over the full multiset per query (34s at sf1, and
-        # the bench's noisiest row at sf0.1: the 1.4M-row count
-        # table's broadcast was GC-sensitive, 3-16s run to run). A
-        # pure function of the xref table, so it rides the content
-        # key like tri_oriented/pr_spine — but computed WITHOUT
-        # re-scanning the written multiset: the staged (O(children))
-        # rows aggregate directly, and a FAT group's contribution is
-        # ANALYTIC — an id with multiplicity c in a k-member group
-        # (the driver's tables DO carry duplicate ids) pairs with
-        # every non-equal member row, giving out = in = c*(k-c) at
-        # the id level; one O(members) aggregate off the slice table
-        # (a full-store pass measured ~50s at sf1; this is ~8s).
-        staged_deg = (
-            staged.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("source_node_id").alias("id"),
-                            F.lit(1).cast("long").alias("o"),
-                            F.lit(0).cast("long").alias("i"),
-                        ),
-                        F.struct(
-                            F.col("target_node_id").alias("id"),
-                            F.lit(0).cast("long").alias("o"),
-                            F.lit(1).cast("long").alias("i"),
-                        ),
-                    )
-                ).alias("e")
-            ).select("e.*")
-        )
-        fat_cd = F.col("c") * (F.col("k") - F.col("c"))
-        fat_deg = (
-            slices.select(
-                "document_id",
-                "parent_id",
-                "k",
-                F.explode("chunk").alias("id"),
-            )
-            # chunks cover each member ROW exactly once, so the count
-            # is the id's multiplicity c within its (doc, parent)
-            # group; ids can repeat under DIFFERENT parents too, so
-            # the group key stays in until the final id-level sum
-            .groupBy("document_id", "parent_id", "k", "id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                "id",
-                fat_cd.cast("long").alias("o"),
-                fat_cd.cast("long").alias("i"),
-            )
-        )
-        (
-            staged_deg.unionByName(fat_deg)
-            .groupBy("id")
-            .agg(
-                F.sum("o").alias("out_cnt"),
-                F.sum("i").alias("in_cnt"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/degrees")
-        )
-        # distinct xref TARGET set (node-domain-sized) — the dangling-
-        # reference family otherwise re-distincts the full multiset per
-        # query (a 9.3B-row single-column scan, 136s, at the k=30
-        # scale point). Like degrees it is computed WITHOUT scanning
-        # the written multiset: staged targets distinct directly, and
-        # a fat member is a sibling TARGET iff some non-equal member
-        # exists in its group (multiplicity c < k — the same
-        # duplicate-id algebra as the analytic degrees; a group whose
-        # members are all one id value yields no pairs at all)
-        fat_tgt = (
-            slices.select(
-                "document_id", "parent_id", "k", F.explode("chunk").alias("id")
-            )
-            .groupBy("document_id", "parent_id", "k", "id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") < F.col("k"))
-            .select(F.col("id").alias("target_node_id"))
-        )
-        (
-            staged.select("target_node_id")
-            .unionByName(fat_tgt)
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/targets")
-        )
-        # materialized tree levels (id, node_type, level) — the
-        # recursive-hierarchy summary re-walked the static tree per
-        # query (one broadcast join + checkpoint per level, ~13s at
-        # sf1); the level of a node only changes when the tree does,
-        # so the walk runs once per build like pr_ranks/degrees. The
-        # iterative operator stays the ad-hoc path, value-proven by
-        # the gate's unchanged recursive-CTE oracle.
-        from ..operators.hierarchy import node_tree_iterative as _walk
-
-        (
-            _walk(nodes_tmp, max_depth=10, columns=("id", "node_type", "parent_id"))
-            .select("id", "node_type", "level")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/node_levels")
-        )
-        pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges")
-        from ..operators.graph import out_degree_spine
-
-        out_degree_spine(
-            spark.read.parquet(f"{tmp}/pr_edges")
-        ).write.mode("overwrite").parquet(f"{tmp}/pr_spine")
-        # sidecar: node/dangling counts of pr_spine, read back
-        # driver-side with NO Spark job — the pagerank gate needs
-        # both before its first iteration (teleport + initial
-        # dangling mass), and computing them per query cost a
-        # setup job + spine scan every session
-        _srow = (
-            spark.read.parquet(f"{tmp}/pr_spine")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("__deg").isNull(), 1)).alias("nd"),
-            )
-            .collect()[0]
-        )
-        with open(f"{tmp}/pr_stats.json", "w") as f:
-            json.dump({"n": _srow["n"], "nd": _srow["nd"]}, f)
-        # materialized rank vector: pagerank over a STATIC stored
-        # graph is a build-time artifact, exactly like degrees — the
-        # reference's model is build-the-database-once, query-many.
-        # The live power iteration has an irreducible per-query floor
-        # (~1 planning pass + 1 job per round; measured 5-9s for 6
-        # rounds at sf0.1, ~17s at sf1, regardless of data size),
-        # which is the wrong place to pay for a vector that only
-        # changes when the graph does. The pagerank OPERATOR stays
-        # the ad-hoc path and is value-proven to 1e-7 against a
-        # single-process oracle in tests/test_graph.py; this call IS
-        # that operator, run once per build.
-        from ..operators.graph import pagerank as _pagerank
-
-        _pagerank(
-            spark.read.parquet(f"{tmp}/pr_edges"),
-            n_iter=6,
-            src_col="src",
-            dst_col="dst",
-            spine=spark.read.parquet(f"{tmp}/pr_spine"),
-            edges_deduped=True,
-            tol=1e-10,
-            spine_stats=(int(_srow["n"]), int(_srow["nd"])),
-        ).write.mode("overwrite").parquet(f"{tmp}/pr_ranks")
-        # link-prediction-ready adjacency (r10): the gate's
-        # deterministic 50% md5 edge subsample as a distinct
-        # undirected pair set (aa_und) plus the (v, degree,
-        # sorted-neighbor-list) center table (aa_centers) — both pure
-        # deterministic functions of the xref table, persisted so the
-        # per-query cost starts at the wedge expansion instead of
-        # re-paying the scan + two aggregation shuffles per session.
-        # Same contract as pr_edges/tri_oriented; parameter filters
-        # (max_degree, d >= 2) stay in the operator, so the tables
-        # are parameter-free. Any drift from the operator's own
-        # prep would trip the gate's full value oracle.
-        from ..functions.hashing import stable_hash60 as _h60
-
-        _aa_h = _h60(
-            F.concat("source_node_id", F.lit("|"), "target_node_id")
-        )
-        (
-            xr_tmp.filter(F.col("reference_type") == "attribute_reference")
-            .filter(_aa_h % 10 < 5)
-            .select(
-                F.least("source_node_id", "target_node_id").alias("a"),
-                F.greatest("source_node_id", "target_node_id").alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/aa_und")
-        )
-        _aa_und = spark.read.parquet(f"{tmp}/aa_und")
-        (
-            _aa_und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-            .unionByName(
-                _aa_und.select(F.col("b").alias("v"), F.col("a").alias("n"))
-            )
-            .groupBy("v")
-            .agg(
-                F.count(F.lit(1)).alias("d"),
-                F.sort_array(F.collect_list("n")).alias("ns"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/aa_centers")
-        )
-        # the staging copies served the range sampling and the row
-        # counts; shipping them in the published entry would bloat
-        # the store's disk footprint
-        import shutil as _sh
-
-        _sh.rmtree(f"{tmp}/xrefs_staged", ignore_errors=True)
-        _sh.rmtree(f"{tmp}/sib_chunks", ignore_errors=True)
+        _write_store_tables(spark, tmp, nodes_tmp, props_tmp, mode="overwrite")
+        _write_rank_tables(spark, tmp)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
@@ -1004,24 +654,512 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     final = content_cached_dir(
         _graph_cache_root(), ck, _build, owned_dirs=_GRAPH_CACHE_DIRS
     )
+    return _attach_store(spark, sf_dir, final, key)
+
+
+def _write_store_tables(
+    spark: SparkSession,
+    tmp: str,
+    nodes_in: DataFrame,
+    props_in: DataFrame,
+    mode: str = "overwrite",
+    base_dir: str | None = None,
+) -> None:
+    """Stage relationship detection over ``nodes_in``/``props_in`` and
+    write every derived store table except the rank tables
+    (pr_stats/pr_ranks — those are GLOBAL, see _write_rank_tables).
+
+    ``mode="overwrite"`` is the full build. ``mode="append"`` is the
+    DELTA build (append_documents): ``nodes_in`` holds only the new
+    documents, per-document-local tables append their delta files
+    into the (hard-linked) base table dirs, and the two tables whose
+    rows can MIX base and delta contributions — degrees and targets
+    (a parent_id or xref target string appears verbatim in both) —
+    merge against the base store read from ``base_dir`` and rewrite.
+    Every reference type the detector emits is within-document
+    (streaming/ingest.py's batch-local maintenance rests on the same
+    fact), so a delta detection over the delta documents alone is
+    EXACT — pinned by tests/test_store_append.py's multiset-identity
+    test against a full build over the unioned input.
+    """
+    if mode == "append" and base_dir is None:
+        raise ValueError("append mode requires base_dir")
+    # Full xref set, PARTITIONED by reference_type: type
+    # filters prune whole directories, and the type value
+    # lives in the path instead of a per-row column (measured
+    # 2x faster full scans). WITHIN each type the rows are
+    # range-partitioned + sorted on source_node_id, so every
+    # file carries a tight (min, max) source range and a
+    # point filter on source_node_id prunes at the footer —
+    # the r5 store's per-task random source mix left every
+    # file spanning the whole id range, forcing OR-predicate
+    # consumers (node_references) to full-scan the doubled
+    # multiset (4.28s). The range shuffle is a one-time build
+    # cost; the write adds no extra sort because the child's
+    # (reference_type, source_node_id) ordering already
+    # satisfies the dynamic-partition writer's required
+    # reference_type prefix. An APPEND-mode write lands the
+    # delta's own range-sorted files in the same partition
+    # dirs — footer pruning is per-file, so every file (base
+    # or delta vintage) keeps its tight source bounds.
+    #
+    # STAGED, not fused: repartitionByRange SAMPLES its child to
+    # estimate range boundaries — fused, that re-executed the
+    # whole detection pipeline a second time for the sample job.
+    # Staging to plain parquet once makes the sampling pass a
+    # cheap column-pruned scan, and gives a free exact row count
+    # to size the sort partitions with (~2M rows per sort
+    # partition keeps each task's sort buffer flat as data
+    # grows).
+    #
+    # A FAT parent's sibling multiset never exists upstream of
+    # its write (r9, two-tier): detection stages the O(children)
+    # reference types PLUS the small groups' sibling pairs
+    # (max_siblings=_SIB_FAT_K caps the staged pair join at ~1M
+    # rows per group); hot parents' pairs ship as member-list
+    # SLICES (_sibling_chunks — Σk ids instead of Σk² pair rows)
+    # and expand to rows INSIDE the final write tasks
+    # (_sibling_rows). Measured at sf1 (61x adversarial multiset,
+    # 1.06B sibling rows, 97% from 25 hot dimension parents): the
+    # r8 design paid ~120s staging the pair rows and ~210s
+    # range-shuffling them; the two-tier build stages 59M rows
+    # and shuffles slice rows. The published store is unchanged:
+    # the fat pairs append into the same reference_type=sibling
+    # leaf dir, range-partitioned by the slices' min_source and
+    # sorted by source within partitions, so every file keeps the
+    # same tight per-row-group source bounds as the other dirs
+    # (pinned by test_xref_store_sorted_by_source).
+    par = spark.sparkContext.defaultParallelism
+    R.detect_all_relationships(
+        nodes_in, props_in, max_siblings=_SIB_FAT_K
+    ).write.mode("overwrite").parquet(f"{tmp}/xrefs_staged")
+    staged = spark.read.parquet(f"{tmp}/xrefs_staged")
+    _sibling_chunks(nodes_in).write.mode("overwrite").parquet(
+        f"{tmp}/sib_chunks"
+    )
+    slices = spark.read.parquet(f"{tmp}/sib_chunks")
+    n_staged = staged.count()  # parquet footer metadata — free
+    fat_row = slices.agg(
+        F.sum(F.size("chunk").cast("long") * (F.col("k") - 1)).alias("n"),
+        F.sum(F.size("chunk").cast("long")).alias("m"),
+    ).collect()[0]
+    n_fat = fat_row["n"] or 0
+    n_fat_members = fat_row["m"] or 0
+    # fail LOUD before the broadcast, not OOM inside it: the
+    # target side of _sibling_rows broadcasts Σk member ids
+    # across fat groups (~8B + overhead each). The cap is sized
+    # to a comfortable driver/executor budget; a corpus beyond
+    # it needs a shuffle-join variant of the expansion, not a
+    # silent attempt (r9 ADVICE: nothing failed loudly here)
+    if n_fat_members > _MAX_FAT_MEMBERS:
+        raise ValueError(
+            f"sibling store build: {n_fat_members} fat-group member ids "
+            f"exceed _MAX_FAT_MEMBERS={_MAX_FAT_MEMBERS} — the pair "
+            "expansion's broadcast side would not fit; raise the cap "
+            "only with executor memory to match, or partition the "
+            "offending parents upstream"
+        )
+    sort_parts = max(par, -(-n_staged // _SIB_ROWS_PER_SLICE))
+    (
+        staged.repartitionByRange(
+            sort_parts, "reference_type", "source_node_id"
+        )
+        .sortWithinPartitions("reference_type", "source_node_id")
+        .write.mode(mode)
+        .partitionBy("reference_type")
+        .parquet(f"{tmp}/xrefs")
+    )
+    if n_fat:
+        # fat slices are uniform (~_SIB_ROWS_PER_SLICE pairs), so
+        # the range partitioning is balanced by construction; the
+        # append lands in the partitioned tree's sibling leaf dir
+        # (directory-based partition discovery reads
+        # reference_type=sibling from the path, exactly like the
+        # dynamic-partition writer's own output)
+        sib_parts = max(par, -(-n_fat // _SIB_ROWS_PER_SLICE))
+        (
+            _sibling_rows(
+                slices.repartitionByRange(sib_parts, "min_source"),
+                slices,
+            )
+            .sortWithinPartitions("source_node_id")
+            .write.mode("append")
+            .parquet(f"{tmp}/xrefs/reference_type=sibling")
+        )
+    # the EXAMPLE multi-reference adapter's output, cached
+    # SEPARATELY from the main store: the store itself keeps
+    # exact parity with the reference's default registration
+    # (main.rb:104-110 — structural + attribute only), while the
+    # opt-in example adapter's detection (a properties⋈nodes join
+    # + explode + semi-join, ~6s/query at sf0.1) is paid once per
+    # content key instead of on every multi_references call
+    (
+        R.multi_references(nodes_in, props_in)
+        .repartitionByRange(max(2, par // 4), "source_node_id")
+        .sortWithinPartitions("source_node_id")
+        .write.mode(mode)
+        .parquet(f"{tmp}/xrefs_multi")
+    )
+    # degree-oriented edge set for the triangle gate's graph mix
+    # (attribute refs + sibling adjacency), a pure deterministic
+    # function of the xref table: persisting it moves the dedup/
+    # degree/orientation joins (the bulk of triangle_count's
+    # per-query work, and its single-shot JIT variance) into the
+    # one-time build — query time starts at the wedge join.
+    # Derived from the STAGED frame, not the written store: the
+    # two input types never come from the fat sibling tier, so the
+    # rows are identical, and the staged source works unchanged in
+    # append mode (reading the store back after an append would
+    # re-orient BASE edges too). Orientation is by degree WITHIN
+    # the input edge set — exact in append mode because every
+    # detected reference is within-document, so a delta node's
+    # degree in the merged graph equals its delta-local degree.
+    from ..operators.graph import orient_edges
+
+    xr_typed = staged.filter(
+        F.col("reference_type").isin("attribute_reference", "next_sibling")
+    )
+    (
+        orient_edges(xr_typed)
+        .write.mode(mode)
+        .parquet(f"{tmp}/tri_oriented")
+    )
+    # pagerank-ready link graph (r9): the centrality gate's
+    # deterministic 30% attribute-reference subsample, deduped,
+    # plus its (node, out-degree) spine — both pure deterministic
+    # functions of the xref table, persisted so the gate's
+    # per-query cost starts at the iteration joins instead of
+    # re-paying the scan + subsample + dedup shuffle + spine
+    # aggregation every session (measured ~4-7s of graph_
+    # pagerank's single-shot time at sf0.1). Same contract as
+    # tri_oriented: a store table FOR a specific gate's graph
+    # mix, rebuilt with the store. The in-mode dedup stays exact
+    # for appends: attribute references resolve within their own
+    # document, so base and delta edge sets are disjoint.
+    pr_e = (
+        staged.filter(F.col("reference_type") == "attribute_reference")
+        .filter(
+            F.pmod(
+                F.xxhash64(
+                    F.concat(
+                        "source_node_id", F.lit("|"), "target_node_id"
+                    )
+                ),
+                F.lit(_PR_SAMPLE_MOD),
+            )
+            < _PR_SAMPLE_KEEP
+        )
+        .select(
+            F.col("source_node_id").alias("src"),
+            F.col("target_node_id").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    from ..operators.graph import out_degree_spine
+
+    if mode == "overwrite":
+        pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges")
+        prs = spark.read.parquet(f"{tmp}/pr_edges")
+    else:
+        # stage the DELTA edges so the spine aggregates only them
+        # (the appended pr_edges dir would hand back base + delta)
+        pr_e.write.mode("overwrite").parquet(f"{tmp}/pr_edges_delta")
+        prs = spark.read.parquet(f"{tmp}/pr_edges_delta")
+        prs.write.mode("append").parquet(f"{tmp}/pr_edges")
+    # delta spine rows APPEND exactly: spine nodes are pr-edge
+    # endpoints = same-document-resolved node ids, disjoint from
+    # the base store's ids (append_documents guards enforce it)
+    out_degree_spine(prs).write.mode(mode).parquet(f"{tmp}/pr_spine")
+    # full-graph degree table (id, out_cnt, in_cnt) — the
+    # aggregate most_connected / node_connection_counts otherwise
+    # recompute over the full multiset per query (34s at sf1, and
+    # the bench's noisiest row at sf0.1: the 1.4M-row count
+    # table's broadcast was GC-sensitive, 3-16s run to run). A
+    # pure function of the xref table, so it rides the content
+    # key like tri_oriented/pr_spine — but computed WITHOUT
+    # re-scanning the written multiset: the staged (O(children))
+    # rows aggregate directly, and a FAT group's contribution is
+    # ANALYTIC — an id with multiplicity c in a k-member group
+    # (the driver's tables DO carry duplicate ids) pairs with
+    # every non-equal member row, giving out = in = c*(k-c) at
+    # the id level; one O(members) aggregate off the slice table
+    # (a full-store pass measured ~50s at sf1; this is ~8s).
+    staged_deg = (
+        staged.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("source_node_id").alias("id"),
+                        F.lit(1).cast("long").alias("o"),
+                        F.lit(0).cast("long").alias("i"),
+                    ),
+                    F.struct(
+                        F.col("target_node_id").alias("id"),
+                        F.lit(0).cast("long").alias("o"),
+                        F.lit(1).cast("long").alias("i"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+    )
+    fat_cd = F.col("c") * (F.col("k") - F.col("c"))
+    fat_deg = (
+        slices.select(
+            "document_id",
+            "parent_id",
+            "k",
+            F.explode("chunk").alias("id"),
+        )
+        # chunks cover each member ROW exactly once, so the count
+        # is the id's multiplicity c within its (doc, parent)
+        # group; ids can repeat under DIFFERENT parents too, so
+        # the group key stays in until the final id-level sum
+        .groupBy("document_id", "parent_id", "k", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "id",
+            fat_cd.cast("long").alias("o"),
+            fat_cd.cast("long").alias("i"),
+        )
+    )
+    deg = (
+        staged_deg.unionByName(fat_deg)
+        .groupBy("id")
+        .agg(
+            F.sum("o").alias("out_cnt"),
+            F.sum("i").alias("in_cnt"),
+        )
+    )
+    if mode == "append":
+        # degrees MERGE instead of appending: an id string can carry
+        # degree from both sides even across document-disjoint
+        # appends — parent_child/child_parent take parent_id
+        # VERBATIM (no existence join), so the same dangling parent
+        # string in two documents lands degree rows in both builds.
+        # One node-domain-sized re-aggregate keeps the one-row-per-id
+        # invariant the full build produces. (tmp/degrees is NOT
+        # hard-linked by the clone; the merged result writes fresh.)
+        deg = (
+            spark.read.parquet(f"{base_dir}/degrees")
+            .unionByName(deg)
+            .groupBy("id")
+            .agg(
+                F.sum("out_cnt").alias("out_cnt"),
+                F.sum("in_cnt").alias("in_cnt"),
+            )
+        )
+    deg.write.mode("overwrite").parquet(f"{tmp}/degrees")
+    # distinct xref TARGET set (node-domain-sized) — the dangling-
+    # reference family otherwise re-distincts the full multiset per
+    # query (a 9.3B-row single-column scan, 136s, at the k=30
+    # scale point). Like degrees it is computed WITHOUT scanning
+    # the written multiset: staged targets distinct directly, and
+    # a fat member is a sibling TARGET iff some non-equal member
+    # exists in its group (multiplicity c < k — the same
+    # duplicate-id algebra as the analytic degrees; a group whose
+    # members are all one id value yields no pairs at all)
+    fat_tgt = (
+        slices.select(
+            "document_id", "parent_id", "k", F.explode("chunk").alias("id")
+        )
+        .groupBy("document_id", "parent_id", "k", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") < F.col("k"))
+        .select(F.col("id").alias("target_node_id"))
+    )
+    tgt = staged.select("target_node_id").unionByName(fat_tgt)
+    if mode == "append":
+        # same verbatim-string mixing as degrees (child_parent's
+        # target IS the parent_id string): distinct across the
+        # union, one node-domain shuffle
+        tgt = spark.read.parquet(f"{base_dir}/targets").unionByName(tgt)
+    tgt.distinct().write.mode("overwrite").parquet(f"{tmp}/targets")
+    # materialized tree levels (id, node_type, level) — the
+    # recursive-hierarchy summary re-walked the static tree per
+    # query (one broadcast join + checkpoint per level, ~13s at
+    # sf1); the level of a node only changes when the tree does,
+    # so the walk runs once per build like pr_ranks/degrees. The
+    # iterative operator stays the ad-hoc path, value-proven by
+    # the gate's unchanged recursive-CTE oracle. A delta-only walk
+    # appends exactly because append_documents guards reject any
+    # parent link crossing the base/delta boundary in either
+    # direction (the walk joins parent ids GLOBALLY).
+    from ..operators.hierarchy import node_tree_iterative as _walk
+
+    (
+        _walk(nodes_in, max_depth=10, columns=("id", "node_type", "parent_id"))
+        .select("id", "node_type", "level")
+        .write.mode(mode)
+        .parquet(f"{tmp}/node_levels")
+    )
+    # link-prediction-ready adjacency (r10): the gate's
+    # deterministic 50% md5 edge subsample as a distinct
+    # undirected pair set (aa_und) plus the (v, degree,
+    # sorted-neighbor-list) center table (aa_centers) — both pure
+    # deterministic functions of the xref table, persisted so the
+    # per-query cost starts at the wedge expansion instead of
+    # re-paying the scan + two aggregation shuffles per session.
+    # Same contract as pr_edges/tri_oriented; parameter filters
+    # (max_degree, d >= 2) stay in the operator, so the tables
+    # are parameter-free. Any drift from the operator's own
+    # prep would trip the gate's full value oracle. Appends stay
+    # exact for both: attribute references are same-document, so
+    # delta pairs and delta centers are disjoint from the base's.
+    from ..functions.hashing import stable_hash60 as _h60
+
+    _aa_h = _h60(
+        F.concat("source_node_id", F.lit("|"), "target_node_id")
+    )
+    _aa_pairs = (
+        staged.filter(F.col("reference_type") == "attribute_reference")
+        .filter(_aa_h % 10 < 5)
+        .select(
+            F.least("source_node_id", "target_node_id").alias("a"),
+            F.greatest("source_node_id", "target_node_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if mode == "overwrite":
+        _aa_pairs.write.mode("overwrite").parquet(f"{tmp}/aa_und")
+        _aa_und = spark.read.parquet(f"{tmp}/aa_und")
+    else:
+        _aa_pairs.write.mode("overwrite").parquet(f"{tmp}/aa_und_delta")
+        _aa_und = spark.read.parquet(f"{tmp}/aa_und_delta")
+        _aa_und.write.mode("append").parquet(f"{tmp}/aa_und")
+    (
+        _aa_und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionByName(
+            _aa_und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sort_array(F.collect_list("n")).alias("ns"),
+        )
+        .write.mode(mode)
+        .parquet(f"{tmp}/aa_centers")
+    )
+    # document inventory + unresolved-parent inventory (both
+    # node-domain-small) — the append path's guards read these
+    # instead of re-scanning the node table per append: doc_ids
+    # proves delta documents are NEW, dangling_parents catches a
+    # delta id that would retroactively resolve an existing
+    # dangling parent link (which would change existing
+    # node_levels rows — see append_documents)
+    nodes_ids = nodes_in.select("id")
+    doc_ids = nodes_in.select("document_id").distinct()
+    dang = (
+        nodes_in.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id"))
+        .distinct()
+        .join(nodes_ids.withColumnRenamed("id", "parent_id"), "parent_id", "left_anti")
+    )
+    if mode == "append":
+        doc_ids = (
+            spark.read.parquet(f"{base_dir}/doc_ids")
+            .unionByName(doc_ids)
+            .distinct()
+        )
+        # a string dangling in BOTH vintages must not duplicate;
+        # cross-boundary resolution is rejected by the guards, so
+        # union-distinct equals the full build's global anti-join
+        dang = (
+            spark.read.parquet(f"{base_dir}/dangling_parents")
+            .unionByName(dang)
+            .distinct()
+        )
+    doc_ids.write.mode("overwrite").parquet(f"{tmp}/doc_ids")
+    dang.write.mode("overwrite").parquet(f"{tmp}/dangling_parents")
+    # the staging copies served the range sampling and the row
+    # counts; shipping them in the published entry would bloat
+    # the store's disk footprint
+    import shutil as _sh
+
+    for scratch in ("xrefs_staged", "sib_chunks", "pr_edges_delta", "aa_und_delta"):
+        _sh.rmtree(f"{tmp}/{scratch}", ignore_errors=True)
+
+
+def _write_rank_tables(spark: SparkSession, tmp: str) -> None:
+    """The GLOBAL rank artifacts: the pr_stats sidecar and the
+    materialized pagerank vector. Separate from _write_store_tables
+    because they are the ONE part of the store that is a function of
+    the WHOLE graph, not of any single document — the teleport
+    uniform 1/n couples every component — so an append re-derives
+    them over the MERGED pr_edges/pr_spine (already containing the
+    delta's appended files) instead of appending. That recompute is
+    O(sampled link graph), the cheap tail of a build whose cost is
+    dominated by the sibling multiset (measured in SURVEY §6.4)."""
+    # sidecar: node/dangling counts of pr_spine, read back
+    # driver-side with NO Spark job — the pagerank gate needs
+    # both before its first iteration (teleport + initial
+    # dangling mass), and computing them per query cost a
+    # setup job + spine scan every session
+    spine = spark.read.parquet(f"{tmp}/pr_spine")
+    _srow = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("__deg").isNull(), 1)).alias("nd"),
+    ).collect()[0]
+    with open(f"{tmp}/pr_stats.json", "w") as f:
+        json.dump({"n": _srow["n"], "nd": _srow["nd"]}, f)
+    # materialized rank vector: pagerank over a STATIC stored
+    # graph is a build-time artifact, exactly like degrees — the
+    # reference's model is build-the-database-once, query-many.
+    # The live power iteration has an irreducible per-query floor
+    # (~1 planning pass + 1 job per round; measured 5-9s for 6
+    # rounds at sf0.1, ~17s at sf1, regardless of data size),
+    # which is the wrong place to pay for a vector that only
+    # changes when the graph does. The pagerank OPERATOR stays
+    # the ad-hoc path and is value-proven to 1e-7 against a
+    # single-process oracle in tests/test_graph.py; this call IS
+    # that operator, run once per build.
+    from ..operators.graph import pagerank as _pagerank
+
+    _pagerank(
+        spark.read.parquet(f"{tmp}/pr_edges"),
+        n_iter=6,
+        src_col="src",
+        dst_col="dst",
+        spine=spine,
+        edges_deduped=True,
+        tol=1e-10,
+        spine_stats=(int(_srow["n"]), int(_srow["nd"])),
+    ).write.mode("overwrite").parquet(f"{tmp}/pr_ranks")
+
+
+# every parquet table a published store entry holds, in one place:
+# the attach path refreshes + re-reads each, and the append path's
+# hard-link clone walks this list (minus the merged/global rewrites)
+_STORE_SUBDIRS = (
+    "nodes",
+    "properties",
+    "xrefs",
+    "xrefs_multi",
+    "tri_oriented",
+    "pr_edges",
+    "pr_spine",
+    "pr_ranks",
+    "degrees",
+    "targets",
+    "node_levels",
+    "aa_und",
+    "aa_centers",
+    "doc_ids",
+    "dangling_parents",
+)
+
+
+def _attach_store(
+    spark: SparkSession, sf_dir: str, final: str, key: tuple
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bind a published store dir into this session's handle caches
+    and return the (nodes, properties, xrefs) triple — shared by
+    get_graph (base stores) regardless of whether this process built
+    or cold-attached the entry."""
     # a clear+rebuild lands NEW part files at the SAME path — drop
     # Spark's file-status cache for it or a stale listing would point
     # reads at deleted files (FAILED_READ_FILE)
-    for sub in (
-        "nodes",
-        "properties",
-        "xrefs",
-        "xrefs_multi",
-        "tri_oriented",
-        "pr_edges",
-        "pr_spine",
-        "pr_ranks",
-        "degrees",
-        "targets",
-        "node_levels",
-        "aa_und",
-        "aa_centers",
-    ):
+    for sub in _STORE_SUBDIRS:
         spark.catalog.refreshByPath(f"{final}/{sub}")
     nodes = spark.read.parquet(f"{final}/nodes")
     properties = spark.read.parquet(f"{final}/properties")
@@ -1055,6 +1193,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         )
         _PR_STATS_CACHE[key] = (int(_srow["n"]), int(_srow["nd"]))
     return _GRAPH_CACHE[key]
+
 
 
 def get_multi_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,9 +1321,276 @@ def clear_graph_cache() -> None:
     _TRI_ORIENTED_CACHE.clear()
     _PR_EDGES_CACHE.clear()
     _PR_SPINE_CACHE.clear()
+    _PR_STATS_CACHE.clear()
+    _PR_RANKS_CACHE.clear()
     _DEGREES_CACHE.clear()
+    _TARGETS_CACHE.clear()
+    _LEVELS_CACHE.clear()
+    _AA_UND_CACHE.clear()
+    _AA_CENTERS_CACHE.clear()
     while _GRAPH_CACHE_DIRS:
         shutil.rmtree(_GRAPH_CACHE_DIRS.pop(), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental store maintenance (r11): append NEW documents to a built
+# store without re-paying the full build.
+#
+# The exactness argument rests on ONE fact the streaming SQLite path
+# already exploits (streaming/ingest.py: batch-local maintenance is
+# exact): every reference type the default detector emits is
+# WITHIN-document — structural types group on (document_id, parent_id)
+# and attribute references only resolve to a node in the SAME document.
+# So a new document's xrefs, degrees-contribution, tree levels, and
+# adjacency rows are computable from the delta alone, and at 100 TB an
+# append is a metadata-plus-delta transaction (hard-link the unchanged
+# multiset files, write O(delta) new ones — the same shape as an
+# Iceberg/Delta snapshot append) instead of a full rebuild. The ONE
+# whole-graph artifact is the rank vector (teleport couples every
+# component through 1/n), which re-derives over the merged sampled link
+# graph — the cheap tail of a build dominated by the sibling multiset.
+# ---------------------------------------------------------------------------
+
+# tables whose delta rows APPEND (hard-linked from the base, delta
+# files land alongside); degrees/targets/doc_ids/dangling_parents
+# MERGE-rewrite (verbatim parent_id strings can carry contributions
+# from both vintages), pr_ranks + pr_stats.json re-derive globally
+_APPEND_LINKED_SUBDIRS = (
+    "nodes",
+    "properties",
+    "xrefs",
+    "xrefs_multi",
+    "tri_oriented",
+    "pr_edges",
+    "pr_spine",
+    "node_levels",
+    "aa_und",
+    "aa_centers",
+)
+
+
+def _link_store_tree(base_dir: str, tmp: str) -> None:
+    """Mirror the base store's appendable tables into ``tmp`` as HARD
+    LINKS — O(#files) metadata work, zero data copied, both entries
+    remain independently valid (Spark's writers create new files and
+    unlink old ones; they never modify parquet bytes in place).
+    Marker/CRC files (leading ``_``/``.``) are skipped: committers
+    re-create their own, and truncating a linked ``_SUCCESS`` would
+    write through the shared inode."""
+    import os
+    import shutil
+
+    for sub in _APPEND_LINKED_SUBDIRS:
+        src_root = os.path.join(base_dir, sub)
+        if not os.path.isdir(src_root):
+            raise FileNotFoundError(
+                f"base store at {base_dir} has no {sub}/ — rebuild the "
+                "base (old layout?) before appending"
+            )
+        for root, _dirs, files in os.walk(src_root):
+            dst_root = os.path.join(tmp, os.path.relpath(root, base_dir))
+            os.makedirs(dst_root, exist_ok=True)
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                s, d = os.path.join(root, name), os.path.join(dst_root, name)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    # cross-device cache roots (or a filesystem without
+                    # hard links): fall back to a real copy
+                    shutil.copy2(s, d)
+
+
+def _append_guards(spark: SparkSession, base_dir: str, dn: DataFrame) -> None:
+    """Fail LOUD before any append work when the delta would break the
+    within-document locality the incremental tables rely on:
+
+    1. delta document_ids must be NEW (an existing document's content
+       changing is an update, not an append — rebuild);
+    2. delta node ids must not collide with existing ids (degrees,
+       node_levels, aa_centers and every id-keyed consumer assume one
+       owner per id);
+    3. a delta parent_id must not resolve to an EXISTING node — the
+       node_levels walk joins parent ids globally, so such a link
+       would give the full build a level the delta-only walk can't
+       see;
+    4. a delta id must not retroactively resolve an existing DANGLING
+       parent link (the mirror image of 3: base node_levels rows
+       would change).
+    """
+    base_docs = spark.read.parquet(f"{base_dir}/doc_ids")
+    doc_hits = [
+        r["document_id"]
+        for r in dn.select("document_id")
+        .distinct()
+        .join(base_docs, "document_id")
+        .limit(3)
+        .collect()
+    ]
+    if doc_hits:
+        raise ValueError(
+            f"append_documents: document_ids {doc_hits} already exist in "
+            "the base store — appends must carry NEW documents; changed "
+            "documents need a rebuild"
+        )
+    d_ids = dn.select("id").distinct()
+    d_par = (
+        dn.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").alias("id"))
+        .distinct()
+        .join(d_ids, "id", "left_anti")
+    )
+    probe = d_ids.select(
+        "id", F.lit("delta node id collides with an existing node id").alias("why")
+    ).unionByName(
+        d_par.select(
+            "id",
+            F.lit(
+                "delta parent_id resolves to an existing node — the delta "
+                "document is not self-contained"
+            ).alias("why"),
+        )
+    )
+    base_ids = spark.read.parquet(f"{base_dir}/nodes").select("id")
+    hits = (
+        probe.join(base_ids, "id")
+        .groupBy("why")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("example"))
+        .collect()
+    )
+    if hits:
+        raise ValueError(
+            "append_documents: "
+            + "; ".join(f"{r['why']} ({r['n']} ids, e.g. {r['example']})" for r in hits)
+        )
+    dang = spark.read.parquet(f"{base_dir}/dangling_parents").withColumnRenamed(
+        "parent_id", "id"
+    )
+    dang_hits = [r["id"] for r in d_ids.join(dang, "id").limit(3).collect()]
+    if dang_hits:
+        raise ValueError(
+            f"append_documents: delta node ids {dang_hits} would resolve "
+            "existing dangling parent links — existing node_levels rows "
+            "would change; rebuild instead"
+        )
+
+
+def append_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_nodes: DataFrame,
+    delta_properties: DataFrame,
+    delta_key: str,
+    check_guards: bool = True,
+) -> dict:
+    """Publish a NEW store entry = the base store for ``sf_dir`` plus
+    the delta documents, at O(delta) cost (plus the global rank-vector
+    re-derivation — see _write_rank_tables).
+
+    ``delta_key`` is the caller's identity for the delta content (fold
+    in input paths/mtimes and any synthesizer code) — it keys the
+    published entry, so the same (base, delta) pair cold-attaches on
+    later calls exactly like get_graph's own entries, and the entry
+    invalidates whenever the base inputs, the build code, or the delta
+    identity change. The base entry itself is never touched: the clone
+    is hard links, and a failed append leaves only its tmp dir (the
+    shared cache_util publish machinery removes it).
+
+    Returns ``{"path": <dir>, <table>: DataFrame, ...}`` for every
+    store table. Gate queries keep reading the sf_dir-keyed BASE store
+    through get_graph; appended stores are a pipeline capability with
+    their own identity (tests/test_store_append.py pins the appended
+    tables to a full rebuild over the unioned input, multiset-exact).
+    """
+    import os
+
+    from ..cache_util import content_cached_dir, content_key
+
+    get_graph(spark, sf_dir)  # ensure the base entry exists
+    base_ck = _graph_cache_key(sf_dir)
+    base_dir = os.path.join(_graph_cache_root(), base_ck)
+    ck = content_key(
+        "ga",
+        sf_dir,
+        extra=f"append|{delta_key}",
+        code_files=_graph_code_files(),
+        suffixes=(".parquet",),
+    )
+
+    def _build(tmp: str) -> None:
+        import shutil as _sh
+
+        _link_store_tree(base_dir, tmp)
+        # materialize the delta frames once — detection, the walk,
+        # and the appends all re-read them
+        delta_nodes.write.mode("overwrite").parquet(f"{tmp}/delta_nodes")
+        delta_properties.write.mode("overwrite").parquet(f"{tmp}/delta_properties")
+        dn = spark.read.parquet(f"{tmp}/delta_nodes")
+        dp = spark.read.parquet(f"{tmp}/delta_properties")
+        if check_guards:
+            _append_guards(spark, base_dir, dn)
+        dn.write.mode("append").parquet(f"{tmp}/nodes")
+        dp.write.mode("append").parquet(f"{tmp}/properties")
+        _write_store_tables(spark, tmp, dn, dp, mode="append", base_dir=base_dir)
+        _write_rank_tables(spark, tmp)
+        with open(f"{tmp}/manifest.json", "w") as f:
+            json.dump(
+                {"kind": "append", "base_key": base_ck, "delta_key": delta_key}, f
+            )
+        for scratch in ("delta_nodes", "delta_properties"):
+            _sh.rmtree(f"{tmp}/{scratch}", ignore_errors=True)
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            f.write(ck)
+
+    final = content_cached_dir(
+        _graph_cache_root(), ck, _build, owned_dirs=_GRAPH_CACHE_DIRS
+    )
+    out: dict = {"path": final}
+    for sub in _STORE_SUBDIRS:
+        spark.catalog.refreshByPath(f"{final}/{sub}")
+        out[sub] = spark.read.parquet(f"{final}/{sub}")
+    return out
+
+
+def synthesize_delta_document(
+    spark: SparkSession, src_dir: str, tag: str = "dx"
+) -> tuple[DataFrame, DataFrame]:
+    """A self-contained NEW document (nodes, properties) shaped like
+    the TPC-H graph of ``src_dir`` — the append harness's delta
+    generator (tests + scripts/measure_append.py). Every node id,
+    parent_id, and reference-valued property token gains the ``tag_``
+    prefix and the document_id becomes ``tpch_<tag>``, so the delta is
+    id-disjoint from any base built over un-prefixed ids and resolves
+    every internal link within itself (the append_documents contract).
+    """
+    pre = F.lit(f"{tag}_")
+    nodes = build_nodes(spark, src_dir).select(
+        F.concat(pre, "id").alias("id"),
+        "node_type",
+        F.lit(f"tpch_{tag}").alias("document_id"),
+        F.when(
+            F.col("parent_id").isNotNull(), F.concat(pre, F.col("parent_id"))
+        ).alias("parent_id"),
+        "position",
+        "content",
+        F.concat(F.lit(f"/{tag}"), "xpath").alias("xpath"),
+    )
+    # prefix every table-id token inside reference-valued property
+    # strings (single refs AND the space-separated lineitem_refs
+    # lists) so attribute/multi detection resolves within the delta;
+    # non-reference values contain no `<table>_` token and pass
+    # through untouched, keeping their inferred data_type valid
+    ref_pat = r"(^|[ ,])((region|nation|customer|supplier|part|order|lineitem)_)"
+    properties = build_properties(spark, src_dir).select(
+        F.concat(pre, "node_id").alias("node_id"),
+        "property_name",
+        F.regexp_replace(F.col("property_value"), ref_pat, f"$1{tag}_$2").alias(
+            "property_value"
+        ),
+        "data_type",
+    )
+    return nodes, properties
 
 
 def build_xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
