@@ -122,3 +122,30 @@ def test_text_index_cache_lifecycle(spark, tmp_path):
     finally:
         os.environ.pop("SPARK_GRAFT_INDEX_CACHE", None)
         S.clear_index_cache()
+
+
+class TestRRFFusion:
+    def _ranked(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rank int")
+
+    def test_agreement_beats_single_list_top(self, spark):
+        from xml_to_sqlite3_spark.operators.search import rrf_fuse
+
+        # doc 7 is rank 2 in BOTH lists; docs 1/2 top one list each.
+        # 2/(60+2) = 0.032258 > 1/61 + 0 = 0.016393 -> agreement wins.
+        lex = self._ranked(spark, [(1, 1), (7, 2), (3, 3)])
+        dense = self._ranked(spark, [(2, 1), (7, 2), (4, 3)])
+        out = rrf_fuse([lex, dense], k=4).collect()
+        assert out[0]["doc_id"] == 7
+        assert out[0]["n_lists"] == 2
+        assert out[0]["rrf"] == pytest.approx(round(2 / 62, 6))
+        # ties between the two single-list rank-1 docs break on doc_id
+        assert [r["doc_id"] for r in out[1:3]] == [1, 2]
+
+    def test_k_truncates_and_rank_is_dense(self, spark):
+        from xml_to_sqlite3_spark.operators.search import rrf_fuse
+
+        lex = self._ranked(spark, [(i, i) for i in range(1, 8)])
+        out = rrf_fuse([lex], k=3).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert [r["doc_id"] for r in out] == [1, 2, 3]

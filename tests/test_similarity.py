@@ -152,3 +152,62 @@ def test_codebook_cache_attach_identical(spark, tmp_path, monkeypatch):
         attached = S.get_codebook(spark, path, k=4, n_iter=2)
     assert np.array_equal(built, attached)
     S.clear_codebook_cache()
+
+
+class TestHardNegatives:
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        # two classes; vec 100/101 are near/exact dups of vec 1 but in
+        # the OPPOSITE class -> they are exactly the hard negatives
+        rows = [(i, _vec(i), i % 2) for i in range(20)]
+        rows.append((100, _vec(1, flip=0.1), 0))
+        rows.append((101, _vec(1), 0))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_negatives_have_different_label(self, labeled):
+        out = S.hard_negative_topk(
+            labeled.filter("vec_id < 6"), labeled, k=3
+        ).collect()
+        assert len(out) == 6 * 3
+        for r in out:
+            assert r["n_label"] != r["q_label"]
+            assert r["neighbor_id"] != r["query_id"]
+
+    def test_hardest_negative_is_the_cross_class_dup(self, labeled):
+        # vec 1 has label 1; its exact dup 101 and near-dup 100 have
+        # label 0, so they must rank 1 and 2 among its negatives
+        out = S.hard_negative_topk(
+            labeled.filter("vec_id = 1"), labeled, k=3
+        ).collect()
+        assert [r["neighbor_id"] for r in out][:2] == [101, 100]
+        assert out[0]["cosine"] == pytest.approx(1.0)
+
+    def test_matches_numpy_brute_force(self, labeled):
+        import numpy as np
+
+        rows = labeled.collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+        labels = {r["vec_id"]: r["label"] for r in rows}
+        out = S.hard_negative_topk(labeled.filter("vec_id = 4"), labeled, k=5)
+        got = [(r["neighbor_id"], r["cosine"]) for r in out.collect()]
+        q = vecs[4]
+        cands = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            v @ q / (np.linalg.norm(v) * np.linalg.norm(q))
+                        ),
+                        6,
+                    ),
+                    i,
+                )
+                for i, v in vecs.items()
+                if i != 4 and labels[i] != labels[4]
+            ),
+        )[:5]
+        assert [(i, -c) for c, i in cands] == [
+            (i, pytest.approx(c)) for i, c in got
+        ]

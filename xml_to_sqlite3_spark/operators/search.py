@@ -233,3 +233,46 @@ def bm25_search(
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine N ranked
+    lists into one by score(d) = sum over lists of 1/(c + rank_d).
+    The standard lexical+dense hybrid-search combiner — rank-based,
+    so BM25 scores and cosines need no calibration against each
+    other.
+
+    Each input must carry (id_col, rank_col) with rank starting at 1.
+    The inputs are top-k lists (k*N rows total), so the fusion is
+    driver-cheap by construction: a unionByName of tiny frames, one
+    k*N-row aggregation, and a TakeOrdered — at 100 TB the expensive
+    part is producing the input lists (bm25_search / cosine_topk,
+    both distributed), never this combiner.
+
+    Returns (doc_id, rrf, n_lists, rank) — n_lists = how many input
+    lists retrieved the doc (agreement signal). Ties break on doc_id
+    ascending; rrf rounds to 6dp so the order is engine-portable.
+    """
+    tagged = [
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias("contrib"),
+        )
+        for df in ranked_lists
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    scored = u.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    top = scored.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    w = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

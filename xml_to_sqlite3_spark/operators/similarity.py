@@ -90,6 +90,56 @@ def cosine_topk(
     return _topk(scored, k)
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training data: per
+    query, the top-k most-similar corpus vectors whose label DIFFERS
+    from the query's — the classic contrastive-pair construction
+    (high-cosine, wrong-class examples are the informative negatives).
+
+    Same plan shape as :func:`cosine_topk` (broadcast the small query
+    side, scan the corpus exactly once); the label-inequality
+    predicate sits in the join condition so candidates are pruned
+    before the cosine is evaluated. At 100 TB the corpus side stays
+    partition-parallel and nothing shuffles — the only reduction is
+    the per-query top-k window over k-bounded candidates.
+
+    Returns (query_id, q_label, neighbor_id, n_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)
+
+
 _PLANE_SEED = 428571
 
 

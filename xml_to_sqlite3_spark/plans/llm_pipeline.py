@@ -965,6 +965,204 @@ ORDER BY rank
 """
 
 
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical+dense hybrid retrieval with reciprocal-rank fusion:
+    BM25 top-50 for the fixed two-term query (persistent inverted
+    index) fused with cosine top-50 around the vec_id=0 embedding
+    (doc_id and vec_id are aligned in the corpus). Rank-based RRF
+    needs no score calibration between the two retrievers; both
+    input lists and the fusion are fully deterministic, so the whole
+    hybrid stack is value-oracled."""
+    import os
+
+    from ..operators.search import bm25_search, get_text_index, rrf_fuse
+
+    idx, n_docs, avg_len = get_text_index(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    lex = bm25_search(idx, "data query", k=50, n_docs=n_docs, avg_len=avg_len)
+    emb = load(spark, sf_dir, "embeddings")
+    dense = S.cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), dense], k=10)
+
+
+_COSINE_SQL = """round(
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i]))))
+         , 6)"""
+
+HYBRID_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id, len(t) AS doc_len, unnest(t) AS token FROM toks
+), idx AS (
+  SELECT token, doc_id, doc_len, count(*) AS tf FROM exploded GROUP BY 1, 2, 3
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(doc_len) AS avgdl
+  FROM (SELECT DISTINCT doc_id, doc_len FROM idx)
+), hits AS (
+  SELECT * FROM idx WHERE token IN ('data', 'query')
+), dfs AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+), bm25_scored AS (
+  SELECT h.doc_id,
+         round(sum(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.doc_len / s.avgdl))
+         ), 6) AS bm25
+  FROM hits h JOIN dfs d USING (token) CROSS JOIN stats s
+  GROUP BY h.doc_id
+), lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm25_scored QUALIFY rank <= 50
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT e AS qv FROM v WHERE vec_id = 0
+), dense_scored AS (
+  SELECT c.vec_id AS doc_id, {_COSINE_SQL} AS cosine
+  FROM v c CROSS JOIN q WHERE c.vec_id <> 0
+), dense AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM dense_scored QUALIFY rank <= 50
+), unioned AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM dense
+), fused AS (
+  SELECT doc_id, round(sum(contrib), 6) AS rrf, count(*) AS n_lists
+  FROM unioned GROUP BY 1
+), final AS (
+  SELECT doc_id, rrf, n_lists,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT doc_id, rrf, n_lists, rank FROM final WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for the first 10 vectors, the top-5
+    most-similar corpus vectors with a DIFFERENT class label —
+    contrastive-training pair construction over the embeddings
+    table (operators/similarity.hard_negative_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+HARD_NEG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS q_label, e AS qv FROM v WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, c.label AS n_label,
+         {_COSINE_SQL} AS cosine
+  FROM q, v c WHERE c.vec_id <> q.query_id AND c.label <> q.q_label
+), ranked AS (
+  SELECT query_id, q_label, neighbor_id, n_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, q_label, neighbor_id, n_label, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained on the
+    doc_id %% 5 != 0 split and scored on the held-out fifth
+    (operators/classify.py — training is one groupBy, scoring is a
+    broadcast model join; fully value-oracled including Laplace
+    smoothing and OOV handling). The curation story: a fastText-style
+    router (domain/language/quality) whose train AND apply steps run
+    as declarative Spark plans over the full corpus."""
+    from ..operators import classify as CL
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    fitted = CL.nb_train(train, label_col="lang")
+    preds = CL.nb_score(test, fitted)
+    return (
+        preds.join(test.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "predicted", "score")
+        .orderBy("doc_id")
+    )
+
+
+NB_CLASSIFY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY 1, 2
+), train_counts AS (
+  SELECT tc.doc_id, tc.token, tc.cnt, d.lang AS label
+  FROM tok_counts tc JOIN documents d USING (doc_id)
+  WHERE tc.doc_id % 5 <> 0
+), model_tf AS (
+  SELECT token, label, sum(cnt) AS tf FROM train_counts GROUP BY 1, 2
+), vocab AS (
+  SELECT DISTINCT token FROM model_tf
+), vsize AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab
+), class_tot AS (
+  SELECT label, CAST(sum(tf) AS DOUBLE) AS tot FROM model_tf GROUP BY 1
+), class_docs AS (
+  SELECT lang AS label, CAST(count(*) AS DOUBLE) AS nd
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+), n_train AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id % 5 <> 0
+), class_stats AS (
+  SELECT cd.label,
+         ln(cd.nd) - ln(nt.n) AS prior_ln,
+         ln(1.0) - ln(ct.tot + 1.0 * vs.v) AS default_ln
+  FROM class_docs cd JOIN class_tot ct USING (label)
+  CROSS JOIN vsize vs CROSS JOIN n_train nt
+), adj AS (
+  SELECT token, label, ln(tf + 1.0) - ln(1.0) AS adj_ln FROM model_tf
+), iv AS (
+  SELECT doc_id, token, cnt FROM tok_counts
+  WHERE doc_id % 5 = 0 AND token IN (SELECT token FROM vocab)
+), n_iv AS (
+  SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS niv FROM iv GROUP BY 1
+), adj_sums AS (
+  SELECT i.doc_id, a.label, sum(i.cnt * a.adj_ln) AS adj_sum
+  FROM iv i JOIN adj a USING (token) GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, d.lang, cs.label, cs.prior_ln, cs.default_ln
+  FROM documents d CROSS JOIN class_stats cs WHERE d.doc_id % 5 = 0
+), scored AS (
+  SELECT g.doc_id, g.lang, g.label,
+         round(g.prior_ln + coalesce(n.niv, 0) * g.default_ln
+               + coalesce(s.adj_sum, 0), 6) AS score
+  FROM grid g
+  LEFT JOIN n_iv n ON g.doc_id = n.doc_id
+  LEFT JOIN adj_sums s ON g.doc_id = s.doc_id AND g.label = s.label
+), ranked AS (
+  SELECT doc_id, lang, label, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, label AS predicted, score FROM ranked
+WHERE rk = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search_q,
     "token_count": token_count,
@@ -987,6 +1185,9 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dup_spans": dup_spans_q,
     "dedup_spans_apply": dedup_spans_apply_q,
+    "hybrid_search": hybrid_search,
+    "hard_negatives": hard_negatives,
+    "nb_classify": nb_classify,
 }
 
 ORACLES = {
@@ -1010,6 +1211,9 @@ ORACLES = {
     "curate_corpus": CURATE_CORPUS_ORACLE,
     "dup_spans": DUP_SPANS_ORACLE,
     "dedup_spans_apply": DEDUP_SPANS_APPLY_ORACLE,
+    "hybrid_search": HYBRID_ORACLE,
+    "hard_negatives": HARD_NEG_ORACLE,
+    "nb_classify": NB_CLASSIFY_ORACLE,
 }
 
 
