@@ -109,10 +109,11 @@ _GATE_PRIORITY = [
     "streaming_topk",
     "token_count",
     "unicode_quality",
-    # r11-NEW entries (hybrid_search, hard_negatives, nb_classify)
+    # r11-NEW entries (hybrid_search, hard_negatives, nb_classify,
+    # repetition_topngram, shingle_novelty)
     # register past-window: the window is exactly consumed by the
     # changed-store family + the FULL r8-vintage cohort (VERDICT r10
-    # task 2's hard done-criterion). All three are value-oracled and
+    # task 2's hard done-criterion). All five are value-oracled and
     # hash-replayed by the local parity suite each pytest run; they
     # queue for the HEAD of the r12 window.
     # demoted to past-window this round (all r9/r10-green, unchanged

@@ -972,3 +972,41 @@ def test_exact_percentiles_rejects_unbounded_group_cardinality(spark, monkeypatc
     )
     with pytest.raises(ValueError, match="more than 10 groups"):
         C.exact_percentiles(df, "v", [0.5], group_cols=["g"])
+
+
+class TestTopNgramRepetition:
+    def test_repeated_phrase_dominates(self, spark):
+        from xml_to_sqlite3_spark.operators.text import top_ngram_repetition
+
+        df = spark.createDataFrame(
+            [
+                # "buy now" appears 3x in 8 tokens -> clearly flagged
+                (1, "buy now buy now buy now and more"),
+                (2, "all distinct words in here without any repeats whatsoever today friend"),
+                (3, "one"),          # single token: no 2-gram
+                (4, "ha ha"),        # one 2-gram covering most chars
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in top_ngram_repetition(df).collect()}
+        assert out[1]["top_gram"] == "buy now"
+        assert out[1]["top_cnt"] == 3
+        # 3 * len("buy now")=7 chars over len("buy now ... more")=32
+        assert out[1]["top_frac"] == pytest.approx(round(21 / 32, 6))
+        assert out[1]["keep"] is False
+        assert out[2]["top_cnt"] == 1 and out[2]["keep"] is True
+        assert out[3]["top_gram"] is None
+        assert out[3]["top_cnt"] == 0 and out[3]["top_frac"] == 0.0
+        assert out[4]["top_gram"] == "ha ha"
+        assert out[4]["top_frac"] == pytest.approx(1.0)
+
+    def test_tie_breaks_on_gram_ascending(self, spark):
+        from xml_to_sqlite3_spark.operators.text import top_ngram_repetition
+
+        # "a b" and "b a" both appear twice -> "a b" wins the tie
+        df = spark.createDataFrame(
+            [(1, "a b a b a")], "doc_id long, text string"
+        )
+        row = top_ngram_repetition(df).collect()[0]
+        assert row["top_gram"] == "a b"
+        assert row["top_cnt"] == 2

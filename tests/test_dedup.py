@@ -386,3 +386,45 @@ def test_minhash_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
     b = D.minhash_lsh_pairs(docs, threshold=0.2, tokens=t2, sigs=s2)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     D.clear_minhash_store()
+
+
+def test_shingle_novelty_first_occurrence(spark):
+    from xml_to_sqlite3_spark.operators.dedup import shingle_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # all shingles first seen here
+            (2, "the quick brown fox runs"),    # shares 2 of 3 shingles w/ doc 1
+            (3, "completely different text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(df, n=3).collect()}
+    # doc 1: 3 distinct 3-gram shingles, all novel
+    assert out[1]["n_shingles"] == 3 and out[1]["novel_frac"] == 1.0
+    # doc 2: "the quick brown" + "quick brown fox" first appeared in
+    # doc 1; only "brown fox runs" is novel
+    assert out[2]["n_shingles"] == 3
+    assert out[2]["novel"] == 1
+    assert out[2]["novel_frac"] == pytest.approx(round(1 / 3, 6))
+    assert out[3]["novel_frac"] == 1.0
+
+
+def test_shingle_novelty_store_tokens_match_recompute(spark, tmp_path):
+    from xml_to_sqlite3_spark.operators.dedup import (
+        _shingle_tokens,
+        shingle_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} common words here run {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    direct = shingle_novelty(df, n=3).collect()
+    # mimic the store frame: (doc_id, h) with the (n, k) meta tag
+    tagged = _shingle_tokens(df, 3, "doc_id", "text").select("doc_id", "h")
+    tagged._mh_meta = {"n": 3, "k": 64}
+    via_store = shingle_novelty(df, n=3, tokens=tagged).collect()
+    assert direct == via_store
+    with pytest.raises(ValueError):
+        shingle_novelty(df, n=4, tokens=tagged)

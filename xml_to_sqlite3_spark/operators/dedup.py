@@ -1025,3 +1025,54 @@ def clear_minhash_store() -> None:
     _WINDOW_STORE_MEMO.clear()
     while _MINHASH_STORE_DIRS:
         shutil.rmtree(_MINHASH_STORE_DIRS.pop(), ignore_errors=True)
+
+
+def shingle_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document novelty against the corpus: the fraction of a
+    document's distinct word n-gram shingles whose corpus-wide FIRST
+    occurrence (minimum doc_id) is this document — the data-valuation
+    view of dedup (a doc full of already-seen shingles adds little
+    even when no single pair crosses a dedup threshold; mixing and
+    curriculum policies rank on exactly this).
+
+    Reads the persistent MinHash store's hashed-shingle postings when
+    supplied (``tokens``) — no re-shingling; the 60-bit hash stands
+    in for the shingle string under the same injectivity-at-scale
+    argument the Jaccard join documents above. Plan: one groupBy on
+    the 8-byte shingle key (first_doc = min(doc_id), map-side
+    combinable) and one join back — no windows, no all-pairs.
+
+    Returns (doc_id, n_shingles, novel, novel_frac) for every doc
+    with at least one shingle, ordered by doc_id.
+    """
+    if tokens is not None:
+        _check_store_meta(tokens, "tokens", n=n)
+        postings = tokens.select("doc_id", "h")
+    else:
+        postings = _shingle_tokens(df, n, id_col, text_col).select("doc_id", "h")
+    firsts = postings.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        postings.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel",
+            F.round(F.col("novel") / F.col("n_shingles").cast("double"), 6).alias(
+                "novel_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

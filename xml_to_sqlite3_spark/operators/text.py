@@ -692,3 +692,76 @@ def bigram_logprob(
         )
         .orderBy("doc_id")
     )
+
+
+def top_ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frac: float = 0.20,
+) -> DataFrame:
+    """The other half of the Gopher repetition suite (gopher_quality
+    covers duplicate LINES): the fraction of a document's normalized
+    characters covered by its single most frequent word 2-gram —
+    boilerplate and degenerate generations repeat one phrase, which
+    line-level dedup misses when the phrase sits inside longer lines.
+
+    top_frac = occurrences(top 2-gram) * len(top 2-gram)
+             / len(whitespace-normalized lowercased text);
+    ties on count break by 2-gram string ascending, so the flagged
+    gram is deterministic. Docs with fewer than two tokens get
+    top_frac = 0.0 and a NULL gram.
+
+    Scale: one explode + one (doc, gram) groupBy (map-side
+    combinable) + a per-document argmax window — partitioned by
+    doc_id, never global.
+    """
+    from .search import tokenize
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.length(norm).alias("n_chars"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    grams = (
+        base.select(
+            "doc_id",
+            "n_chars",
+            F.explode(_adjacent_pairs(F.col("toks"))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("gram"),
+        )
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        grams.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_cnt"),
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("n_chars").cast("double"), 6
+            ).alias("top_frac"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "top_gram",
+            F.coalesce(F.col("top_cnt"), F.lit(0)).alias("top_cnt"),
+            F.coalesce(F.col("top_frac"), F.lit(0.0)).alias("top_frac"),
+            (F.coalesce(F.col("top_frac"), F.lit(0.0)) <= F.lit(max_frac)).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1163,6 +1163,81 @@ WHERE rk = 1 ORDER BY doc_id
 """
 
 
+def repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-gram repetition fraction per document — the half of the
+    Gopher repetition suite gopher_quality's duplicate-LINE metric
+    does not cover (operators/text.top_ngram_repetition)."""
+    return T.top_ngram_repetition(load(spark, sf_dir, "documents"))
+
+
+REPETITION_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, length(nt) AS n_chars,
+         list_filter(string_split(nt, ' '), x -> x <> '') AS w
+  FROM norm
+), grams AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks WHERE len(w) >= 2
+), counts AS (
+  SELECT doc_id, n_chars, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, gram, cnt, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+  FROM counts
+)
+SELECT d.doc_id,
+       t.gram AS top_gram,
+       CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_cnt,
+       coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
+                0.0) AS top_frac,
+       coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
+                0.0) <= 0.20 AS keep
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def shingle_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-occurrence novelty over the corpus's 3-gram
+    shingle space, served from the persistent MinHash store's
+    postings — no re-shingling (operators/dedup.shingle_novelty)."""
+    tokens, _ = _minhash_store(spark, sf_dir)
+    return D.shingle_novelty(
+        load(spark, sf_dir, "documents"), n=3, tokens=tokens
+    )
+
+
+SHINGLE_NOVELTY_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), postings AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), firsts AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM postings GROUP BY 1
+)
+SELECT p.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel,
+       round(CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novel_frac
+FROM postings p JOIN firsts f USING (shingle)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search_q,
     "token_count": token_count,
@@ -1188,6 +1263,8 @@ QUERIES = {
     "hybrid_search": hybrid_search,
     "hard_negatives": hard_negatives,
     "nb_classify": nb_classify,
+    "repetition_topngram": repetition_topngram,
+    "shingle_novelty": shingle_novelty_q,
 }
 
 ORACLES = {
@@ -1214,6 +1291,8 @@ ORACLES = {
     "hybrid_search": HYBRID_ORACLE,
     "hard_negatives": HARD_NEG_ORACLE,
     "nb_classify": NB_CLASSIFY_ORACLE,
+    "repetition_topngram": REPETITION_ORACLE,
+    "shingle_novelty": SHINGLE_NOVELTY_ORACLE,
 }
 
 
