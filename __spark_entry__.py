@@ -110,12 +110,13 @@ _GATE_PRIORITY = [
     "token_count",
     "unicode_quality",
     # r11-NEW entries (hybrid_search, hard_negatives, nb_classify,
-    # repetition_topngram, shingle_novelty)
+    # repetition_topngram, shingle_novelty, semdedup)
     # register past-window: the window is exactly consumed by the
     # changed-store family + the FULL r8-vintage cohort (VERDICT r10
-    # task 2's hard done-criterion). All five are value-oracled and
-    # hash-replayed by the local parity suite each pytest run; they
-    # queue for the HEAD of the r12 window.
+    # task 2's hard done-criterion). All are value-oracled and
+    # hash-replayed by the local parity suite each pytest run (except
+    # semdedup, rows-only by declared design — float k-means
+    # codebook); they queue for the HEAD of the r12 window.
     # demoted to past-window this round (all r9/r10-green, unchanged
     # plans; the local parity replica still hash-proves every one):
     # the r10 cohort (the exact_percentiles trio, audio_metadata,

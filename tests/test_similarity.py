@@ -211,3 +211,75 @@ class TestHardNegatives:
         assert [(i, -c) for c, i in cands] == [
             (i, pytest.approx(c)) for i, c in got
         ]
+
+
+class TestSemDeDup:
+    def test_keep_first_within_cluster(self, spark):
+        import numpy as np
+
+        # hand centroids: axis-aligned; vecs 1/2/3 cluster on axis 0
+        # (2 and 3 duplicate 1 -> dropped), vec 10 alone on axis 1
+        cents = np.eye(2)
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.1]),
+                (2, [1.0, 0.1]),       # exact dup of 1 -> dropped
+                (3, [1.0, 0.12]),      # near dup of 1 -> dropped
+                (10, [0.1, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r for r in S.semdedup(df, cents, threshold=0.99).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False
+        assert out[3]["keep"] is False
+        assert out[10]["keep"] is True
+        assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"]
+        assert out[10]["cluster"] != out[1]["cluster"]
+
+    def test_cross_cluster_dup_kept_by_design(self, spark):
+        import numpy as np
+
+        # a/b are near-identical but straddle the centroid boundary:
+        # the documented SemDeDup approximation keeps both
+        cents = np.eye(2)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.99]), (2, [0.99, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r for r in S.semdedup(df, cents, threshold=0.9).collect()}
+        assert out[1]["cluster"] != out[2]["cluster"]
+        assert out[1]["keep"] is True and out[2]["keep"] is True
+
+    def test_matches_python_replica(self, spark):
+        import numpy as np
+
+        rng_vecs = [(i, _vec(i)) for i in range(25)]
+        rng_vecs += [(100 + i, _vec(i, flip=0.05)) for i in range(6)]
+        df = spark.createDataFrame(
+            rng_vecs, "vec_id long, embedding array<double>"
+        )
+        cents = S.spherical_kmeans(df, k=4, n_iter=3)
+        got = {r["vec_id"]: r for r in S.semdedup(df, cents, threshold=0.98).collect()}
+
+        C = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rng_vecs}
+        def assign(v):
+            u = v / max(np.linalg.norm(v), 1e-12)
+            return int(np.argmax(u @ C.T))
+        clusters = {i: assign(v) for i, v in vecs.items()}
+        for i, v in vecs.items():
+            assert got[i]["cluster"] == clusters[i]
+            drop = any(
+                j < i
+                and clusters[j] == clusters[i]
+                and round(
+                    float(
+                        vecs[j] @ v / (np.linalg.norm(vecs[j]) * np.linalg.norm(v))
+                    ),
+                    6,
+                )
+                >= 0.98
+                for j in vecs
+            )
+            assert got[i]["keep"] is (not drop), i

@@ -407,6 +407,63 @@ def embedding_near_duplicates(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-dedup):
+    assign every vector to its nearest codebook centroid, then inside
+    each cluster drop any vector that has a same-cluster neighbor
+    with cosine >= threshold and a SMALLER id (keep-first
+    representative — deterministic, order-free).
+
+    The cluster pass is the whole point at scale: the quadratic
+    compare is bounded to within-cluster pairs, so the codebook size
+    is the knob (pick k so the mean cluster is ~sqrt-of-corpus
+    sized; the published recipe uses tens of thousands of clusters
+    for web-scale corpora). The plan is one Arrow-batched assignment
+    (codebook broadcast in the UDF closure, same _assign_udf the IVF
+    path uses — SemDeDup clusters are IVF inverted lists) and one
+    equi-join on the k-ary cluster key (AQE splits skewed clusters).
+    Cross-cluster near-dups are missed BY DESIGN (the documented
+    SemDeDup approximation); the exact complement is
+    embedding_near_duplicates' LSH path.
+
+    Result values depend on the float k-means codebook, so this is a
+    rows-only gate (like the reduced-probe IVF configs); the operator
+    is pinned by brute-force-replica unit tests instead.
+
+    Returns (vec_id, cluster, keep) for every corpus vector.
+    """
+    assign = _assign_udf(centroids)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cluster", assign(F.col("v")))
+    # two consumers (pair join sides + the final projection) — pin
+    # the assignment so the Arrow UDF runs once
+    v = v.localCheckpoint(eager=False)
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        v.join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("__drop").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
 def _sign_md5(tag: str) -> int:
     """+-1 from the portable md5 hash (parity of the same 60-bit
     integer DuckDB derives with ('0x' || substr(md5(tag), 1, 15)))."""

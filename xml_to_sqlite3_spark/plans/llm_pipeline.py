@@ -1238,6 +1238,26 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, clusters from the
+    persistent IVF codebook (k=16 at gate scale; the centroid count
+    is the quadratic-bound knob at 100 TB). Gate threshold 0.4 sits
+    INSIDE the synthetic corpus's within-cluster cosine range (max
+    ~0.51, p99 ~0.35 — near-random vectors have no true semantic
+    dups), so the drop path executes at the gate; real corpora run
+    0.95+. Rows-only by declared design: keep/cluster values depend
+    on the float k-means codebook, which SQL cannot re-derive — the
+    operator is pinned by brute-force-replica unit tests
+    (tests/test_similarity.py) instead."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.get_codebook(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), k=16, n_iter=5
+    )
+    return S.semdedup(emb, cents, threshold=0.4)
+
+
 QUERIES = {
     "bm25_search": bm25_search_q,
     "token_count": token_count,
@@ -1265,6 +1285,7 @@ QUERIES = {
     "nb_classify": nb_classify,
     "repetition_topngram": repetition_topngram,
     "shingle_novelty": shingle_novelty_q,
+    "semdedup": semdedup_q,
 }
 
 ORACLES = {
