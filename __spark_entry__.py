@@ -110,7 +110,8 @@ _GATE_PRIORITY = [
     "token_count",
     "unicode_quality",
     # r11-NEW entries (hybrid_search, hard_negatives, nb_classify,
-    # repetition_topngram, shingle_novelty, semdedup)
+    # repetition_topngram, shingle_novelty, semdedup,
+    # graph_assortativity, graph_clustering)
     # register past-window: the window is exactly consumed by the
     # changed-store family + the FULL r8-vintage cohort (VERDICT r10
     # task 2's hard done-criterion). All are value-oracled and

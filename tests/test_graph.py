@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from xml_to_sqlite3_spark.operators.graph import (
     bfs_distances,
     connected_components,
@@ -261,3 +263,71 @@ def test_scoped_confs_restored(spark):
     assert snap() == before
     triangle_count(edges).count()
     assert snap() == before
+
+
+class TestAssortativityAndClustering:
+    @pytest.fixture(scope="class")
+    def mixed(self, spark):
+        # star (hub 0, leaves 1-3) + triangle (10,11,12) +
+        # square-with-chord (20-21-22-23, diagonal 20-22)
+        edges = [
+            (0, 1), (0, 2), (0, 3),
+            (10, 11), (10, 12), (11, 12),
+            (20, 21), (21, 22), (22, 23), (23, 20), (20, 22),
+        ]
+        return spark.createDataFrame(
+            edges, "source_node_id long, target_node_id long"
+        )
+
+    def test_assortativity_matches_numpy(self, mixed):
+        import numpy as np
+        from xml_to_sqlite3_spark.operators.graph import degree_assortativity
+
+        row = degree_assortativity(mixed).collect()[0]
+        assert row["n_edges"] == 11
+        assert row["n_endpoints"] == 22
+        edges = [tuple(r) for r in mixed.collect()]
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        du = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+        dv = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+        expect = np.corrcoef(du, dv)[0, 1]
+        assert row["assortativity"] == pytest.approx(round(expect, 6), abs=2e-6)
+
+    def test_local_clustering_hand_values(self, mixed):
+        from xml_to_sqlite3_spark.operators.graph import local_clustering
+
+        out = {r["node_id"]: r for r in local_clustering(mixed).collect()}
+        # star: hub and leaves close no triangles
+        assert out[0]["coeff"] == 0.0 and out[0]["triangles"] == 0
+        assert out[1]["degree"] == 1 and out[1]["coeff"] == 0.0
+        # triangle: every corner fully clustered
+        for v in (10, 11, 12):
+            assert out[v]["degree"] == 2
+            assert out[v]["triangles"] == 1
+            assert out[v]["coeff"] == 1.0
+        # square with chord: diagonal endpoints sit in 2 of 3 possible
+        # wedges, the others in their single possible one
+        assert out[20]["degree"] == 3 and out[20]["triangles"] == 2
+        assert out[20]["coeff"] == pytest.approx(round(2 / 3, 6))
+        assert out[21]["triangles"] == 1 and out[21]["coeff"] == 1.0
+        assert out[23]["triangles"] == 1 and out[23]["coeff"] == 1.0
+
+    def test_duplicate_and_self_edges_ignored(self, spark):
+        from xml_to_sqlite3_spark.operators.graph import (
+            degree_assortativity,
+            local_clustering,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (3, 1)],
+            "source_node_id long, target_node_id long",
+        )
+        row = degree_assortativity(df).collect()[0]
+        assert row["n_edges"] == 3  # the simple triangle 1-2-3
+        # regular graph (all degrees 2): r undefined -> NULL, not error
+        assert row["assortativity"] is None
+        out = {r["node_id"]: r for r in local_clustering(df).collect()}
+        assert all(out[v]["coeff"] == 1.0 for v in (1, 2, 3))

@@ -719,3 +719,158 @@ def adamic_adar_topk(
         "left_anti",
     )
     return novel.orderBy(F.desc("aa_score"), "node_a", "node_b").limit(k)
+
+
+def degree_assortativity(
+    edges: DataFrame | None,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+    und: DataFrame | None = None,
+) -> DataFrame:
+    """Newman degree assortativity of the undirected simple graph:
+    the Pearson correlation of endpoint degrees over the directed
+    endpoint list (each undirected edge contributes both
+    orientations) — one row (n_edges, n_endpoints, assortativity).
+    Positive r = hubs link to hubs (social shape), negative r = hubs
+    link to leaves (star/reference shape) — the one-number summary a
+    pipeline owner checks before trusting degree-based skew guards.
+
+    Plan: dedup to the simple edge set, one degree aggregation, two
+    (broadcastable node-domain) joins back, one corr aggregate — all
+    map-side-combinable, nothing quadratic. ``und`` accepts a
+    precomputed undirected pair set (e.g. the store's oriented
+    table — orientation is irrelevant here, any (a, b) bijection of
+    the simple edge set works).
+    """
+    if und is None:
+        if edges is None:
+            raise ValueError("degree_assortativity needs edges or und")
+        und = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        cols = und.columns
+        und = und.select(F.col(cols[0]).alias("a"), F.col(cols[1]).alias("b"))
+    und = und.localCheckpoint(eager=False)
+    both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select("u", F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    return (
+        both.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).alias("n_endpoints"),
+            # corr spelled as covar/(sd*sd) with a zero-variance guard:
+            # a REGULAR graph (all degrees equal) has no defined r —
+            # F.corr would raise DIVIDE_BY_ZERO under ANSI mode, while
+            # DuckDB's corr returns NULL; match the NULL.
+            F.round(
+                F.when(
+                    F.stddev_samp("du") * F.stddev_samp("dv") > 0,
+                    F.covar_samp("du", "dv")
+                    / (F.stddev_samp("du") * F.stddev_samp("dv")),
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+def local_clustering(
+    edges: DataFrame | None,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+    oriented: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    simple graph: coeff(v) = 2 * T(v) / (d(v) * (d(v) - 1)) where
+    T(v) = triangles through v — the node-level refinement of
+    triangle_count (same degree-oriented wedge join, but LISTING
+    each triangle once and exploding its three corners instead of
+    counting). Returns (node_id, degree, triangles, coeff) for every
+    vertex, coeff = 0.0 for degree < 2; deterministic and fully
+    SQL-oracle-checkable.
+
+    Scale shape: identical to triangle_count through the closing
+    join (per-vertex wedge fan-out O(sqrt(m)) after orientation);
+    the listing adds 3 rows per triangle (linear in the triangle
+    count) and one corner groupBy. ``oriented`` accepts the store's
+    persisted orient_edges output.
+    """
+    if oriented is None and edges is None:
+        raise ValueError("local_clustering needs edges or a precomputed oriented set")
+    spark = (oriented if oriented is not None else edges).sparkSession
+    n_part = min(16, spark.sparkContext.defaultParallelism)
+    conf = spark.conf
+    scoped = {
+        "spark.sql.shuffle.partitions": str(n_part),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        if oriented is None:
+            oriented = orient_edges(edges, src_col, dst_col, n_partitions=n_part)
+        oriented = oriented.repartition(n_part, "u").localCheckpoint(eager=True)
+        e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+        e2 = oriented.select(F.col("u"), F.col("w"))
+        wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+        closing = oriented.select(
+            F.least("u", "w").alias("v"), F.greatest("u", "w").alias("w")
+        )
+        tri = wedges.join(closing, ["v", "w"])
+        corners = tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node_id")
+        )
+        t_per_node = corners.groupBy("node_id").agg(
+            F.count(F.lit(1)).alias("triangles")
+        )
+        deg = (
+            oriented.select(F.col("u").alias("node_id"))
+            .unionByName(oriented.select(F.col("w").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        out = (
+            deg.join(t_per_node, "node_id", "left")
+            .select(
+                "node_id",
+                "degree",
+                F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+                F.when(
+                    F.col("degree") >= 2,
+                    F.round(
+                        2.0
+                        * F.coalesce(F.col("triangles"), F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("coeff"),
+            )
+            .orderBy("node_id")
+        )
+        # materialize inside the scoped-conf region (triangle_count's
+        # re-plan note applies identically)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -2494,3 +2494,82 @@ LIMIT 50
 
 QUERIES["link_prediction"] = link_prediction
 ORACLES["link_prediction"] = LINK_PREDICTION_ORACLE
+
+
+_GRAPH_UND_SQL = """
+, und AS (
+  SELECT DISTINCT least(source_node_id, target_node_id) AS a,
+                  greatest(source_node_id, target_node_id) AS b
+  FROM cross_references
+  WHERE reference_type IN ('attribute_reference', 'next_sibling')
+    AND source_node_id <> target_node_id
+)"""
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the mixed reference graph
+    (operators/graph.degree_assortativity) — the one-number
+    hubs-link-to-hubs summary, computed off the store's persisted
+    oriented edge table (orientation is irrelevant to the metric;
+    any bijection of the simple edge set works)."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(None, und=get_tri_oriented(spark, sf_dir))
+
+
+GRAPH_ASSORT_ORACLE = GRAPH_PREFIX + _GRAPH_UND_SQL + """
+, both_dir AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), deg AS (
+  SELECT u, count(*) AS deg FROM both_dir GROUP BY 1
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       count(*) AS n_endpoints,
+       round(corr(du.deg, dv.deg), 6) AS assortativity
+FROM both_dir e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+"""
+
+QUERIES["graph_assortativity"] = graph_assortativity
+ORACLES["graph_assortativity"] = GRAPH_ASSORT_ORACLE
+
+
+def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the mixed reference
+    graph (operators/graph.local_clustering): the node-level
+    refinement of graph_triangles — same persisted degree-oriented
+    wedge join, but listing each triangle's three corners instead of
+    counting globally. Fully value-oracled (exact integer degrees and
+    triangle counts; coeff rounds at 6dp)."""
+    from ..operators.graph import local_clustering
+
+    return local_clustering(None, oriented=get_tri_oriented(spark, sf_dir))
+
+
+GRAPH_CLUSTERING_ORACLE = GRAPH_PREFIX + _GRAPH_UND_SQL + """
+, tri AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM und ab JOIN und bc ON ab.b = bc.a
+              JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+), corners AS (
+  SELECT x AS node_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), tcount AS (
+  SELECT node_id, count(*) AS triangles FROM corners GROUP BY 1
+), deg AS (
+  SELECT node_id, count(*) AS degree
+  FROM (SELECT a AS node_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+)
+SELECT d.node_id, d.degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(t.triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tcount t USING (node_id)
+ORDER BY d.node_id
+"""
+
+QUERIES["graph_clustering"] = graph_clustering
+ORACLES["graph_clustering"] = GRAPH_CLUSTERING_ORACLE
