@@ -15,7 +15,8 @@ not make a healthy 0.4s large-sf run look 8x); and the bounds carry
 ~3x headroom over ratios measured on the healthy r11 plans (dev box,
 best-of-2 each side: graph_distances 0.92, graph_triangles 1.34,
 sessionization 1.12, link_prediction 1.61, broken_references 0.91,
-graph_pagerank 0.18 — store-fed reads and one-shuffle windows are
+graph_pagerank 0.18, and for the r11 metrics graph_clustering 1.29,
+graph_assortativity 1.57 — store-fed reads and one-shuffle windows are
 overhead-dominated at these scales, so a healthy ratio sits near 1;
 a lost store table or full-multiset rescan multiplies the sf0.01
 side by the 10x data growth and trips the bound).
@@ -42,6 +43,10 @@ RATIO_BOUNDS = [
     ("link_prediction", 6.0),
     ("broken_references", 5.0),
     ("graph_pagerank", 5.0),
+    # r11 additions, calibrated the same way (healthy best-of-2
+    # ratios 1.29 / 1.57 on the dev box)
+    ("graph_clustering", 5.0),
+    ("graph_assortativity", 5.0),
 ]
 assert len({k for k, _ in RATIO_BOUNDS}) == len(RATIO_BOUNDS)
 

@@ -259,6 +259,8 @@ def rrf_fuse(
     lists retrieved the doc (agreement signal). Ties break on doc_id
     ascending; rrf rounds to 6dp so the order is engine-portable.
     """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     tagged = [
         df.select(
             F.col(id_col).alias("doc_id"),

@@ -1079,7 +1079,7 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained on the
-    doc_id %% 5 != 0 split and scored on the held-out fifth
+    doc_id % 5 != 0 split and scored on the held-out fifth
     (operators/classify.py — training is one groupBy, scoring is a
     broadcast model join; fully value-oracled including Laplace
     smoothing and OOV handling). The curation story: a fastText-style
