@@ -1010,3 +1010,60 @@ class TestTopNgramRepetition:
         row = top_ngram_repetition(df).collect()[0]
         assert row["top_gram"] == "a b"
         assert row["top_cnt"] == 2
+
+
+class TestWeightedSample:
+    def _replica_key(self, doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(math.log(w) - math.log(-math.log(u)), 6)
+
+    def test_matches_python_replica_per_group(self, spark):
+        rows = [(i, f"g{i % 2}", (i % 7) + 1) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = C.weighted_sample(
+            df, weight_col="n_chars", k=3, key="doc_id", group_col="source"
+        ).collect()
+        keys = {i: self._replica_key(i, w) for i, g, w in rows}
+        expect_sel = set()
+        for g in ("g0", "g1"):
+            members = [(keys[i], -i) for i, gg, w in rows if gg == g]
+            members.sort(reverse=True)
+            expect_sel |= {-neg for _, neg in members[:3]}
+        for r in out:
+            assert r["sample_key"] == pytest.approx(keys[r["doc_id"]], abs=1e-6)
+            assert r["selected"] is (r["doc_id"] in expect_sel), r
+
+    def test_exactly_k_selected_per_group(self, spark):
+        rows = [(i, f"g{i % 3}", 100) for i in range(24)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = C.weighted_sample(df, "n_chars", 4, group_col="source")
+        per = (
+            out.filter("selected").groupBy("source").count().collect()
+        )
+        assert sorted((r["source"], r["count"]) for r in per) == [
+            ("g0", 4), ("g1", 4), ("g2", 4)
+        ]
+
+    def test_nonpositive_weights_never_selected(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 10), (2, "g", 0), (3, "g", -5), (4, "g", None)],
+            "doc_id long, source string, n_chars long",
+        )
+        out = {r["doc_id"]: r for r in C.weighted_sample(
+            df, "n_chars", 3, group_col="source"
+        ).collect()}
+        assert out[1]["selected"] is True
+        for i in (2, 3, 4):
+            assert out[i]["sample_key"] is None
+            assert out[i]["selected"] is False
+
+    def test_global_threshold_path(self, spark):
+        rows = [(i, "s", (i % 5) + 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = C.weighted_sample(df, "n_chars", 10, key="doc_id")
+        assert out.filter("selected").count() == 10
+        # heavy weights overrepresented vs uniform: the ln(w) shift
+        # makes weight-5 docs likelier than weight-1 docs
+        sel = [r["n_chars"] for r in out.filter("selected").collect()]
+        assert sum(sel) / len(sel) > 3.0

@@ -1810,3 +1810,61 @@ def stratified_sample(
         .filter(stable_unit(F.col(key_col)) < frac)
         .select(F.col(key_col), F.col(strata_col), F.col("stratum"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    sample_key = ln(w) + Gumbel(u) with the Gumbel noise derived
+    DETERMINISTICALLY from the stable 60-bit hash of the row key
+    (u = (h + 0.5) / 2^60 — never 0 or 1, same construction as
+    dsir_selection); taking the k LARGEST keys is distributed exactly
+    as k successive weight-proportional draws without replacement.
+    The weight-proportional complement of stable_sample (uniform) and
+    stratified_sample (quantile strata) — the mixing primitive for
+    "sample documents proportional to length/quality within each
+    source".
+
+    With ``group_col``, top-k PER GROUP via a group-partitioned
+    window (groups are model-sized: sources, languages); without it,
+    a global top-k via the kth-key threshold (TakeOrdered + broadcast
+    scalar — no global window), where 6dp key ties at the threshold
+    may admit extras (same documented semantics as dsir_selection).
+
+    Non-positive or NULL weights get a NULL sample_key and are never
+    selected. Returns (group_col?, key, weight_col, sample_key,
+    selected) ordered by key — deterministic, fully SQL-replayable.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (stable_hash60(F.col(key)) + 0.5) / F.lit(HASH_SPACE)
+    skey = F.when(w > 0, F.round(F.log(w) - F.log(-F.log(u)), 6))
+    cols = ([group_col] if group_col else []) + [key, weight_col]
+    scored = df.select(*cols, skey.alias("sample_key"))
+    pos = scored.filter(F.col("sample_key").isNotNull())
+    if group_col is not None:
+        win = Window.partitionBy(group_col).orderBy(
+            F.desc("sample_key"), F.asc(key)
+        )
+        ranked = pos.withColumn("__rk", F.row_number().over(win)).select(
+            key, (F.col("__rk") <= k).alias("__sel")
+        )
+        out = scored.join(ranked, key, "left")
+    else:
+        kth = (
+            pos.orderBy(F.desc("sample_key"), F.asc(key))
+            .limit(k)
+            .agg(F.min("sample_key").alias("__th"))
+        )
+        out = scored.crossJoin(F.broadcast(kth)).withColumn(
+            "__sel", F.col("sample_key") >= F.col("__th")
+        )
+    return out.select(
+        *cols,
+        "sample_key",
+        F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
+    ).orderBy(key)

@@ -977,3 +977,39 @@ ORDER BY s.doc_id
 
 QUERIES["stratified_sample"] = stratified_sample_q
 ORACLES["stratified_sample"] = STRATIFIED_SAMPLE_ORACLE
+
+
+def weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted top-5 per source, weight =
+    n_chars (longer documents proportionally likelier) — the
+    weight-proportional mixing primitive
+    (operators/curation.weighted_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.weighted_sample(
+        docs, weight_col="n_chars", k=5, key="doc_id", group_col="source"
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_chars > 0 THEN
+           round(ln(CAST(n_chars AS DOUBLE))
+                 - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                          / 1152921504606846976.0)), 6)
+         END AS sample_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sample_key DESC, doc_id) AS rk
+  FROM scored WHERE sample_key IS NOT NULL
+)
+SELECT s.doc_id, s.source, s.n_chars, s.sample_key,
+       coalesce(r.rk <= 5, FALSE) AS selected
+FROM scored s LEFT JOIN ranked r USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+QUERIES["weighted_source_sample"] = weighted_source_sample
+ORACLES["weighted_source_sample"] = WEIGHTED_SAMPLE_ORACLE

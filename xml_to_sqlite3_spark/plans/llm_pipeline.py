@@ -447,6 +447,77 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-duplicate
+    component (the same Jaccard-0.3 connected components
+    dedup_components gates), keep the HIGHEST-QUALITY member instead
+    of the lowest id — the policy real pipelines want (the shortest
+    boilerplate-stripped copy often has the lowest id but the worst
+    text). Singletons are their own canonical. Output (doc_id,
+    component, quality_score, is_canonical); per-component argmax by
+    (quality_score desc, doc_id) — deterministic and value-oracled
+    end to end (closure via recursive CTE, quality formula replayed
+    in SQL)."""
+    from ..operators.graph import duplicate_groups
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tokens, _ = _minhash_store(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3, tokens=tokens)
+    groups = duplicate_groups(pairs).select("doc_id", "component")
+    q = T.quality_features(docs).select("doc_id", "quality_score")
+    full = q.join(groups, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = W.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        full.withColumn("__rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality_score",
+            (F.col("__rk") == 1).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CANONICAL_ORACLE = _DUP_REACH_CTES + rf"""
+, comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+), qbase AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w IN ({_SW_EN}))) AS n_stop
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+         round(least(n_chars / 2000.0, 1.0) * 0.3
+               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+               + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 2, 1.0) * 0.4,
+               6) AS quality_score
+  FROM qbase
+), allq AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+         q.quality_score
+  FROM quality q LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT doc_id, component, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality_score DESC, doc_id) AS rk
+  FROM allq
+)
+SELECT doc_id, component, quality_score, rk = 1 AS is_canonical
+FROM ranked ORDER BY doc_id
+"""
+
+
 def curate_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel's SQL-expressible stages (exact dedup +
     quality + language), oracle-checked end to end; only the
@@ -1286,6 +1357,7 @@ QUERIES = {
     "repetition_topngram": repetition_topngram,
     "shingle_novelty": shingle_novelty_q,
     "semdedup": semdedup_q,
+    "dedup_canonical": dedup_canonical,
 }
 
 ORACLES = {
@@ -1314,6 +1386,7 @@ ORACLES = {
     "nb_classify": NB_CLASSIFY_ORACLE,
     "repetition_topngram": REPETITION_ORACLE,
     "shingle_novelty": SHINGLE_NOVELTY_ORACLE,
+    "dedup_canonical": DEDUP_CANONICAL_ORACLE,
 }
 
 
