@@ -459,3 +459,37 @@ def test_sibling_write_shuffles_chunks_not_pairs(spark):
         assert all(p < ex for p in gen_positions), plan
     finally:
         NG._SIB_FAT_K, NG._SIB_ROWS_PER_SLICE = old_k, old_r
+
+
+def test_nb_classify_model_joins_are_broadcast(spark):
+    """The NB scoring joins (vocab semi, model, class grid) must stay
+    broadcast — a shuffle join on the token key would exchange the
+    full exploded test-token table at 100 TB."""
+    from xml_to_sqlite3_spark.plans import llm_pipeline
+
+    plan = _physical(llm_pipeline.nb_classify(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_weighted_sample_window_stays_group_partitioned(spark):
+    """The per-group rank must be a group-partitioned window — a
+    global (empty-partition-spec) window funnels the corpus through
+    one task."""
+    from xml_to_sqlite3_spark.plans import curation_q
+
+    plan = _physical(curation_q.weighted_source_sample(spark, SF_SMOKE))
+    # a global window would plan Exchange SinglePartition; the group
+    # window hashes on the group key instead
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    """The corpus side must never broadcast or shuffle — queries are
+    the broadcast side of the nested-loop join (same contract as
+    cosine_topk)."""
+    from xml_to_sqlite3_spark.plans import llm_pipeline
+
+    plan = _physical(llm_pipeline.hard_negatives(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
