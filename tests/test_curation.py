@@ -1067,3 +1067,37 @@ class TestWeightedSample:
         # makes weight-5 docs likelier than weight-1 docs
         sel = [r["n_chars"] for r in out.filter("selected").collect()]
         assert sum(sel) / len(sel) > 3.0
+
+
+class TestTemperatureMix:
+    def test_alpha_flattens_toward_uniform(self, spark):
+        # head source 80 docs, tail 10+10: alpha<1 must UP-sample tails
+        rows = (
+            [(i, "big", 10) for i in range(80)]
+            + [(100 + i, "small_a", 10) for i in range(10)]
+            + [(200 + i, "small_b", 10) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = {r["source"]: r for r in C.temperature_mix(df, alpha=0.7).collect()}
+        assert out["big"]["raw_share"] == pytest.approx(0.8)
+        assert out["big"]["temp_share"] < out["big"]["raw_share"]
+        assert out["small_a"]["boost"] > 1.0
+        assert out["big"]["boost"] < 1.0
+        assert sum(r["temp_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+    def test_alpha_one_is_identity(self, spark):
+        rows = [(i, f"s{i % 3}", (i + 1) * 5) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = C.temperature_mix(df, alpha=1.0, weight_col="n_chars").collect()
+        for r in out:
+            assert r["boost"] == pytest.approx(1.0, abs=1e-5)
+            assert r["temp_share"] == pytest.approx(r["raw_share"], abs=1e-5)
+
+    def test_weighting_by_column_vs_rows(self, spark):
+        # one source has few but HUGE docs: char weighting must see it
+        rows = [(1, "few_big", 1000), (2, "many_small", 10), (3, "many_small", 10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        by_chars = {r["source"]: r["raw_share"] for r in C.temperature_mix(df, weight_col="n_chars").collect()}
+        by_rows = {r["source"]: r["raw_share"] for r in C.temperature_mix(df).collect()}
+        assert by_chars["few_big"] == pytest.approx(1000 / 1020, abs=1e-5)
+        assert by_rows["few_big"] == pytest.approx(1 / 3, abs=1e-5)

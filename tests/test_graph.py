@@ -331,3 +331,74 @@ class TestAssortativityAndClustering:
         assert row["assortativity"] is None
         out = {r["node_id"]: r for r in local_clustering(df).collect()}
         assert all(out[v]["coeff"] == 1.0 for v in (1, 2, 3))
+
+
+class TestKCore:
+    @staticmethod
+    def _peel(edges):
+        """Pure-python peeling reference: coreness via repeated
+        min-degree removal."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = {}
+        deg = {v: len(ns) for v, ns in adj.items()}
+        k = 0
+        while deg:
+            v = min(deg, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            core[v] = k
+            for u in adj[v]:
+                if u in deg and u != v:
+                    deg[u] -= 1
+            del deg[v]
+            for u in adj[v]:
+                adj[u].discard(v)
+        return core
+
+    def _spark_core(self, spark, edges):
+        from xml_to_sqlite3_spark.operators.graph import kcore_decomposition
+
+        df = spark.createDataFrame(
+            edges, "source_node_id long, target_node_id long"
+        )
+        return {
+            r["node_id"]: r["coreness"]
+            for r in kcore_decomposition(df).collect()
+        }
+
+    def test_hand_graph(self, spark):
+        # triangle (core 2) + tail path (core 1) + K4 clique (core 3)
+        edges = [
+            (1, 2), (2, 3), (3, 1),      # triangle
+            (3, 4), (4, 5),              # tail
+            (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        ]
+        got = self._spark_core(spark, edges)
+        assert got[1] == got[2] == got[3] == 2
+        assert got[4] == got[5] == 1
+        assert all(got[v] == 3 for v in (10, 11, 12, 13))
+
+    def test_matches_peeling_on_pseudorandom_graph(self, spark):
+        import hashlib
+
+        # deterministic pseudo-random graph: 60 nodes, ~150 edges
+        edges = []
+        for i in range(300):
+            h = hashlib.md5(f"e{i}".encode()).hexdigest()
+            a, b = int(h[:6], 16) % 60, int(h[6:12], 16) % 60
+            if a != b:
+                edges.append((a, b))
+        edges = edges[:150]
+        got = self._spark_core(spark, edges)
+        want = self._peel(edges)
+        assert got == want
+
+    def test_duplicate_and_self_edges(self, spark):
+        edges = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (1, 2)]
+        got = self._spark_core(spark, edges)
+        assert got == {1: 2, 2: 2, 3: 2}

@@ -1868,3 +1868,49 @@ def weighted_sample(
         "sample_key",
         F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
     ).orderBy(key)
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the GPT-3/PaLM multilingual
+    recipe): sampling share p_s ∝ n_s^alpha, where n_s is the
+    source's size (row count, or the sum of ``weight_col`` — e.g.
+    chars/tokens — when given) and alpha < 1 flattens the head so
+    low-resource sources are up-sampled. Returns one row per source:
+    (source, n, raw_share, temp_share, boost) with boost =
+    temp_share / raw_share — the per-source up/down-sampling factor a
+    mixer feeds to weighted/stable sampling.
+
+    One map-side-combinable groupBy to source-level rows, then a
+    1-row broadcast total — model-sized everywhere after the first
+    aggregate, so the operator costs one scan at any corpus size.
+    """
+    n = (
+        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count(F.lit(1)).cast("double")
+    )
+    per = df.groupBy(F.col(source_col).alias("source")).agg(n.alias("n"))
+    totals = per.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow(F.col("n"), F.lit(float(alpha)))).alias("__tot_a"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n").cast("double").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("raw_share"),
+            F.round(
+                F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__tot_a"), 6
+            ).alias("temp_share"),
+            F.round(
+                (F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__tot_a"))
+                / (F.col("n") / F.col("__tot")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )

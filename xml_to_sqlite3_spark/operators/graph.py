@@ -16,6 +16,7 @@ frontiers too large to broadcast.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -871,3 +872,90 @@ def local_clustering(
         )
         .orderBy("node_id")
     )
+
+
+def kcore_decomposition(
+    edges: DataFrame | None,
+    src_col: str = "source_node_id",
+    dst_col: str = "target_node_id",
+    und: DataFrame | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Exact k-core decomposition (coreness per node) of the
+    undirected simple graph — the degeneracy view a link-graph
+    curation pipeline uses (spam farms and boilerplate rings live in
+    dense high-core regions; isolated long-tail pages in the 1-core).
+
+    Distributed algorithm: the H-INDEX fixpoint (Lü et al. 2016) —
+    start at c0(v) = deg(v) and iterate c(v) <- H({c(u): u ~ v}),
+    the largest h such that at least h neighbors have value >= h.
+    The sequence is monotonically non-increasing and converges to
+    the exact coreness, so the result is a DETERMINISTIC integer
+    vector. Each round is one join + one node-partitioned window
+    (row_number over neighbor values — never a per-node collected
+    list, so hub degree stays bounded work) + one max-aggregate;
+    convergence reads off the same lazy-checkpoint action that
+    materializes the round (connected_components' one-job-per-round
+    shape). Not SQL-expressible (data-dependent iteration), hence a
+    rows-only gate pinned by a pure-python peeling replica.
+
+    ``und`` accepts a precomputed undirected pair set (e.g. the
+    store's oriented table). Returns (node_id, coreness).
+    """
+    if und is None:
+        if edges is None:
+            raise ValueError("kcore_decomposition needs edges or und")
+        und = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        cols = und.columns
+        und = und.select(F.col(cols[0]).alias("a"), F.col(cols[1]).alias("b"))
+    spark = und.sparkSession
+    # symmetrize once; this derived frame feeds every round — pin it
+    # (bounded: ONE checkpoint per operator call, not per round)
+    sym = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.u", "__p.v")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c2"), F.asc("v"))
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), F.col("c").alias("c2")), "v"
+        ).select("u", "v", "c2")
+        hidx = (
+            nbr.withColumn("__r", F.row_number().over(w))
+            .select("u", F.least(F.col("c2"), F.col("__r")).alias("__h"))
+            .groupBy("u")
+            .agg(F.max("__h").alias("new_c"))
+        )
+        new_labels = (
+            labels.join(hidx, "u")
+            .select("u", F.col("new_c").alias("c"), F.col("c").alias("old"))
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.agg(
+            F.count(F.when(F.col("c") != F.col("old"), 1)).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.select("u", "c")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node_id"), F.col("c").alias("coreness"))

@@ -1013,3 +1013,28 @@ ORDER BY s.doc_id
 
 QUERIES["weighted_source_sample"] = weighted_source_sample
 ORACLES["weighted_source_sample"] = WEIGHTED_SAMPLE_ORACLE
+
+
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.7 source mixing shares over the documents table,
+    sized by characters (operators/curation.temperature_mix)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.temperature_mix(docs, alpha=0.7, weight_col="n_chars")
+
+
+TEMPERATURE_MIX_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS t, sum(pow(n, 0.7)) AS ta FROM per
+)
+SELECT source, n,
+       round(n / t, 6) AS raw_share,
+       round(pow(n, 0.7) / ta, 6) AS temp_share,
+       round((pow(n, 0.7) / ta) / (n / t), 6) AS boost
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+QUERIES["temperature_mix"] = temperature_mix_q
+ORACLES["temperature_mix"] = TEMPERATURE_MIX_ORACLE

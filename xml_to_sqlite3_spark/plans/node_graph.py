@@ -2573,3 +2573,12 @@ ORDER BY d.node_id
 
 QUERIES["graph_clustering"] = graph_clustering
 ORACLES["graph_clustering"] = GRAPH_CLUSTERING_ORACLE
+
+
+# k-core (operators/graph.kcore_decomposition) is deliberately NOT a
+# gate entry: the H-index fixpoint needs O(longest degenerate chain)
+# synchronous rounds, measured 19-29s at sf0.1 even on the
+# attribute-only graph — a build-once artifact in a real deployment,
+# not a per-bench-run query. It stays test-proven (python peeling
+# replica, tests/test_graph.py::TestKCore), the Misra-Gries
+# precedent for by-design non-gate operators.
