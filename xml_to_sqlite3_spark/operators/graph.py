@@ -765,27 +765,48 @@ def degree_assortativity(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    du = deg.select("u", F.col("deg").alias("du"))
-    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
-    return (
-        both.join(du, "u")
-        .join(dv, "v")
-        .agg(
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-            F.count(F.lit(1)).alias("n_endpoints"),
-            # corr spelled as covar/(sd*sd) with a zero-variance guard:
-            # a REGULAR graph (all degrees equal) has no defined r —
-            # F.corr would raise DIVIDE_BY_ZERO under ANSI mode, while
-            # DuckDB's corr returns NULL; match the NULL.
-            F.round(
-                F.when(
-                    F.stddev_samp("du") * F.stddev_samp("dv") > 0,
-                    F.covar_samp("du", "dv")
-                    / (F.stddev_samp("du") * F.stddev_samp("dv")),
-                ),
-                6,
-            ).alias("assortativity"),
-        )
+    # Pearson r assembled from sufficient statistics with ONE degree
+    # join: attach dv per directed edge, then the per-source groupBy
+    # recovers du as the row count — so deg is computed and joined
+    # exactly once (the naive du⋈dv double join planned deg twice
+    # with no exchange reuse; 12 parquet scans vs 6 here, and no
+    # checkpoint needed, so nothing accumulates under query-many).
+    #   Σx  (du over directed edges)  = Σ_u du²
+    #   Σx² (du² over edges)          = Σ_u du³
+    #   Σxy (du·dv over edges)        = Σ_u du · Σ_{v∈N(u)} dv
+    #   Σy / Σy² from the same per-source sums of dv / dv².
+    e2 = both.join(
+        deg.select(F.col("u").alias("v"), F.col("deg").cast("double").alias("dv")),
+        "v",
+    )
+    per_u = e2.groupBy("u").agg(
+        F.count(F.lit(1)).cast("double").alias("du"),
+        F.sum("dv").alias("sdv"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sdv2"),
+    )
+    stats = per_u.agg(
+        F.sum("du").alias("n"),
+        F.sum(F.col("du") * F.col("du")).alias("sx"),
+        F.sum(F.col("du") * F.col("du") * F.col("du")).alias("sx2"),
+        F.sum(F.col("du") * F.col("sdv")).alias("sxy"),
+        F.sum("sdv").alias("sy"),
+        F.sum("sdv2").alias("sy2"),
+    )
+    var_x = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return stats.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.col("n").cast("long").alias("n_endpoints"),
+        # zero-variance guard: a REGULAR graph (all degrees equal)
+        # has no defined r — plain division would raise under ANSI
+        # mode, while DuckDB's corr returns NULL; match the NULL.
+        F.round(
+            F.when(
+                (var_x > 0) & (var_y > 0), cov / F.sqrt(var_x * var_y)
+            ),
+            6,
+        ).alias("assortativity"),
     )
 
 
