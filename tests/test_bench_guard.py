@@ -85,6 +85,21 @@ _FLOOR_ITEMS = [
     # (1.66s best-of-2)
     ("multi_references", 0.5),
     ("bloom_prefilter", 2.5),
+    # r11 additions (normalized best-of-2 on the dev box, floors
+    # rounded up ~2x): canonical selection re-runs jaccard+components
+    # per call (0.80s normalized); the graph metrics start at the
+    # store's tri_oriented (0.27/0.26s — a regression to per-query
+    # dedup+degree+orientation joins must trip); hybrid fuses two
+    # index-fed retrievers (0.47s); NB trains+scores in one pass
+    # (0.61s); hard negatives broadcast the query side (0.23s);
+    # semdedup attaches the persistent codebook (0.36s)
+    ("dedup_canonical", 1.6),
+    ("graph_assortativity", 0.6),
+    ("graph_clustering", 0.6),
+    ("hybrid_search", 1.0),
+    ("nb_classify", 1.2),
+    ("hard_negatives", 0.5),
+    ("semdedup", 0.8),
 ]
 assert len({k for k, _ in _FLOOR_ITEMS}) == len(_FLOOR_ITEMS), (
     "duplicate query key in _FLOOR_ITEMS — the later floor would "
