@@ -86,6 +86,19 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["minhash_store"] = (str(e) or repr(e)).splitlines()[0][:300]
 
+    # and for the persistent near-dup components store (the Jaccard
+    # closure shared by dedup_components / dedup_canonical)
+    from xml_to_sqlite3_spark.operators.dedup import get_components_store
+
+    t0 = time.perf_counter()
+    try:
+        get_components_store(
+            spark, os.path.join(sf_dir, "documents.parquet"), threshold=0.3, n=3
+        ).count()
+        timings["components_store"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # noqa: BLE001
+        errors["components_store"] = (str(e) or repr(e)).splitlines()[0][:300]
+
     def _release_query_state() -> None:
         # per-query memory isolation: operators persist/checkpoint
         # intermediates (minhash tokens, signatures, edge blocks)

@@ -428,3 +428,38 @@ def test_shingle_novelty_store_tokens_match_recompute(spark, tmp_path):
     assert direct == via_store
     with pytest.raises(ValueError):
         shingle_novelty(df, n=4, tokens=tagged)
+
+
+def test_components_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
+    from xml_to_sqlite3_spark.operators.graph import duplicate_groups
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/documents.parquet"
+    D._MINHASH_STORE_MEMO.clear()
+    D._COMPONENTS_STORE_MEMO.clear()
+    store = D.get_components_store(spark, path, threshold=0.3, n=3)
+    # store contents equal a direct computation (pure function)
+    docs = spark.read.parquet(path)
+    tokens, _ = D.get_minhash_store(spark, path, n=3, k=64)
+    direct = duplicate_groups(
+        D.ngram_jaccard_pairs(docs, threshold=0.3, n=3, tokens=tokens)
+    )
+    assert store.count() == direct.count() > 0
+    assert store.exceptAll(direct).count() == 0
+    # attach: drop the memo; the second call must ATTACH, never
+    # rebuild — poison the build's pair step to prove it
+    D._COMPONENTS_STORE_MEMO.clear()
+
+    def _boom(*a, **kw):
+        raise AssertionError("rebuild attempted — attach contract broken")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(D, "ngram_jaccard_pairs", _boom)
+        again = D.get_components_store(spark, path, threshold=0.3, n=3)
+    assert again.count() == store.count()
+    # a different threshold is a DIFFERENT artifact (param in the key)
+    other = D.get_components_store(spark, path, threshold=0.9, n=3)
+    assert other.filter("is_keeper = false").count() <= store.filter(
+        "is_keeper = false"
+    ).count()

@@ -1015,6 +1015,76 @@ def get_window_store(
     return _WINDOW_STORE_MEMO[memo_key]
 
 
+_COMPONENTS_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_COMPONENTS_STORE_DIRS: list[str] = []
+
+
+def get_components_store(
+    spark,
+    doc_path: str,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, component, is_keeper) — the near-duplicate connected
+    components of the corpus at (threshold, n), as a PERSISTENT
+    content-keyed artifact under the shared cache_util contract.
+
+    The closure is a pure function of (documents, params, build
+    code), so attached == recomputed exactly — and at 100 TB the
+    min-label iteration is the classic build-once artifact: every
+    consumer (keep/drop decisions, canonical selection, corpus
+    materialization) reads the same table instead of re-running the
+    Jaccard verify join + iterative propagation per query. Builds
+    from the minhash store's postings (no re-shingling); keyed on
+    this module AND operators/graph.py (connected_components is the
+    other half of the build code)."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+    from . import graph as _graph_mod
+    from .graph import duplicate_groups
+
+    ck = content_key(
+        "dupcomp",
+        doc_path,
+        extra=f"t{threshold}_n{n}_{id_col}_{text_col}",
+        code_files=(__file__, _graph_mod.__file__),
+        suffixes=(".parquet",),
+    )
+    memo_key = (spark.sparkContext.applicationId, ck)
+    memo = _COMPONENTS_STORE_MEMO.get(memo_key)
+    if memo is not None:
+        return memo
+    root = os.environ.get(
+        "SPARK_GRAFT_MINHASH_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
+    )
+
+    def _build(tmp: str) -> None:
+        docs = spark.read.parquet(doc_path)
+        tokens, _ = get_minhash_store(
+            spark, doc_path, n=n, id_col=id_col, text_col=text_col
+        )
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=threshold, n=n, id_col=id_col,
+            text_col=text_col, tokens=tokens,
+        )
+        duplicate_groups(pairs).write.mode("overwrite").parquet(
+            f"{tmp}/components"
+        )
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            f.write(ck)
+
+    final = content_cached_dir(root, ck, _build, owned_dirs=_COMPONENTS_STORE_DIRS)
+    spark.catalog.refreshByPath(f"{final}/components")
+    out = spark.read.parquet(f"{final}/components")
+    _COMPONENTS_STORE_MEMO[memo_key] = out
+    return out
+
+
 def clear_minhash_store() -> None:
     """Drop in-session handles AND on-disk entries THIS session built
     (tests); attached-only entries are other sessions' property."""
@@ -1023,8 +1093,11 @@ def clear_minhash_store() -> None:
     _MINHASH_STORE_MEMO.clear()
     _SIMHASH_STORE_MEMO.clear()
     _WINDOW_STORE_MEMO.clear()
+    _COMPONENTS_STORE_MEMO.clear()
     while _MINHASH_STORE_DIRS:
         shutil.rmtree(_MINHASH_STORE_DIRS.pop(), ignore_errors=True)
+    while _COMPONENTS_STORE_DIRS:
+        shutil.rmtree(_COMPONENTS_STORE_DIRS.pop(), ignore_errors=True)
 
 
 def shingle_novelty(

