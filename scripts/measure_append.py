@@ -35,18 +35,17 @@ def main() -> None:
     ap.add_argument("--tag", default="dx")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    # the tuned engine session (AQE, Arrow, periodic GC, pushdown
+    # posture) — the SAME builder bench.py/bench_heavy.py measure
+    # under, so append timings stay apples-to-apples with theirs.
+    # (The r11-committed BENCH_append_r11.json numbers predate this
+    # and were taken under a hand-rolled session without AQE/Arrow —
+    # method disclosed there; the build-vs-append RATIO they support
+    # is insensitive to those confs, but absolute numbers from this
+    # script are only comparable to bench numbers from here on.)
+    from xml_to_sqlite3_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "48g")
-        .appName("measure_append")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="measure_append")
     spark.sparkContext.setLogLevel("ERROR")
 
     from xml_to_sqlite3_spark.cache_util import content_key

@@ -1101,3 +1101,16 @@ class TestTemperatureMix:
         by_rows = {r["source"]: r["raw_share"] for r in C.temperature_mix(df).collect()}
         assert by_chars["few_big"] == pytest.approx(1000 / 1020, abs=1e-5)
         assert by_rows["few_big"] == pytest.approx(1 / 3, abs=1e-5)
+
+
+def test_temperature_mix_zero_weight_source_null_boost(spark):
+    # a source whose weights sum to 0 (empty docs) must yield NULL
+    # boost, not an ANSI DIVIDE_BY_ZERO abort (review finding)
+    df = spark.createDataFrame(
+        [(1, "live", 100), (2, "live", 50), (3, "empty", 0), (4, "empty", 0)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in C.temperature_mix(df, weight_col="n_chars").collect()}
+    assert out["empty"]["boost"] is None
+    assert out["empty"]["raw_share"] == 0.0
+    assert out["live"]["boost"] is not None

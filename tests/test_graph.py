@@ -402,3 +402,23 @@ class TestKCore:
         edges = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (1, 2)]
         got = self._spark_core(spark, edges)
         assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_on_nonconvergence(spark):
+    from xml_to_sqlite3_spark.operators.graph import kcore_decomposition
+
+    # a 41-node path needs ~20 rounds; max_iter=3 must fail LOUDLY
+    # instead of returning interior coreness 2 (review finding: the
+    # pre-fix loop exited silently with wrong intermediate labels)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)],
+        "source_node_id long, target_node_id long",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_decomposition(path, max_iter=3)
+    # and with budget it converges to all-1 (a path has no 2-core)
+    got = {
+        r["node_id"]: r["coreness"]
+        for r in kcore_decomposition(path, max_iter=50).collect()
+    }
+    assert set(got.values()) == {1}

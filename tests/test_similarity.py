@@ -283,3 +283,21 @@ class TestSemDeDup:
                 for j in vecs
             )
             assert got[i]["keep"] is (not drop), i
+
+
+def test_hard_negatives_null_labels_excluded_loudly(spark):
+    # NULL-labeled rows are excluded from BOTH sides by the explicit
+    # contract (review finding: three-valued logic dropped them
+    # silently before; the filter makes the plan show it)
+    df = spark.createDataFrame(
+        [
+            (1, _vec(1), 0),
+            (2, _vec(2), 1),
+            (3, _vec(3), None),   # unlabeled corpus row: never a candidate
+            (4, _vec(4), None),   # unlabeled query: no output rows
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = S.hard_negative_topk(df.filter("vec_id in (1, 4)"), df, k=5).collect()
+    assert all(r["query_id"] == 1 for r in out)
+    assert all(r["neighbor_id"] == 2 for r in out)

@@ -1906,9 +1906,15 @@ def temperature_mix(
             F.round(
                 F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__tot_a"), 6
             ).alias("temp_share"),
+            # n = 0 (a source whose weights sum to zero — empty docs)
+            # would divide 0/0 under ANSI mode; NULL boost instead,
+            # matching SQL division semantics on an undefined rate
             F.round(
-                (F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__tot_a"))
-                / (F.col("n") / F.col("__tot")),
+                F.when(
+                    F.col("n") > 0,
+                    (F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__tot_a"))
+                    / (F.col("n") / F.col("__tot")),
+                ),
                 6,
             ).alias("boost"),
         )

@@ -838,11 +838,17 @@ def local_clustering(
     if oriented is None:
         # the derived orientation feeds FOUR consumers (both wedge
         # sides, the closing set, the degree union) — checkpoint it
-        # once so the dedup/degree/orient joins don't run 4x. The
-        # checkpointed LogicalRDD reports broadcast-small stats
-        # (triangle_count's pathology), so only this path pins the
-        # broadcast threshold off around the plan CONSTRUCTION-side
-        # repartition; the store path below never checkpoints.
+        # once so the dedup/degree/orient joins don't run 4x.
+        # KNOWN RISK (accepted, documented): the checkpointed
+        # LogicalRDD reports broadcast-small stats — the misestimate
+        # triangle_count guards with scoped confs, which only work
+        # because that operator materializes its 1-row result INSIDE
+        # the scope; this function returns a LAZY node-level frame,
+        # so no conf scope can pin its eventual plan. On the pinned
+        # pyspark the plan lands on SortMergeJoin (verified); callers
+        # with large AD-HOC edge inputs should pass a store-backed
+        # ``oriented`` (real parquet stats) instead, as every gate
+        # does.
         oriented = (
             orient_edges(edges, src_col, dst_col, n_partitions=n_part)
             .repartition(n_part, "u")
@@ -979,4 +985,15 @@ def kcore_decomposition(
         labels = new_labels.select("u", "c")
         if changed == 0:
             break
+    else:
+        # the fixpoint propagates one hop per round, so a degenerate
+        # chain longer than ~2*max_iter has NOT converged — returning
+        # the intermediate vector would be silently WRONG (interior
+        # chain nodes still read 2 instead of 1). Fail loudly; the
+        # caller raises max_iter or pre-collapses long chains.
+        raise RuntimeError(
+            f"kcore_decomposition did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — the graph has degenerate "
+            "chains longer than the round budget; raise max_iter"
+        )
     return labels.select(F.col("u").alias("node_id"), F.col("c").alias("coreness"))

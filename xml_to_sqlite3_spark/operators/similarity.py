@@ -113,12 +113,18 @@ def hard_negative_topk(
 
     Returns (query_id, q_label, neighbor_id, n_label, cosine, rank).
     """
-    q = queries.select(
+    # EXPLICIT null-label contract: an unlabeled vector cannot be
+    # guaranteed a true negative, so NULL-labeled rows are excluded
+    # from BOTH sides up front — without the filters the inequality
+    # predicate would drop them anyway via three-valued logic, but
+    # silently (a NULL-labeled query returning zero rows with no
+    # signal); the filter makes the exclusion visible in the plan.
+    q = queries.filter(F.col(label_col).isNotNull()).select(
         F.col(query_id).alias("query_id"),
         F.col(label_col).alias("q_label"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(label_col).alias("n_label"),
         _as_double(F.col(vec_col)).alias("cv"),

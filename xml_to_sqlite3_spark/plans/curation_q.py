@@ -1032,7 +1032,8 @@ WITH per AS (
 SELECT source, n,
        round(n / t, 6) AS raw_share,
        round(pow(n, 0.7) / ta, 6) AS temp_share,
-       round((pow(n, 0.7) / ta) / (n / t), 6) AS boost
+       CASE WHEN n > 0
+            THEN round((pow(n, 0.7) / ta) / (n / t), 6) END AS boost
 FROM per CROSS JOIN tot ORDER BY source
 """
 
