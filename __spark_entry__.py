@@ -112,7 +112,7 @@ _GATE_PRIORITY = [
     # r11-NEW entries (hybrid_search, hard_negatives, nb_classify,
     # repetition_topngram, shingle_novelty, semdedup,
     # graph_assortativity, graph_clustering, weighted_source_sample,
-    # dedup_canonical, temperature_mix)
+    # dedup_canonical, temperature_mix, nb_confusion)
     # register past-window: the window is exactly consumed by the
     # changed-store family + the FULL r8-vintage cohort (VERDICT r10
     # task 2's hard done-criterion). All are value-oracled and

@@ -1332,6 +1332,28 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, cents, threshold=0.4)
 
 
+def nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB language router on the held-out
+    fifth — the evaluation surface a curation pipeline checks before
+    trusting the classifier's routing decisions: (lang, predicted,
+    n) for every truth/prediction pair that occurs, plus the same
+    end-to-end oracle as nb_classify with one extra aggregation."""
+    return (
+        nb_classify(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_NB_RANKED_SQL = NB_CLASSIFY_ORACLE.rsplit("SELECT doc_id", 1)[0]
+
+NB_CONFUSION_ORACLE = _NB_RANKED_SQL + """SELECT lang, label AS predicted, count(*) AS n
+FROM ranked WHERE rk = 1
+GROUP BY lang, label ORDER BY lang, predicted
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search_q,
     "token_count": token_count,
@@ -1357,6 +1379,7 @@ QUERIES = {
     "hybrid_search": hybrid_search,
     "hard_negatives": hard_negatives,
     "nb_classify": nb_classify,
+    "nb_confusion": nb_confusion,
     "repetition_topngram": repetition_topngram,
     "shingle_novelty": shingle_novelty_q,
     "semdedup": semdedup_q,
@@ -1387,6 +1410,7 @@ ORACLES = {
     "hybrid_search": HYBRID_ORACLE,
     "hard_negatives": HARD_NEG_ORACLE,
     "nb_classify": NB_CLASSIFY_ORACLE,
+    "nb_confusion": NB_CONFUSION_ORACLE,
     "repetition_topngram": REPETITION_ORACLE,
     "shingle_novelty": SHINGLE_NOVELTY_ORACLE,
     "dedup_canonical": DEDUP_CANONICAL_ORACLE,
