@@ -66,6 +66,38 @@ def test_scores_match_hand_computation(spark, fitted):
     assert rows[0]["score"] == pytest.approx(round(spam, 6), abs=1e-6)
 
 
+def test_tokenless_label_keeps_its_prior(spark):
+    # a label whose whole training split tokenizes to nothing must
+    # stay in class_stats (r11 ADVICE: the old inner join silently
+    # dropped it, so it could never be predicted). With tot=0 its
+    # default_ln is ln(alpha/(alpha*V)) = -ln(V), and an OOV-only
+    # test doc falls back to priors where it competes normally.
+    train = spark.createDataFrame(
+        [
+            (1, "   ", "blank"),
+            (2, "", "blank"),
+            (3, "  \t ", "blank"),
+            (4, "buy cheap now", "spam"),
+            (5, "hello dear friend", "ham"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    fitted = CL.nb_train(train, label_col="label")
+    stats = {r["label"]: r for r in fitted["class_stats"].collect()}
+    assert set(stats) == {"blank", "spam", "ham"}
+    v = fitted["vocab"].count()  # 6 distinct tokens, all spam/ham
+    assert v == 6
+    assert stats["blank"]["default_ln"] == pytest.approx(-math.log(v))
+    assert stats["blank"]["prior_ln"] == pytest.approx(math.log(3 / 5))
+    # OOV-only doc: every class scores its prior; "blank" (3/5) wins
+    test = spark.createDataFrame(
+        [(10, "zzz qqq unseen")], "doc_id long, text string"
+    )
+    row = CL.nb_score(test, fitted).collect()[0]
+    assert row["predicted"] == "blank"
+    assert row["score"] == pytest.approx(round(math.log(3 / 5), 6))
+
+
 def test_model_has_only_observed_pairs(fitted):
     # the sparse decomposition must not materialize the dense V x C grid
     pairs = fitted["model"].count()

@@ -1000,6 +1000,21 @@ class TestTopNgramRepetition:
         assert out[4]["top_gram"] == "ha ha"
         assert out[4]["top_frac"] == pytest.approx(1.0)
 
+    def test_overlapping_repeats_cap_at_one(self, spark):
+        from xml_to_sqlite3_spark.operators.text import top_ngram_repetition
+
+        # "ha ha ha": top 2-gram "ha ha" occurs twice (overlapping),
+        # raw ratio 2 * 5 / 8 = 1.25 — must report the 1.0 cap
+        # (r11 ADVICE: occurrences double-count shared characters)
+        df = spark.createDataFrame(
+            [(1, "ha ha ha")], "doc_id long, text string"
+        )
+        row = top_ngram_repetition(df).collect()[0]
+        assert row["top_gram"] == "ha ha"
+        assert row["top_cnt"] == 2
+        assert row["top_frac"] == pytest.approx(1.0)
+        assert row["keep"] is False
+
     def test_tie_breaks_on_gram_ascending(self, spark):
         from xml_to_sqlite3_spark.operators.text import top_ngram_repetition
 

@@ -27,7 +27,7 @@ def test_query_matches_oracle(spark, name):
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
-    assert df.count() >= 0
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 

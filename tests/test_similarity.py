@@ -166,6 +166,20 @@ class TestHardNegatives:
             rows, "vec_id long, embedding array<double>, label int"
         )
 
+    def test_oversized_query_side_raises_not_broadcast(self, labeled):
+        # the query side ships to every executor; a corpus-sized
+        # queries frame must fail loudly, not OOM the broadcast
+        # (r11 VERDICT item 3)
+        with pytest.raises(ValueError, match="max_query_rows"):
+            S.hard_negative_topk(labeled, labeled, k=2, max_query_rows=10)
+        # disabling the guard restores the old behavior
+        assert (
+            S.hard_negative_topk(
+                labeled, labeled, k=2, max_query_rows=None
+            ).count()
+            > 0
+        )
+
     def test_negatives_have_different_label(self, labeled):
         out = S.hard_negative_topk(
             labeled.filter("vec_id < 6"), labeled, k=3
@@ -236,6 +250,23 @@ class TestSemDeDup:
         assert out[10]["keep"] is True
         assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"]
         assert out[10]["cluster"] != out[1]["cluster"]
+
+    def test_fat_cluster_raises_not_quadratic(self, spark):
+        import numpy as np
+
+        # a degenerate codebook collapses every vector onto one
+        # centroid -> the within-cluster join would be all-pairs; the
+        # guard must raise BEFORE it runs (r11 VERDICT item 2)
+        cents = np.eye(2)
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i) / 100.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="max_cluster_size"):
+            S.semdedup(df, cents, threshold=0.99, max_cluster_size=5)
+        # under the bound (or disabled) it runs fine
+        assert S.semdedup(df, cents, threshold=0.99, max_cluster_size=8).count() == 8
+        assert S.semdedup(df, cents, threshold=0.99, max_cluster_size=None).count() == 8
 
     def test_cross_cluster_dup_kept_by_design(self, spark):
         import numpy as np

@@ -79,15 +79,24 @@ def nb_train(
         F.count(F.lit(1)).cast("double").alias("nd")
     )
     n_train = train.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # LEFT join + coalesce(tot, 0): a label whose whole training split
+    # tokenizes to nothing (empty/whitespace text) has no model_tf rows
+    # — an inner join would silently drop its prior so it could never
+    # be predicted. With tot=0 its default_ln collapses to
+    # ln(alpha/(alpha*V)) = -ln(V) and it still competes on prior.
     class_stats = (
-        class_docs.join(class_tot, "label")
+        class_docs.join(class_tot, "label", "left")
         .crossJoin(F.broadcast(vsize))
         .crossJoin(F.broadcast(n_train))
         .select(
             "label",
             (F.log("nd") - F.log("__n")).alias("prior_ln"),
             (
-                F.log(F.lit(alpha)) - F.log(F.col("tot") + F.lit(alpha) * F.col("__v"))
+                F.log(F.lit(alpha))
+                - F.log(
+                    F.coalesce(F.col("tot"), F.lit(0.0))
+                    + F.lit(alpha) * F.col("__v")
+                )
             ).alias("default_ln"),
         )
     )

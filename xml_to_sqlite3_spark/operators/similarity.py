@@ -98,6 +98,7 @@ def hard_negative_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_query_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Hard-negative mining for embedding-model training data: per
     query, the top-k most-similar corpus vectors whose label DIFFERS
@@ -110,6 +111,12 @@ def hard_negative_topk(
     before the cosine is evaluated. At 100 TB the corpus side stays
     partition-parallel and nothing shuffles — the only reduction is
     the per-query top-k window over k-bounded candidates.
+
+    The broadcast is only safe because the contrastive-mining shape
+    has query set ≪ corpus; ``max_query_rows`` enforces that contract
+    fail-loud — a caller passing a corpus-sized ``queries`` gets a
+    ValueError naming the fix, not a driver/executor broadcast OOM.
+    Pass ``None`` to disable (caller asserts the size themselves).
 
     Returns (query_id, q_label, neighbor_id, n_label, cosine, rank).
     """
@@ -129,6 +136,23 @@ def hard_negative_topk(
         F.col(label_col).alias("n_label"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
+    if max_query_rows is not None:
+        # 1-row aggregate (model-sized collect) BEFORE the broadcast:
+        # the filtered query side is what actually ships to every
+        # executor, so it is the thing to bound. Checkpoint first so
+        # the guard's pass is the same materialization the broadcast
+        # reuses.
+        q = q.localCheckpoint(eager=False)
+        n_q = q.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"hard_negative_topk: {n_q} labeled query rows exceed "
+                f"max_query_rows={max_query_rows}; the query side is "
+                "broadcast to every executor, so it must stay small "
+                "(contrastive mining: queries ≪ corpus). Mine in "
+                "query batches, or pass max_query_rows=None after "
+                "sizing the broadcast yourself"
+            )
     scored = (
         c.join(
             F.broadcast(q),
@@ -419,6 +443,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-dedup):
     assign every vector to its nearest codebook centroid, then inside
@@ -436,7 +461,9 @@ def semdedup(
     equi-join on the k-ary cluster key (AQE splits skewed clusters).
     Cross-cluster near-dups are missed BY DESIGN (the documented
     SemDeDup approximation); the exact complement is
-    embedding_near_duplicates' LSH path.
+    embedding_near_duplicates' LSH path. ``max_cluster_size`` is the
+    fail-loud quadratic guard: any cluster larger than the bound
+    raises before the pair join runs (pass ``None`` to disable).
 
     Result values depend on the float k-means codebook, so this is a
     rows-only gate (like the reduced-probe IVF configs); the operator
@@ -451,6 +478,32 @@ def semdedup(
     # two consumers (pair join sides + the final projection) — pin
     # the assignment so the Arrow UDF runs once
     v = v.localCheckpoint(eager=False)
+    if max_cluster_size is not None:
+        # quadratic guard (same fail-loud policy as max_df /
+        # max_siblings / _MAX_FAT_MEMBERS): the within-cluster pair
+        # join is k² in the largest cluster, so a degenerate codebook
+        # — or an adversarial corpus collapsing onto one centroid —
+        # must raise, not silently run all-pairs. One cheap aggregate
+        # over the (already pinned) assignment; limit(3) keeps the
+        # probe model-sized.
+        fat = (
+            v.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .orderBy(F.desc("n"))
+            .limit(3)
+            .collect()
+        )
+        if fat:
+            detail = ", ".join(f"cluster {r['cluster']}: {r['n']} rows" for r in fat)
+            raise ValueError(
+                f"semdedup: cluster(s) exceed max_cluster_size="
+                f"{max_cluster_size} ({detail}); the within-cluster "
+                "compare is quadratic in cluster size — train a larger "
+                "codebook (more centroids) so clusters shrink, or "
+                "raise max_cluster_size explicitly if the k² cost is "
+                "intended"
+            )
     a, b = v.alias("a"), v.alias("b")
     dropped = (
         a.join(

@@ -707,8 +707,13 @@ def top_ngram_repetition(
     line-level dedup misses when the phrase sits inside longer lines.
 
     top_frac = occurrences(top 2-gram) * len(top 2-gram)
-             / len(whitespace-normalized lowercased text);
-    ties on count break by 2-gram string ascending, so the flagged
+             / len(whitespace-normalized lowercased text),
+    capped at 1.0: overlapping occurrences double-count shared
+    characters (in "ha ha ha" the top 2-gram "ha ha" occurs twice
+    over 8 chars → raw 1.25), so the raw ratio is an upper bound on
+    covered-character fraction, not the fraction itself — the cap
+    keeps the reported value in [0, 1] (r11 ADVICE).
+    Ties on count break by 2-gram string ascending, so the flagged
     gram is deterministic. Docs with fewer than two tokens get
     top_frac = 0.0 and a NULL gram.
 
@@ -746,8 +751,14 @@ def top_ngram_repetition(
             "doc_id",
             F.col("gram").alias("top_gram"),
             F.col("cnt").alias("top_cnt"),
-            F.round(
-                F.col("cnt") * F.length("gram") / F.col("n_chars").cast("double"), 6
+            F.least(
+                F.round(
+                    F.col("cnt")
+                    * F.length("gram")
+                    / F.col("n_chars").cast("double"),
+                    6,
+                ),
+                F.lit(1.0),
             ).alias("top_frac"),
         )
     )

@@ -1203,8 +1203,8 @@ WITH toks AS (
 ), class_stats AS (
   SELECT cd.label,
          ln(cd.nd) - ln(nt.n) AS prior_ln,
-         ln(1.0) - ln(ct.tot + 1.0 * vs.v) AS default_ln
-  FROM class_docs cd JOIN class_tot ct USING (label)
+         ln(1.0) - ln(coalesce(ct.tot, 0.0) + 1.0 * vs.v) AS default_ln
+  FROM class_docs cd LEFT JOIN class_tot ct USING (label)
   CROSS JOIN vsize vs CROSS JOIN n_train nt
 ), adj AS (
   SELECT token, label, ln(tf + 1.0) - ln(1.0) AS adj_ln FROM model_tf
@@ -1266,10 +1266,10 @@ WITH norm AS (
 SELECT d.doc_id,
        t.gram AS top_gram,
        CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_cnt,
-       coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
-                0.0) AS top_frac,
-       coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
-                0.0) <= 0.20 AS keep
+       least(coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
+                      0.0), 1.0) AS top_frac,
+       least(coalesce(round(t.cnt * length(t.gram) / CAST(t.n_chars AS DOUBLE), 6),
+                      0.0), 1.0) <= 0.20 AS keep
 FROM documents d
 LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
 ORDER BY d.doc_id
