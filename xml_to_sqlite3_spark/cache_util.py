@@ -194,3 +194,36 @@ def content_cached_dir(
     except OSError:
         pass
     return final
+
+
+def link_tree(base_dir: str, tmp: str, subdirs: tuple[str, ...], what: str = "store") -> None:
+    """Mirror ``subdirs`` of a published cache entry into ``tmp`` as
+    HARD LINKS — the shared clone step of every store's O(delta)
+    append path (node-graph, MinHash, components). O(#files) metadata
+    work, zero data copied, and both entries remain independently
+    valid: Spark's writers create new files and unlink old ones, they
+    never modify parquet bytes in place. Marker/CRC files (leading
+    ``_``/``.``) are skipped — committers re-create their own, and
+    truncating a linked ``_SUCCESS`` would write through the shared
+    inode. Raises when a subdir is missing (an old-layout base entry
+    must be rebuilt, not silently part-cloned)."""
+    for sub in subdirs:
+        src_root = os.path.join(base_dir, sub)
+        if not os.path.isdir(src_root):
+            raise FileNotFoundError(
+                f"base {what} at {base_dir} has no {sub}/ — rebuild the "
+                "base (old layout?) before appending"
+            )
+        for root, _dirs, files in os.walk(src_root):
+            dst_root = os.path.join(tmp, os.path.relpath(root, base_dir))
+            os.makedirs(dst_root, exist_ok=True)
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                s, d = os.path.join(root, name), os.path.join(dst_root, name)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    # cross-device cache roots (or a filesystem
+                    # without hard links): fall back to a real copy
+                    shutil.copy2(s, d)

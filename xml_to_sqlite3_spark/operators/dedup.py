@@ -20,6 +20,7 @@ gate requirement and good pipeline hygiene).
 
 from __future__ import annotations
 
+import json
 import re
 
 import pandas as pd
@@ -869,6 +870,12 @@ _SIMHASH_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
 _WINDOW_STORE_MEMO: dict[tuple[str, str], DataFrame] = {}
 _MINHASH_STORE_DIRS: list[str] = []
 
+# every parquet table a published dedup-store entry holds; ALL are
+# per-document rows (pure functions of each document alone), so the
+# append path hard-links the whole list and lands delta files
+# alongside — no merge-rewrites at all, unlike the graph store
+_DEDUP_STORE_SUBDIRS = ("tokens", "sigs", "simhash", "win8", "doc_ids")
+
 
 def get_minhash_store(
     spark,
@@ -935,11 +942,17 @@ def get_minhash_store(
         shingle_hashes(docs, id_col=id_col, text_col=text_col, n=8).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/win8")
+        # document inventory (EVERY input doc, including shingle-less
+        # ones absent from tokens/sigs): the append path's new-docs
+        # guard reads this instead of re-scanning the corpus
+        docs.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
+            f"{tmp}/doc_ids"
+        )
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
     final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
-    for sub in ("tokens", "sigs", "simhash", "win8"):
+    for sub in _DEDUP_STORE_SUBDIRS:
         spark.catalog.refreshByPath(f"{final}/{sub}")
     tokens = spark.read.parquet(f"{final}/tokens")
     sigs = spark.read.parquet(f"{final}/sigs")
@@ -1083,6 +1096,348 @@ def get_components_store(
     out = spark.read.parquet(f"{final}/components")
     _COMPONENTS_STORE_MEMO[memo_key] = out
     return out
+
+
+def _dedup_append_guard(spark, base_dir: str, dd: DataFrame, id_col: str) -> None:
+    """Fail LOUD when a delta carries a document the base store
+    already holds: every dedup-store table is per-doc rows, so a
+    re-sent document would DOUBLE its postings/signatures (changing
+    Jaccard set sizes silently). Changed documents need a rebuild,
+    exactly like the graph store's contract."""
+    base_ids = spark.read.parquet(f"{base_dir}/doc_ids")
+    hits = [
+        r[id_col]
+        for r in dd.select(id_col).distinct().join(base_ids, id_col).limit(3).collect()
+    ]
+    if hits:
+        raise ValueError(
+            f"append to dedup store: doc ids {hits} already exist in the "
+            "base entry — appends must carry NEW documents; changed "
+            "documents need a rebuild"
+        )
+
+
+def append_dedup_documents(
+    spark,
+    doc_path: str,
+    delta_docs: DataFrame,
+    delta_key: str,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Publish a NEW dedup-store entry = the base entry for
+    ``doc_path`` plus ``delta_docs``, at O(delta) cost — the MinHash
+    half of the r11 append story (plans/node_graph.append_documents
+    covers the node-graph store; VERDICT r11 task 4 asked for the
+    same treatment here).
+
+    Every store table (hashed-shingle postings, MinHash signatures,
+    SimHash, 8-token-window postings, doc inventory) is per-document
+    rows and a pure function of each document alone, so the append is
+    a hard-link clone of the base entry plus a delta-only pass over
+    the new documents — NO merge-rewrites and no global re-derivation
+    at all (the graph store's pr_ranks has no analogue here; the
+    closure does, and lives in :func:`append_components`). Exactness
+    (appended == full rebuild over the unioned corpus, per-table
+    multisets) is pinned by tests/test_dedup_append.py.
+
+    ``delta_key`` is the caller's identity for the delta content; it
+    keys the published entry so the same (base, delta) pair
+    cold-attaches on later calls. Returns ``{"path": dir, <table>:
+    DataFrame, ...}``. Gate queries keep reading base entries through
+    get_minhash_store; appended entries are a pipeline capability
+    with their own identity.
+    """
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key, link_tree
+
+    get_minhash_store(spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col)
+    base_extra = f"n{n}_k{k}_{id_col}_{text_col}"
+    base_ck = content_key(
+        "mh", doc_path, extra=base_extra, code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_MINHASH_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
+    )
+    base_dir = os.path.join(root, base_ck)
+    ck = content_key(
+        "mh", doc_path, extra=f"{base_extra}|append|{delta_key}",
+        code_files=(__file__,), suffixes=(".parquet",),
+    )
+
+    def _build(tmp: str) -> None:
+        import shutil as _sh
+
+        from .curation import shingle_hashes
+
+        link_tree(base_dir, tmp, _DEDUP_STORE_SUBDIRS, what="dedup store")
+        # materialize the delta once — four passes read it
+        delta_docs.write.mode("overwrite").parquet(f"{tmp}/delta_docs")
+        dd = spark.read.parquet(f"{tmp}/delta_docs")
+        _dedup_append_guard(spark, base_dir, dd, id_col)
+        # ONE shingle pass (the UDF is the delta's dominant cost):
+        # stage the delta postings, then both the tokens append and
+        # the signature fold read the staged parquet
+        _shingle_tokens(dd, n, id_col, text_col).write.mode("overwrite").parquet(
+            f"{tmp}/delta_tokens"
+        )
+        dt = spark.read.parquet(f"{tmp}/delta_tokens")
+        dt.write.mode("append").parquet(f"{tmp}/tokens")
+        # the delta's signatures derive from the delta's OWN postings
+        # (per-doc min-fold — no cross-doc coupling to the base)
+        _signatures_from_tokens(dt, k).write.mode("append").parquet(f"{tmp}/sigs")
+        simhash_signatures(dd, id_col=id_col, text_col=text_col).write.mode(
+            "append"
+        ).parquet(f"{tmp}/simhash")
+        shingle_hashes(dd, id_col=id_col, text_col=text_col, n=8).write.mode(
+            "append"
+        ).parquet(f"{tmp}/win8")
+        # disjointness is guard-enforced, so appending the delta's
+        # distinct ids IS the union-distinct of the full rebuild
+        dd.select(F.col(id_col)).distinct().write.mode("append").parquet(
+            f"{tmp}/doc_ids"
+        )
+        with open(f"{tmp}/manifest.json", "w") as f:
+            json.dump({"kind": "append", "base_key": base_ck, "delta_key": delta_key}, f)
+        for scratch in ("delta_docs", "delta_tokens"):
+            _sh.rmtree(f"{tmp}/{scratch}", ignore_errors=True)
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            f.write(ck)
+
+    final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
+    out: dict = {"path": final}
+    meta = {"n": n, "k": k, "src": doc_path}
+    for sub in _DEDUP_STORE_SUBDIRS:
+        spark.catalog.refreshByPath(f"{final}/{sub}")
+        frame = spark.read.parquet(f"{final}/{sub}")
+        if sub in ("tokens", "sigs"):
+            frame._mh_meta = meta  # type: ignore[attr-defined]
+        if sub == "win8":
+            frame._win_n = 8  # type: ignore[attr-defined]
+        out[sub] = frame
+    return out
+
+
+def _incremental_jaccard_pairs(
+    delta_tokens: DataFrame,
+    base_tokens: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs TOUCHING the delta: NEW-NEW and
+    NEW-OLD pairs with jaccard >= threshold, identical values to the
+    corresponding rows of ngram_jaccard_pairs over the unioned corpus
+    (same 60-bit hashed-shingle index, same rounding). OLD-OLD pairs
+    are deliberately absent — they are a pure function of unchanged
+    documents, already encoded in the base closure.
+
+    Inputs are (doc_id, h) postings: ``delta_tokens`` for the new
+    documents only, ``base_tokens`` for the existing corpus. Cost is
+    O(delta postings + postings of base docs sharing a shingle with
+    the delta) — the base side is pruned by a semi-join on the
+    delta's shingle keys BEFORE anything pairs, so a daily batch
+    against a 100 TB corpus never rescans cold documents.
+    """
+    d_sized = delta_tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    d = (
+        delta_tokens.join(d_sized, "doc_id")
+        .select("doc_id", "n_sh", "h")
+        .localCheckpoint(eager=False)
+    )
+    # base docs that can possibly pair: share >=1 shingle with the delta
+    d_sh = d.select("h").distinct()
+    hit_docs = (
+        base_tokens.join(d_sh, "h", "left_semi").select("doc_id").distinct()
+    )
+    b_hit = base_tokens.join(hit_docs, "doc_id", "left_semi")
+    # n_sh must be the doc's TOTAL distinct-shingle count, so size
+    # over the hit docs' FULL postings (not just the shared shingles)
+    b_sized = b_hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    b_old = (
+        b_hit.join(d_sh, "h", "left_semi")  # only shared shingles can pair
+        .join(b_sized, "doc_id")
+        .select("doc_id", "n_sh", "h", F.lit(True).alias("is_old"))
+    )
+    b_all = d.select("doc_id", "n_sh", "h", F.lit(False).alias("is_old")).unionByName(
+        b_old
+    )
+    a, b = d.alias("a"), b_all.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            # NEW-OLD pairs appear once (a = new); NEW-NEW pairs are
+            # ordered a < b so they don't double-count
+            & (F.col("b.is_old") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    # orient (least, greatest) to match the symmetric operator's
+    # doc_a < doc_b contract — a NEW-OLD pair's new id can sort on
+    # either side
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def append_components(
+    spark,
+    doc_path: str,
+    delta_docs: DataFrame,
+    delta_key: str,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Publish a NEW components-store entry = the base closure for
+    ``doc_path`` merged with ``delta_docs``, at O(delta) cost — the
+    closure half of VERDICT r11 task 4.
+
+    Why merge-on-append is exact: the pair set is a pure function of
+    document pairs, so appending documents can only ADD edges, and
+    every added edge touches a new document (OLD-OLD similarities are
+    unchanged). Existing components can therefore only merge THROUGH
+    new documents. The base closure already encodes old connectivity,
+    and each base component's label is its minimum doc id — so
+    contracting every old endpoint to its base label preserves both
+    connectivity and the min-label invariant. The incremental closure
+    runs over the contracted graph (new docs + touched base labels +
+    previously-unpaired old docs — delta-sized, not corpus-sized),
+    and the final table is the base rows relabeled through the merge
+    map plus the contracted graph's own new rows.
+
+    Builds the delta pair set from :func:`append_dedup_documents`'s
+    postings (no re-shingling of the base corpus). Exactness vs a
+    full rebuild over the unioned corpus is pinned by
+    tests/test_dedup_append.py. Returns {"path": dir, "components":
+    DataFrame}.
+    """
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+    from . import graph as _graph_mod
+    from .graph import connected_components
+
+    base_extra = f"t{threshold}_n{n}_{id_col}_{text_col}"
+    code = (__file__, _graph_mod.__file__)
+    get_components_store(
+        spark, doc_path, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+    )
+    base_ck = content_key(
+        "dupcomp", doc_path, extra=base_extra, code_files=code, suffixes=(".parquet",)
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_MINHASH_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
+    )
+    base_dir = os.path.join(root, base_ck)
+    ck = content_key(
+        "dupcomp", doc_path, extra=f"{base_extra}|append|{delta_key}",
+        code_files=code, suffixes=(".parquet",),
+    )
+    # the appended dedup store is both the delta postings' source and
+    # the artifact a real pipeline maintains alongside the closure
+    dedup_entry = append_dedup_documents(
+        spark, doc_path, delta_docs, delta_key, n=n,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def _build(tmp: str) -> None:
+        base_tokens, _ = get_minhash_store(
+            spark, doc_path, n=n, id_col=id_col, text_col=text_col
+        )
+        base_comp = spark.read.parquet(f"{base_dir}/components")
+        # delta postings = appended entry minus the base inventory
+        # (anti-join on the base doc_ids: the postings scan prunes on
+        # the doc_id join key, no re-shingling)
+        mh_base_ck = content_key(
+            "mh", doc_path, extra=f"n{n}_k64_{id_col}_{text_col}",
+            code_files=(__file__,), suffixes=(".parquet",),
+        )
+        mh_base_ids = spark.read.parquet(
+            f"{os.path.join(root, mh_base_ck)}/doc_ids"
+        ).withColumnRenamed(id_col, "doc_id")
+        delta_tokens = dedup_entry["tokens"].join(
+            mh_base_ids, "doc_id", "left_anti"
+        )
+        pairs = _incremental_jaccard_pairs(
+            delta_tokens.select("doc_id", "h"),
+            base_tokens.select("doc_id", "h"),
+            threshold,
+        )
+        # contract old endpoints to their base component labels; a
+        # doc absent from the base table was previously unpaired and
+        # stands for itself
+        lbl_a = base_comp.select(
+            F.col("doc_id").alias("doc_a"), F.col("component").alias("__ca")
+        )
+        lbl_b = base_comp.select(
+            F.col("doc_id").alias("doc_b"), F.col("component").alias("__cb")
+        )
+        contracted = (
+            pairs.join(lbl_a, "doc_a", "left")
+            .join(lbl_b, "doc_b", "left")
+            .select(
+                F.coalesce("__ca", "doc_a").alias("ca"),
+                F.coalesce("__cb", "doc_b").alias("cb"),
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        merged = connected_components(contracted, src_col="ca", dst_col="cb")
+        # relabel base rows whose label merged; everything else keeps
+        remap = merged.select(
+            F.col("node").alias("component"), F.col("component").alias("__new")
+        )
+        out_base = base_comp.join(remap, "component", "left").select(
+            "doc_id", F.coalesce("__new", "component").alias("component")
+        )
+        # contracted-graph nodes that are NOT base labels are real
+        # docs entering the closure: new docs + previously-unpaired
+        # old docs
+        base_labels = base_comp.select("component").distinct().withColumnRenamed(
+            "component", "node"
+        )
+        out_new = merged.join(base_labels, "node", "left_anti").select(
+            F.col("node").alias("doc_id"), "component"
+        )
+        (
+            out_base.unionByName(out_new)
+            .select(
+                "doc_id",
+                "component",
+                (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/components")
+        )
+        with open(f"{tmp}/manifest.json", "w") as f:
+            json.dump({"kind": "append", "base_key": base_ck, "delta_key": delta_key}, f)
+        with open(f"{tmp}/_COMPLETE", "w") as f:
+            f.write(ck)
+
+    final = content_cached_dir(root, ck, _build, owned_dirs=_COMPONENTS_STORE_DIRS)
+    spark.catalog.refreshByPath(f"{final}/components")
+    return {"path": final, "components": spark.read.parquet(f"{final}/components")}
 
 
 def clear_minhash_store() -> None:

@@ -1370,36 +1370,13 @@ _APPEND_LINKED_SUBDIRS = (
 
 
 def _link_store_tree(base_dir: str, tmp: str) -> None:
-    """Mirror the base store's appendable tables into ``tmp`` as HARD
-    LINKS — O(#files) metadata work, zero data copied, both entries
-    remain independently valid (Spark's writers create new files and
-    unlink old ones; they never modify parquet bytes in place).
-    Marker/CRC files (leading ``_``/``.``) are skipped: committers
-    re-create their own, and truncating a linked ``_SUCCESS`` would
-    write through the shared inode."""
-    import os
-    import shutil
+    """Mirror the base store's appendable tables into ``tmp`` as hard
+    links (the shared cache_util.link_tree clone step — one copy of
+    the hard-link subtleties, also used by the MinHash / components
+    store append paths)."""
+    from ..cache_util import link_tree
 
-    for sub in _APPEND_LINKED_SUBDIRS:
-        src_root = os.path.join(base_dir, sub)
-        if not os.path.isdir(src_root):
-            raise FileNotFoundError(
-                f"base store at {base_dir} has no {sub}/ — rebuild the "
-                "base (old layout?) before appending"
-            )
-        for root, _dirs, files in os.walk(src_root):
-            dst_root = os.path.join(tmp, os.path.relpath(root, base_dir))
-            os.makedirs(dst_root, exist_ok=True)
-            for name in files:
-                if name.startswith(("_", ".")):
-                    continue
-                s, d = os.path.join(root, name), os.path.join(dst_root, name)
-                try:
-                    os.link(s, d)
-                except OSError:
-                    # cross-device cache roots (or a filesystem without
-                    # hard links): fall back to a real copy
-                    shutil.copy2(s, d)
+    link_tree(base_dir, tmp, _APPEND_LINKED_SUBDIRS, what="store")
 
 
 def _append_guards(spark: SparkSession, base_dir: str, dn: DataFrame) -> None:
