@@ -404,6 +404,32 @@ class TestKCore:
         assert got == {1: 2, 2: 2, 3: 2}
 
 
+def test_kcore_store_table_equals_live_fixpoint(spark):
+    """The store's materialized coreness table == the live H-index
+    fixpoint over the same tri_oriented edge set (and stats reports
+    the round count) — the graph_kcore gate reads this table."""
+    from tests.conftest import SF_SMOKE
+    from xml_to_sqlite3_spark.operators.graph import kcore_decomposition
+    from xml_to_sqlite3_spark.plans.node_graph import (
+        get_coreness,
+        get_tri_oriented,
+    )
+
+    stored = {
+        r["node_id"]: r["coreness"]
+        for r in get_coreness(spark, SF_SMOKE).collect()
+    }
+    stats: dict = {}
+    live = {
+        r["node_id"]: r["coreness"]
+        for r in kcore_decomposition(
+            None, und=get_tri_oriented(spark, SF_SMOKE), stats=stats
+        ).collect()
+    }
+    assert stored == live and len(stored) > 0
+    assert stats["rounds"] >= 1
+
+
 def test_kcore_raises_on_nonconvergence(spark):
     from xml_to_sqlite3_spark.operators.graph import kcore_decomposition
 

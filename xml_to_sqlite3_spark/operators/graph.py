@@ -907,11 +907,14 @@ def kcore_decomposition(
     dst_col: str = "target_node_id",
     und: DataFrame | None = None,
     max_iter: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact k-core decomposition (coreness per node) of the
     undirected simple graph — the degeneracy view a link-graph
     curation pipeline uses (spam farms and boilerplate rings live in
     dense high-core regions; isolated long-tail pages in the 1-core).
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the store
+    build logs it so convergence behavior is visible per corpus.
 
     Distributed algorithm: the H-INDEX fixpoint (Lü et al. 2016) —
     start at c0(v) = deg(v) and iterate c(v) <- H({c(u): u ~ v}),
@@ -964,7 +967,9 @@ def kcore_decomposition(
         .localCheckpoint(eager=True)
     )
     w = W.partitionBy("u").orderBy(F.desc("c2"), F.asc("v"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), F.col("c").alias("c2")), "v"
         ).select("u", "v", "c2")
@@ -996,4 +1001,6 @@ def kcore_decomposition(
             f"({changed} labels still moving) — the graph has degenerate "
             "chains longer than the round budget; raise max_iter"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("u").alias("node_id"), F.col("c").alias("coreness"))

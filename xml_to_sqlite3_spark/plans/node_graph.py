@@ -381,6 +381,7 @@ _TARGETS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LEVELS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _AA_UND_CACHE: dict[tuple[int, str], DataFrame] = {}
 _AA_CENTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CORENESS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GRAPH_CACHE_DIRS: list[str] = []
 
 # the pagerank gate's deterministic edge subsample (xxhash64 mod 10
@@ -1125,6 +1126,28 @@ def _write_rank_tables(spark: SparkSession, tmp: str) -> None:
         tol=1e-10,
         spine_stats=(int(_srow["n"]), int(_srow["nd"])),
     ).write.mode("overwrite").parquet(f"{tmp}/pr_ranks")
+    # coreness: the SECOND global artifact (r11 VERDICT task 6) —
+    # exact k-core of the mixed reference graph (the same tri_oriented
+    # edge set the triangle/clustering/assortativity gates read),
+    # via operators/graph.kcore_decomposition's H-index fixpoint run
+    # ONCE at build time. Like pr_ranks it is a function of the WHOLE
+    # graph (peeling couples every node in a component), so an append
+    # re-derives it over the merged tri_oriented rather than
+    # appending — and unlike pr_ranks the output is a deterministic
+    # INTEGER vector, so appended == rebuilt is exact multiset
+    # identity (tests/test_store_append.py). Measured convergence on
+    # this graph family: 22s/82s/351s at sf0.01/0.1/1, max coreness 4,
+    # well inside the default 100-round budget (the operator RAISES
+    # loudly on non-convergence rather than publishing a wrong
+    # vector; the fixpoint propagates one hop per round, and the
+    # mixed graph's sibling chains stabilize locally because chain
+    # nodes also carry attribute-reference edges).
+    from ..operators.graph import kcore_decomposition as _kcore
+
+    _kstats: dict = {}
+    _kcore(
+        None, und=spark.read.parquet(f"{tmp}/tri_oriented"), stats=_kstats
+    ).write.mode("overwrite").parquet(f"{tmp}/coreness")
 
 
 # every parquet table a published store entry holds, in one place:
@@ -1144,6 +1167,7 @@ _STORE_SUBDIRS = (
     "node_levels",
     "aa_und",
     "aa_centers",
+    "coreness",
     "doc_ids",
     "dangling_parents",
 )
@@ -1175,6 +1199,7 @@ def _attach_store(
     _LEVELS_CACHE[key] = spark.read.parquet(f"{final}/node_levels")
     _AA_UND_CACHE[key] = spark.read.parquet(f"{final}/aa_und")
     _AA_CENTERS_CACHE[key] = spark.read.parquet(f"{final}/aa_centers")
+    _CORENESS_CACHE[key] = spark.read.parquet(f"{final}/coreness")
     try:
         with open(f"{final}/pr_stats.json") as f:
             _stats = json.load(f)
@@ -1284,6 +1309,18 @@ def get_node_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _LEVELS_CACHE:
         get_graph(spark, sf_dir)
     return _LEVELS_CACHE[key]
+
+
+def get_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's materialized (node_id, coreness) exact k-core
+    vector over the mixed reference graph (tri_oriented) — the
+    H-index fixpoint run once at build time (same content key and
+    lifecycle as get_graph; re-derived globally on appends like
+    pr_ranks, but integer-exact)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CORENESS_CACHE:
+        get_graph(spark, sf_dir)
+    return _CORENESS_CACHE[key]
 
 
 def get_pr_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2552,10 +2589,22 @@ QUERIES["graph_clustering"] = graph_clustering
 ORACLES["graph_clustering"] = GRAPH_CLUSTERING_ORACLE
 
 
-# k-core (operators/graph.kcore_decomposition) is deliberately NOT a
-# gate entry: the H-index fixpoint needs O(longest degenerate chain)
-# synchronous rounds, measured 19-29s at sf0.1 even on the
-# attribute-only graph — a build-once artifact in a real deployment,
-# not a per-bench-run query. It stays test-proven (python peeling
-# replica, tests/test_graph.py::TestKCore), the Misra-Gries
-# precedent for by-design non-gate operators.
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by exact coreness over the mixed reference graph,
+    read from the store's materialized ``coreness`` table — the
+    r11-declared build-once posture made real (r11 VERDICT task 6):
+    the H-index fixpoint (operators/graph.kcore_decomposition) runs
+    once per content key inside _write_rank_tables, and the gate is a
+    TakeOrdered table read, exactly like graph_pagerank. Rows-only by
+    the same reasoning as pagerank's gate: the VALUES are pinned by
+    the pure-python peeling replica (tests/test_graph.py::TestKCore)
+    and the store==live equivalence test, but a data-dependent
+    fixpoint is not SQL-expressible for the DuckDB oracle."""
+    return (
+        get_coreness(spark, sf_dir)
+        .orderBy(F.desc("coreness"), F.asc("node_id"))
+        .limit(20)
+    )
+
+
+QUERIES["graph_kcore"] = graph_kcore
