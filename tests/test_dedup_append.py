@@ -15,6 +15,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# builds dedup stores twice (append + full-rebuild reference) — excluded from the inner loop (-m "not heavy")
+pytestmark = pytest.mark.heavy
 from pyspark.sql import functions as F
 
 from xml_to_sqlite3_spark.operators import dedup as D

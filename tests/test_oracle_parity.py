@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import pytest
 
+# replays every oracled gate against DuckDB (~6 min) — excluded from the inner loop (-m "not heavy")
+pytestmark = pytest.mark.heavy
+
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare
 from tests.conftest import SF_SMOKE

@@ -28,6 +28,9 @@ import time
 
 import pytest
 
+# scale-ratio sweeps run 8 heavy queries at two SFs — excluded from the inner loop (-m "not heavy")
+pytestmark = pytest.mark.heavy
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_BIG = "/root/testdata/sf0.01"
 

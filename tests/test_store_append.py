@@ -14,6 +14,9 @@ import json
 import os
 
 import pytest
+
+# builds two full stores plus the appended entry — excluded from the inner loop (-m "not heavy")
+pytestmark = pytest.mark.heavy
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
