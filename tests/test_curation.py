@@ -1129,3 +1129,62 @@ def test_temperature_mix_zero_weight_source_null_boost(spark):
     assert out["empty"]["boost"] is None
     assert out["empty"]["raw_share"] == 0.0
     assert out["live"]["boost"] is not None
+
+
+class TestPsiDrift:
+    @staticmethod
+    def _replica(ref, cur, bins=4, eps=1e-6):
+        mn, mx = min(ref), max(ref)
+        width = max((mx - mn) / bins, eps)
+        def b(x):
+            return min(bins - 1, max(0, math.floor((x - mn) / width)))
+        rc = [0.0] * bins
+        cc = [0.0] * bins
+        for x in ref:
+            rc[b(x)] += 1
+        for x in cur:
+            cc[b(x)] += 1
+        out = []
+        for i in range(bins):
+            rf = max(rc[i] / len(ref), eps)
+            cf = max(cc[i] / len(cur), eps)
+            out.append((rf, cf, (cf - rf) * (math.log(cf) - math.log(rf))))
+        return out
+
+    def test_matches_python_replica(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import psi_drift
+
+        ref_vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 2.5, 3.5]
+        cur_vals = [5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 7.5, 6.5]  # shifted right
+        ref = spark.createDataFrame([(x,) for x in ref_vals], "value double")
+        cur = spark.createDataFrame([(x,) for x in cur_vals], "value double")
+        got = psi_drift(ref, cur, bins=4).collect()
+        want = self._replica(ref_vals, cur_vals, bins=4)
+        assert [r["bin"] for r in got] == [0, 1, 2, 3]
+        total = round(sum(t for _, _, t in want), 6)
+        for r, (rf, cf, term) in zip(got, want):
+            assert r["ref_frac"] == pytest.approx(round(rf, 6), abs=1e-6)
+            assert r["cur_frac"] == pytest.approx(round(cf, 6), abs=1e-6)
+            assert r["psi_term"] == pytest.approx(round(term, 6), abs=1e-6)
+            assert r["psi_total"] == pytest.approx(total, abs=1e-6)
+        # a right-shifted current window is MAJOR drift; out-of-range
+        # mass clamps into the top bin instead of disappearing
+        assert got[0]["psi_total"] > 0.25
+        assert got[3]["cur_frac"] > got[3]["ref_frac"]
+
+    def test_identical_windows_are_stable(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import psi_drift
+
+        vals = [float(i % 20) for i in range(200)]
+        df = spark.createDataFrame([(x,) for x in vals], "value double")
+        got = psi_drift(df, df, bins=10).collect()
+        assert all(r["psi_total"] == pytest.approx(0.0, abs=1e-6) for r in got)
+
+    def test_empty_bin_contributes_finite_penalty(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import psi_drift
+
+        ref = spark.createDataFrame([(x,) for x in (0.0, 1.0, 2.0, 3.0)], "value double")
+        cur = spark.createDataFrame([(0.1,), (0.2,)], "value double")
+        got = psi_drift(ref, cur, bins=4).collect()
+        assert all(math.isfinite(r["psi_term"]) for r in got)
+        assert got[3]["cur_frac"] == pytest.approx(1e-6)

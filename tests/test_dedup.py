@@ -463,3 +463,55 @@ def test_components_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
     assert other.filter("is_keeper = false").count() <= store.filter(
         "is_keeper = false"
     ).count()
+
+
+class TestFuzzyMatch:
+    def test_blocked_levenshtein_pairs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "red widget"),
+                (2, "red widgit"),    # dist 1 from 1
+                (3, "red gadget"),    # dist 2 from 1 (w->g, i->a)
+                (4, "blue widget"),   # different block -> never paired
+                (5, "red widget"),    # exact dup of 1 (dist 0)
+            ],
+            "id long, name string",
+        )
+        out = {
+            (r["id_a"], r["id_b"]): (r["dist"], r["similarity"])
+            for r in D.fuzzy_match_pairs(df, max_dist=3).collect()
+        }
+        assert out[(1, 2)][0] == 1
+        assert out[(1, 2)][1] == pytest.approx(round(1 - 1 / 10, 6))
+        assert out[(1, 5)][0] == 0  # min_dist=0 keeps exacts
+        assert out[(1, 3)][0] == 2
+        assert not any(4 in p for p in out)
+        # min_dist excludes the exact band
+        fuzzy = {
+            (r["id_a"], r["id_b"])
+            for r in D.fuzzy_match_pairs(df, max_dist=3, min_dist=1).collect()
+        }
+        assert (1, 5) not in fuzzy and (1, 2) in fuzzy
+
+    def test_normalization_and_length_prefilter(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  Red   Widget "), (2, "red widget"), (3, "red w")],
+            "id long, name string",
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in D.fuzzy_match_pairs(df, max_dist=2).collect()
+        }
+        # case/whitespace normalize to equal -> dist 0
+        assert out[(1, 2)] == 0
+        # |len 10 - len 5| = 5 > max_dist -> pruned before levenshtein
+        assert (1, 3) not in out and (2, 3) not in out
+
+    def test_fat_block_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"the item{i}") for i in range(50)], "id long, name string"
+        )
+        with pytest.raises(ValueError, match="max_block"):
+            D.fuzzy_match_pairs(df, max_block=10)
+        # raising the bound (or a finer key) unblocks
+        assert D.fuzzy_match_pairs(df, max_block=100).count() >= 0

@@ -332,3 +332,89 @@ def test_hard_negatives_null_labels_excluded_loudly(spark):
     out = S.hard_negative_topk(df.filter("vec_id in (1, 4)"), df, k=5).collect()
     assert all(r["query_id"] == 1 for r in out)
     assert all(r["neighbor_id"] == 2 for r in out)
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def pq_corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(40)]
+        rows.append((200, _vec(3)))  # exact dup of vec 3
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_train_shape_and_determinism(self, pq_corpus):
+        b1 = S.pq_train(pq_corpus, m=4, ks=8, n_iter=3)
+        b2 = S.pq_train(pq_corpus, m=4, ks=8, n_iter=3)
+        import numpy as np
+
+        assert b1.shape == (4, 8, DIM // 4)
+        assert np.array_equal(b1, b2)
+
+    def test_encode_matches_numpy_replica(self, pq_corpus):
+        import numpy as np
+
+        books = S.pq_train(pq_corpus, m=4, ks=8, n_iter=2)
+        got = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(pq_corpus, books).collect()}
+        m, ks, sub = books.shape
+        for vid, vec in [(i, _vec(i)) for i in range(40)] + [(200, _vec(3))]:
+            x = np.asarray(vec)
+            want = [
+                int(((books[j] - x[j * sub : (j + 1) * sub]) ** 2).sum(axis=1).argmin())
+                for j in range(m)
+            ]
+            assert got[vid] == want, vid
+
+    def test_adc_matches_numpy_and_ranks_dup_first(self, pq_corpus):
+        import numpy as np
+
+        books = S.pq_train(pq_corpus, m=4, ks=8, n_iter=3)
+        codes = S.pq_encode(pq_corpus, books)
+        q = np.asarray(_vec(3))
+        out = S.pq_topk(codes, books, q, k=10).collect()
+        m, ks, sub = books.shape
+        dt = np.stack(
+            [((books[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
+        )
+        enc = {r["vec_id"]: np.asarray(r["codes"]) for r in codes.collect()}
+        for r in out:
+            want = round(float(dt[np.arange(m), enc[r["vec_id"]]].sum()), 6)
+            assert r["adc_dist"] == pytest.approx(want, abs=1e-6)
+        # the exact dup (200) shares vec 3's codes exactly, so their
+        # ADC distances are identical (NOTE: not necessarily rank 1 —
+        # ADC(q, code(q)) is the query's own quantization error, and
+        # another vector's cells can sit closer to q than q's own);
+        # results ascend and break ties on vec_id
+        by_id = {r["vec_id"]: r["adc_dist"] for r in out}
+        assert 3 in by_id and 200 in by_id
+        assert by_id[3] == by_id[200]
+        dists = [r["adc_dist"] for r in out]
+        assert dists == sorted(dists)
+        ids3 = [r["vec_id"] for r in out if r["adc_dist"] == by_id[3]]
+        assert ids3.index(3) < ids3.index(200)
+
+    def test_guards(self, pq_corpus):
+        import numpy as np
+
+        with pytest.raises(ValueError, match="not divisible"):
+            S.pq_train(pq_corpus, m=3, ks=4, n_iter=1)
+        books = S.pq_train(pq_corpus, m=4, ks=8, n_iter=1)
+        codes = S.pq_encode(pq_corpus, books)
+        with pytest.raises(ValueError, match="query dim"):
+            S.pq_topk(codes, books, [0.0] * (DIM + 1), k=3)
+
+    def test_persistent_codebook_cache(self, spark, pq_corpus, tmp_path, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+        data = str(tmp_path / "vecs")
+        pq_corpus.write.parquet(data)
+        b1 = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2)
+        S._CODEBOOK_MEMO.clear()
+
+        def _boom(*a, **kw):
+            raise AssertionError("retrain attempted — attach contract broken")
+
+        with monkeypatch.context() as mp:
+            mp.setattr(S, "pq_train", _boom)
+            b2 = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2)
+        assert np.array_equal(b1, b2)
+        S.clear_codebook_cache()

@@ -1920,3 +1920,93 @@ def temperature_mix(
         )
         .orderBy("source")
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference window and a
+    current window of a numeric column — the standard production
+    drift monitor for a training-data pipeline (a feed whose value
+    distribution shifts needs re-weighting or investigation BEFORE it
+    contaminates a training mix; the usual reading is <0.1 stable,
+    0.1-0.25 moderate, >0.25 major drift).
+
+    Deterministic and fully SQL-replayable by construction: bin edges
+    are equi-width over the REFERENCE min/max (one 1-row aggregate,
+    broadcast into both binning passes — values outside the reference
+    range clamp into the edge bins, which is exactly what makes new
+    out-of-range mass visible), fractions are eps-floored before the
+    log so empty bins contribute a finite, monotone penalty, and
+    every output float rounds at 6dp.
+
+    Plan shape: two map-side-combinable groupBys (one per window) +
+    a bins-sized sequence frame — nothing all-pairs, nothing
+    iterative, the windows are never joined row-to-row. At 100 TB
+    each window is one scan with partial aggregation.
+
+    Returns one row per bin: (bin, ref_frac, cur_frac, psi_term,
+    psi_total) with psi_total repeated (the scalar a monitor alerts
+    on), ordered by bin.
+    """
+    r = ref.select(F.col(value_col).cast("double").alias("x"))
+    c = cur.select(F.col(value_col).cast("double").alias("x"))
+    # the 1-row reference stats feed THREE subplans (both binning
+    # passes + the bins grid) — pin them so the reference scan behind
+    # them runs once, not three times
+    st = r.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("nr"),
+    ).localCheckpoint(eager=False)
+    n_cur = c.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    width = F.greatest(
+        (F.col("mx") - F.col("mn")) / F.lit(float(bins)), F.lit(eps)
+    )
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("x") - F.col("mn")) / width).cast("int"),
+        ),
+    ).alias("bin")
+
+    def _binned(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(st))
+            .select(bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        )
+
+    grid = st.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"), "nr"
+    ).crossJoin(F.broadcast(n_cur))
+    rf = F.greatest(F.coalesce(F.col("rn"), F.lit(0.0)) / F.col("nr"), F.lit(eps))
+    cf = F.greatest(F.coalesce(F.col("cn"), F.lit(0.0)) / F.col("nc"), F.lit(eps))
+    terms = (
+        grid.join(_binned(r).withColumnRenamed("n", "rn"), "bin", "left")
+        .join(_binned(c).withColumnRenamed("n", "cn"), "bin", "left")
+        .select(
+            "bin",
+            rf.alias("__rf"),
+            cf.alias("__cf"),
+            ((cf - rf) * (F.log(cf) - F.log(rf))).alias("__term"),
+        )
+    ).localCheckpoint(eager=False)  # two consumers: total + projection
+    total = terms.agg(F.round(F.sum("__term"), 6).alias("psi_total"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            F.round("__rf", 6).alias("ref_frac"),
+            F.round("__cf", 6).alias("cur_frac"),
+            F.round("__term", 6).alias("psi_term"),
+            "psi_total",
+        )
+        .orderBy("bin")
+    )

@@ -1440,6 +1440,96 @@ def append_components(
     return {"path": final, "components": spark.read.parquet(f"{final}/components")}
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 2,
+    min_dist: int = 0,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """Fuzzy entity matching (record linkage) via a BLOCKED
+    edit-distance join: the classic entity-resolution step of a data
+    integration pipeline (the same product/author/address appearing
+    under typo'd or reformatted names), which none of the set-based
+    dedup family catches — Levenshtein distance 1 on a short name can
+    be Jaccard 0 on its shingles.
+
+    Plan shape, in scale order:
+    1. BLOCK on the normalized name's first token — an equi-join key,
+       so candidate generation is a hash join, never all-pairs. At
+       100 TB the blocks shard across the cluster; a hot block (every
+       record named "the ...") is the quadratic risk, so block sizes
+       above ``max_block`` raise loudly BEFORE the pair join (the
+       max_df / max_siblings / max_cluster_size policy).
+    2. Length prefilter inside the join condition: ``|len_a - len_b|
+       <= max_dist`` is a provable Levenshtein lower bound, pruned
+       before the O(len²) distance evaluates.
+    3. ``levenshtein(a, b, threshold)`` — Spark's bounded variant
+       early-exits above ``max_dist`` (returns -1), so the per-pair
+       cost is O(len * max_dist), not O(len²).
+
+    ``min_dist`` lets a caller exclude exact duplicates (dist 0 —
+    exact_duplicates already handles those) and keep only the fuzzy
+    band. Returns (id_a, id_b, name_a, name_b, dist, similarity)
+    with id_a < id_b and similarity = 1 - dist / max(len) rounded to
+    6dp — fully value-oracled (DuckDB's levenshtein implements the
+    same classic unweighted distance).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(name_col), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("nm"),
+        F.split(norm, " ").getItem(0).alias("blk"),
+        F.length(norm).alias("ln"),
+    )
+    fat = (
+        base.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    )
+    if fat:
+        detail = ", ".join(f"block '{r['blk']}': {r['n']} rows" for r in fat)
+        raise ValueError(
+            f"fuzzy_match_pairs: block(s) exceed max_block={max_block} "
+            f"({detail}); the within-block pair join is quadratic — use a "
+            "finer blocking key (more tokens, add a length bucket) or "
+            "raise max_block explicitly if the cost is intended"
+        )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+            dist.alias("dist"),
+            F.greatest(F.col("a.ln"), F.col("b.ln")).alias("__mx"),
+        )
+        .filter((F.col("dist") >= min_dist) & (F.col("dist") <= max_dist))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            "dist",
+            F.round(1.0 - F.col("dist") / F.col("__mx").cast("double"), 6).alias(
+                "similarity"
+            ),
+        )
+    )
+
+
 def clear_minhash_store() -> None:
     """Drop in-session handles AND on-disk entries THIS session built
     (tests); attached-only entries are other sessions' property."""

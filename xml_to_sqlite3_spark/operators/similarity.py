@@ -582,6 +582,169 @@ _CODEBOOK_MEMO: dict[str, np.ndarray] = {}
 _CODEBOOK_DIRS: list[str] = []
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al.'s PQ — the
+    memory-scale half of IVF-PQ): split the embedding into ``m``
+    subvectors and train an independent ``ks``-centroid L2 k-means
+    per subspace. A 64-dim float64 vector (512 B) compresses to m=8
+    uint8 codes — 64x less memory — which is what makes billion-scale
+    ANN fit a cluster's RAM at 100 TB; search then never touches the
+    raw vectors (see :func:`pq_topk`).
+
+    Same distribution shape as :func:`spherical_kmeans`: the model
+    (m x ks x dim/m floats) lives on the driver and broadcasts into
+    the assignment UDF each round; the per-round reduction is ONE
+    map-side-combinable groupBy over (subspace, cluster, dim) — all
+    m subspaces train in the same pass, never m passes. Deterministic
+    end to end: init picks the ks corpus vectors with the smallest
+    xxhash64(id) (each seeding all m subspaces), assignment ties
+    break to the lowest cluster id, and means are order-independent
+    sums — so a retrained codebook is bit-identical and the encode /
+    search outputs are pinned by pure-numpy replica tests.
+
+    Returns codebooks of shape (m, ks, dim // m); dim must divide m.
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    init = (
+        v.select("v", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(ks)
+        .collect()
+    )
+    seed = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in init])
+    dim = seed.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # (m, ks, sub): subspace j seeded by the same ks vectors' slices
+    books = np.stack([seed[:, j * sub : (j + 1) * sub] for j in range(m)])
+
+    for _ in range(n_iter):
+        enc = _pq_encode_udf(books)
+        # member-sums per (subspace, cluster, dim-within-subspace):
+        # explode the m codes alongside the m vector slices, then one
+        # partial-aggregated groupBy; m*ks*sub result rows -> driver
+        assigned = v.select(
+            F.posexplode(enc(F.col("v"))).alias("sub", "c"), F.col("v")
+        )
+        sums = (
+            assigned.select(
+                "sub",
+                "c",
+                F.posexplode(
+                    F.slice(
+                        F.col("v"), F.col("sub") * sub + 1, sub
+                    )
+                ).alias("pos", "x"),
+            )
+            .groupBy("sub", "c", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        acc = np.zeros((m, ks, sub))
+        cnt = np.zeros((m, ks), dtype=np.int64)
+        for r in sums:
+            acc[r["sub"], r["c"], r["pos"]] += r["s"]
+            if r["pos"] == 0:
+                cnt[r["sub"], r["c"]] = r["n"]
+        for j in range(m):
+            for c in range(ks):
+                if cnt[j, c] > 0:
+                    new[j, c] = acc[j, c] / cnt[j, c]
+                # empty cluster keeps its previous centroid
+        books = new
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Vectorized PQ encoder: per Arrow batch, one (N, ks) squared-L2
+    distance matrix per subspace via the expanded form — argmin ties
+    break to the lowest cluster id (np.argmin's contract)."""
+    m, ks, sub = books.shape
+    # per-subspace centroid norms, precomputed once in the closure
+    c_sq = (books**2).sum(axis=2)  # (m, ks)
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        n = M.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            X = M[:, j * sub : (j + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is
+            # constant per row, irrelevant to the argmin
+            d = -2.0 * (X @ books[j].T) + c_sq[j]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes) — each vector's m nearest-subcentroid indices.
+    One Arrow-batched pass; the codes column is the ONLY thing the
+    search path ever reads (the compressed corpus representation)."""
+    enc = _pq_encode_udf(books)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        enc(_as_double(F.col(vec_col))).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    books: np.ndarray,
+    query,
+    k: int = 10,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays a FULL float vector, the corpus stays codes, and the
+    per-row approximate squared-L2 distance is m table lookups into a
+    per-query (m, ks) distance table — no decode, no raw-vector scan.
+    The table is computed once driver-side and broadcast in the UDF
+    closure; the result is a TakeOrdered top-k (never a global sort).
+    Returns (vec_id, adc_dist) ascending, dist rounded to 6dp.
+    """
+    m, ks, sub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != m * sub:
+        raise ValueError(f"pq_topk: query dim {q.shape[0]} != {m * sub}")
+    dt = np.stack(
+        [
+            ((books[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, ks)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        C = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(dt[np.arange(m), C].sum(axis=1))
+
+    return (
+        codes_df.select("vec_id", F.round(adc(F.col("codes")), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def get_codebook(
     spark,
     src_path: str,
@@ -641,6 +804,59 @@ def get_codebook(
     cents = np.load(os.path.join(final, "codebook.npy"))
     _CODEBOOK_MEMO[key] = cents
     return cents
+
+
+def get_pq_codebooks(
+    spark,
+    src_path: str,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Content-keyed PERSISTENT PQ codebooks for ``src_path`` — the
+    trained-model artifact of the PQ index, sharing the IVF
+    codebook's cache root and contract (pq_train is deterministic,
+    so attached == retrained bit-identically)."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+
+    key = content_key(
+        "pqcb",
+        src_path,
+        extra=f"m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    memo = _CODEBOOK_MEMO.get(key)
+    if memo is not None:
+        return memo
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        books = pq_train(
+            spark.read.parquet(src_path),
+            m=m,
+            ks=ks,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        np.save(os.path.join(tmp, "pq_codebooks.npy"), books)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(key)
+
+    final = content_cached_dir(root, key, _build, owned_dirs=_CODEBOOK_DIRS)
+    books = np.load(os.path.join(final, "pq_codebooks.npy"))
+    _CODEBOOK_MEMO[key] = books
+    return books
 
 
 def clear_codebook_cache() -> None:

@@ -1900,3 +1900,146 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 QUERIES["audio_metadata"] = audio_metadata_q
 ORACLES["audio_metadata"] = AUDIO_METADATA_ORACLE
+
+
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over part names: the blocked
+    edit-distance join (operators/dedup.fuzzy_match_pairs — first
+    token blocks, length prefilter, bounded Levenshtein), keeping the
+    FUZZY band only (dist 1..3; dist-0 exacts are exact_duplicates'
+    job). Top-200 by (dist, id_a, id_b) — a deterministic total
+    order, the pair keys are unique."""
+    parts = load(spark, sf_dir, "part")
+    return (
+        D.fuzzy_match_pairs(
+            parts, id_col="p_partkey", name_col="p_name",
+            max_dist=3, min_dist=1,
+        )
+        .orderBy("dist", "id_a", "id_b")
+        .limit(200)
+    )
+
+
+FUZZY_MATCH_ORACLE = r"""
+WITH b AS (
+  SELECT p_partkey AS id,
+         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS nm
+  FROM part
+), e AS (
+  SELECT id, nm, split_part(nm, ' ', 1) AS blk, length(nm) AS ln FROM b
+)
+SELECT a.id AS id_a, b2.id AS id_b, a.nm AS name_a, b2.nm AS name_b,
+       CAST(levenshtein(a.nm, b2.nm) AS INTEGER) AS dist,
+       round(1.0 - levenshtein(a.nm, b2.nm)
+                   / CAST(greatest(a.ln, b2.ln) AS DOUBLE), 6) AS similarity
+FROM e a JOIN e b2
+  ON a.blk = b2.blk AND a.id < b2.id AND abs(a.ln - b2.ln) <= 3
+WHERE levenshtein(a.nm, b2.nm) BETWEEN 1 AND 3
+ORDER BY dist, id_a, id_b
+LIMIT 200
+"""
+
+QUERIES["fuzzy_match"] = fuzzy_match
+ORACLES["fuzzy_match"] = FUZZY_MATCH_ORACLE
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the one-pass dataset-card
+    aggregation a curation pipeline publishes alongside each drop:
+    volume, mean length, language diversity, short-doc share, and
+    the within-source exact-duplicate share (docs whose md5(text)
+    appears more than once in the same source). Two map-side
+    combinable groupBys (per-source stats + per-(source, hash) dup
+    counts), nothing joined row-to-row."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.avg((F.col("n_chars") < 100).cast("double")), 6
+        ).alias("short_frac"),
+        F.round(F.avg(toks.cast("double")), 6).alias("avg_tokens"),
+    )
+    dup = (
+        docs.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_docs"
+            )
+        )
+    )
+    return (
+        stats.join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "avg_chars",
+            "n_langs",
+            "short_frac",
+            "avg_tokens",
+            F.round(F.col("dup_docs") / F.col("n_docs"), 6).alias("exact_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_REPORT_ORACLE = r"""
+WITH d AS (
+  SELECT source, lang, n_chars, text,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents
+), stats AS (
+  SELECT source,
+         count(*) AS n_docs,
+         round(avg(n_chars), 6) AS avg_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6)
+           AS short_frac,
+         round(avg(CAST(CASE WHEN length(norm) = 0 THEN 0
+                        ELSE len(string_split(norm, ' ')) END AS DOUBLE)), 6)
+           AS avg_tokens
+  FROM d GROUP BY 1
+), dup AS (
+  SELECT source,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_docs
+  FROM (SELECT source, md5(text) AS h, count(*) AS c
+        FROM documents GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.avg_chars, s.n_langs, s.short_frac,
+       s.avg_tokens,
+       round(d2.dup_docs / CAST(s.n_docs AS DOUBLE), 6) AS exact_dup_frac
+FROM stats s JOIN dup d2 USING (source)
+ORDER BY s.source
+"""
+
+QUERIES["corpus_report"] = corpus_report
+ORACLES["corpus_report"] = CORPUS_REPORT_ORACLE
+
+
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's memory-scale half: ADC top-20 over product-quantized
+    embeddings (operators/similarity.pq_train/pq_encode/pq_topk) —
+    the corpus is searched as m=8 uint8-sized codes per vector (64x
+    smaller than float64), the query stays a full vector, and the
+    per-row cost is m distance-table lookups. The codebooks come from
+    the persistent content-keyed cache (get_pq_codebooks, the IVF
+    codebook's contract). Rows-only by the same reasoning as semdedup
+    (float k-means codebook); the encode/ADC math is pinned by
+    pure-numpy replica tests (tests/test_similarity.py)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    books = S.get_pq_codebooks(spark, path, m=8, ks=16, n_iter=5)
+    emb = load(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.pq_topk(codes, books, q, k=20)
+
+
+QUERIES["pq_search"] = pq_search

@@ -1024,3 +1024,71 @@ ORDER BY l_returnflag
 
 QUERIES["robust_price_stats"] = robust_price_stats
 ORACLES["robust_price_stats"] = ROBUST_PRICE_STATS_ORACLE
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half vs second half of the event_id range (ids are
+    monotone with ingestion, so this is the standard
+    yesterday-vs-today drift monitor shape) —
+    operators/curation.psi_drift: reference-anchored equi-width bins,
+    eps-floored log terms, one scan per window. The split key is the
+    id midpoint computed in-plan (a 1-row broadcast aggregate), so
+    the whole gate is a pure function of the table."""
+    from ..operators.curation import psi_drift
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2.0).alias("mid")
+    ).localCheckpoint(eager=False)
+    ref = ev.crossJoin(F.broadcast(mid)).filter(F.col("event_id") < F.col("mid"))
+    cur = ev.crossJoin(F.broadcast(mid)).filter(F.col("event_id") >= F.col("mid"))
+    return psi_drift(ref, cur, value_col="value", bins=10)
+
+
+EVENTS_PSI_ORACLE = r"""
+WITH ev AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS x FROM events
+), mid AS (
+  SELECT (min(event_id) + max(event_id)) / 2.0 AS mid FROM ev
+), ref AS (
+  SELECT x FROM ev, mid WHERE event_id < mid
+), cur AS (
+  SELECT x FROM ev, mid WHERE event_id >= mid
+), st AS (
+  SELECT min(x) AS mn, max(x) AS mx,
+         CAST(count(*) AS DOUBLE) AS nr,
+         greatest((max(x) - min(x)) / 10.0, 1e-6) AS w
+  FROM ref
+), nc AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nc FROM cur
+), rb AS (
+  SELECT least(9, greatest(0, CAST(floor((x - st.mn) / st.w) AS INTEGER))) AS bin,
+         CAST(count(*) AS DOUBLE) AS rn
+  FROM ref, st GROUP BY 1
+), cb AS (
+  SELECT least(9, greatest(0, CAST(floor((x - st.mn) / st.w) AS INTEGER))) AS bin,
+         CAST(count(*) AS DOUBLE) AS cn
+  FROM cur, st GROUP BY 1
+), grid AS (
+  SELECT CAST(g.bin AS INTEGER) AS bin,
+         greatest(coalesce(rb.rn, 0) / st.nr, 1e-6) AS rf,
+         greatest(coalesce(cb.cn, 0) / nc.nc, 1e-6) AS cf
+  FROM (SELECT unnest(range(0, 10)) AS bin) g
+  LEFT JOIN rb ON g.bin = rb.bin
+  LEFT JOIN cb ON g.bin = cb.bin
+  CROSS JOIN st CROSS JOIN nc
+), terms AS (
+  SELECT bin, rf, cf, (cf - rf) * (ln(cf) - ln(rf)) AS term FROM grid
+)
+SELECT bin,
+       round(rf, 6) AS ref_frac,
+       round(cf, 6) AS cur_frac,
+       round(term, 6) AS psi_term,
+       (SELECT round(sum(term), 6) FROM terms) AS psi_total
+FROM terms
+ORDER BY bin
+"""
+
+QUERIES["events_psi_drift"] = events_psi_drift
+ORACLES["events_psi_drift"] = EVENTS_PSI_ORACLE
