@@ -55,10 +55,7 @@ def main() -> None:
         "SPARK_GRAFT_MINHASH_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
     )
-    mh_ck = content_key(
-        "mh", doc_path, extra="n3_k64_doc_id_text",
-        code_files=(D.__file__,), suffixes=(".parquet",),
-    )
+    mh_ck = D._minhash_store_key(doc_path, 3, 64, "doc_id", "text")
     base_mode = (
         "attach"
         if os.path.exists(os.path.join(root, mh_ck, "_COMPLETE"))

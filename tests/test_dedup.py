@@ -507,6 +507,19 @@ class TestFuzzyMatch:
         # |len 10 - len 5| = 5 > max_dist -> pruned before levenshtein
         assert (1, 3) not in out and (2, 3) not in out
 
+    def test_null_and_empty_names_excluded(self, spark):
+        # NULL names can't match a block equi-join and whitespace-only
+        # names would pair at 0/0 similarity (NULL, or DIVIDE_BY_ZERO
+        # under ANSI) — both are excluded up front by contract
+        df = spark.createDataFrame(
+            [(1, "red widget"), (2, None), (3, "   "), (4, "\t"), (5, "red widget")],
+            "id long, name string",
+        )
+        out = {
+            (r["id_a"], r["id_b"]) for r in D.fuzzy_match_pairs(df, max_dist=2).collect()
+        }
+        assert out == {(1, 5)}
+
     def test_fat_block_raises(self, spark):
         df = spark.createDataFrame(
             [(i, f"the item{i}") for i in range(50)], "id long, name string"

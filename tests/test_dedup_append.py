@@ -116,12 +116,7 @@ def appended(spark, tmp_path_factory):
 
 
 def _union_mh_ck(union_path: str) -> str:
-    from xml_to_sqlite3_spark.cache_util import content_key
-
-    return content_key(
-        "mh", union_path, extra="n3_k64_doc_id_text",
-        code_files=(D.__file__,), suffixes=(".parquet",),
-    )
+    return D._minhash_store_key(union_path, 3, 64, "doc_id", "text")
 
 
 @pytest.mark.parametrize("table", list(D._DEDUP_STORE_SUBDIRS))
@@ -166,6 +161,20 @@ def test_append_guard_rejects_existing_doc(appended):
     with pytest.raises(ValueError, match="already exist"):
         D.append_dedup_documents(
             spark, appended["base_path"], dup, delta_key="test-dup-guard"
+        )
+
+
+def test_append_guard_rejects_intra_delta_duplicate(appended):
+    # a double-delivered batch would double doc 9999's postings,
+    # silently shifting its Jaccard set size — must fail loudly
+    spark = appended["spark"]
+    twice = spark.createDataFrame(
+        [(9999, "some new text here"), (9999, "some new text here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        D.append_dedup_documents(
+            spark, appended["base_path"], twice, delta_key="test-intradup-guard"
         )
 
 

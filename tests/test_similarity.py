@@ -396,6 +396,10 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="not divisible"):
             S.pq_train(pq_corpus, m=3, ks=4, n_iter=1)
+        # fewer corpus vectors than requested centroids must raise,
+        # not return a silently undersized codebook
+        with pytest.raises(ValueError, match="fewer than"):
+            S.pq_train(pq_corpus.limit(5), m=4, ks=8, n_iter=1)
         books = S.pq_train(pq_corpus, m=4, ks=8, n_iter=1)
         codes = S.pq_encode(pq_corpus, books)
         with pytest.raises(ValueError, match="query dim"):

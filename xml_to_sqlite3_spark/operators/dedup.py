@@ -877,6 +877,23 @@ _MINHASH_STORE_DIRS: list[str] = []
 _DEDUP_STORE_SUBDIRS = ("tokens", "sigs", "simhash", "win8", "doc_ids")
 
 
+def _minhash_store_key(
+    doc_path: str, n: int, k: int, id_col: str, text_col: str, append: str = ""
+) -> str:
+    """THE content key of a dedup-store entry — one definition shared
+    by the build, the three getters, the append paths, and the test
+    harness, so a key-format or parameter-default change can never
+    desynchronize a reader from the entry it expects."""
+    from ..cache_util import content_key
+
+    extra = f"n{n}_k{k}_{id_col}_{text_col}"
+    if append:
+        extra = f"{extra}|append|{append}"
+    return content_key(
+        "mh", doc_path, extra=extra, code_files=(__file__,), suffixes=(".parquet",)
+    )
+
+
 def get_minhash_store(
     spark,
     doc_path: str,
@@ -902,13 +919,7 @@ def get_minhash_store(
 
     from ..cache_util import content_cached_dir, content_key
 
-    ck = content_key(
-        "mh",
-        doc_path,
-        extra=f"n{n}_k{k}_{id_col}_{text_col}",
-        code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
     memo_key = (spark.sparkContext.applicationId, ck)
     memo = _MINHASH_STORE_MEMO.get(memo_key)
     if memo is not None:
@@ -984,13 +995,7 @@ def get_simhash_store(
     the entry is one artifact)."""
     from ..cache_util import content_key
 
-    ck = content_key(
-        "mh",
-        doc_path,
-        extra=f"n{n}_k{k}_{id_col}_{text_col}",
-        code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
     memo_key = (spark.sparkContext.applicationId, ck)
     if memo_key not in _SIMHASH_STORE_MEMO:
         get_minhash_store(
@@ -1013,13 +1018,7 @@ def get_window_store(
     n/k here are the STORE key's MinHash parameters)."""
     from ..cache_util import content_key
 
-    ck = content_key(
-        "mh",
-        doc_path,
-        extra=f"n{n}_k{k}_{id_col}_{text_col}",
-        code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
     memo_key = (spark.sparkContext.applicationId, ck)
     if memo_key not in _WINDOW_STORE_MEMO:
         get_minhash_store(
@@ -1100,10 +1099,26 @@ def get_components_store(
 
 def _dedup_append_guard(spark, base_dir: str, dd: DataFrame, id_col: str) -> None:
     """Fail LOUD when a delta carries a document the base store
-    already holds: every dedup-store table is per-doc rows, so a
-    re-sent document would DOUBLE its postings/signatures (changing
-    Jaccard set sizes silently). Changed documents need a rebuild,
-    exactly like the graph store's contract."""
+    already holds OR carries the same doc id twice (a double-delivered
+    batch): every dedup-store table is per-doc rows, so a re-sent or
+    repeated document would DOUBLE its postings/signatures — silently
+    shifting Jaccard set sizes and component membership. Changed
+    documents need a rebuild, exactly like the graph store's
+    contract."""
+    dups = [
+        r[id_col]
+        for r in dd.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(3)
+        .collect()
+    ]
+    if dups:
+        raise ValueError(
+            f"append to dedup store: delta carries doc ids {dups} more "
+            "than once — a double-delivered batch would double those "
+            "documents' postings; dedupe the delta first"
+        )
     base_ids = spark.read.parquet(f"{base_dir}/doc_ids")
     hits = [
         r[id_col]
@@ -1156,20 +1171,13 @@ def append_dedup_documents(
     from ..cache_util import content_cached_dir, content_key, link_tree
 
     get_minhash_store(spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col)
-    base_extra = f"n{n}_k{k}_{id_col}_{text_col}"
-    base_ck = content_key(
-        "mh", doc_path, extra=base_extra, code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    base_ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
     root = os.environ.get(
         "SPARK_GRAFT_MINHASH_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
     )
     base_dir = os.path.join(root, base_ck)
-    ck = content_key(
-        "mh", doc_path, extra=f"{base_extra}|append|{delta_key}",
-        code_files=(__file__,), suffixes=(".parquet",),
-    )
+    ck = _minhash_store_key(doc_path, n, k, id_col, text_col, append=delta_key)
 
     def _build(tmp: str) -> None:
         import shutil as _sh
@@ -1367,19 +1375,13 @@ def append_components(
             spark, doc_path, n=n, id_col=id_col, text_col=text_col
         )
         base_comp = spark.read.parquet(f"{base_dir}/components")
-        # delta postings = appended entry minus the base inventory
-        # (anti-join on the base doc_ids: the postings scan prunes on
-        # the doc_id join key, no re-shingling)
-        mh_base_ck = content_key(
-            "mh", doc_path, extra=f"n{n}_k64_{id_col}_{text_col}",
-            code_files=(__file__,), suffixes=(".parquet",),
-        )
-        mh_base_ids = spark.read.parquet(
-            f"{os.path.join(root, mh_base_ck)}/doc_ids"
-        ).withColumnRenamed(id_col, "doc_id")
-        delta_tokens = dedup_entry["tokens"].join(
-            mh_base_ids, "doc_id", "left_anti"
-        )
+        # delta postings: re-shingle the DELTA alone — O(delta), and a
+        # pure function of each document so it equals the appended
+        # entry's rows exactly. (The first cut anti-joined the
+        # appended tokens table against the base inventory, which
+        # reads every BASE posting just to subtract it — an O(base)
+        # scan inside a path whose whole point is O(delta).)
+        delta_tokens = _shingle_tokens(delta_docs, n, id_col, text_col)
         pairs = _incremental_jaccard_pairs(
             delta_tokens.select("doc_id", "h"),
             base_tokens.select("doc_id", "h"),
@@ -1476,13 +1478,23 @@ def fuzzy_match_pairs(
     6dp — fully value-oracled (DuckDB's levenshtein implements the
     same classic unweighted distance).
     """
+    # EXPLICIT empty/NULL-name contract (the hard_negative_topk
+    # null-label precedent): a record with no usable entity string
+    # cannot be matched, so NULL and whitespace-only names are
+    # excluded up front — visibly, instead of NULL names silently
+    # failing the block equi-join and empty names pairing with each
+    # other at similarity 0/0 (NULL, or a DIVIDE_BY_ZERO error under
+    # ANSI mode).
     norm = F.lower(F.trim(F.regexp_replace(F.col(name_col), r"\s+", " ")))
     base = df.select(
         F.col(id_col).alias("id"),
         norm.alias("nm"),
         F.split(norm, " ").getItem(0).alias("blk"),
         F.length(norm).alias("ln"),
-    )
+    ).filter(F.col("nm").isNotNull() & (F.col("ln") > 0))
+    # three consumers (the fat-block guard + both self-join sides) —
+    # pin so the normalize projection runs once (semdedup's pattern)
+    base = base.localCheckpoint(eager=False)
     fat = (
         base.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -618,6 +618,13 @@ def pq_train(
         .limit(ks)
         .collect()
     )
+    if len(init) < ks:
+        raise ValueError(
+            f"pq_train: corpus has only {len(init)} vectors, fewer than "
+            f"ks={ks} centroids — train on a larger corpus or lower ks "
+            "(silently returning an undersized codebook would break "
+            "every caller that indexes by ks)"
+        )
     seed = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in init])
     dim = seed.shape[1]
     if dim % m != 0:

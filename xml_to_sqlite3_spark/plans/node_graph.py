@@ -1148,6 +1148,12 @@ def _write_rank_tables(spark: SparkSession, tmp: str) -> None:
     _kcore(
         None, und=spark.read.parquet(f"{tmp}/tri_oriented"), stats=_kstats
     ).write.mode("overwrite").parquet(f"{tmp}/coreness")
+    # persist the round count next to the table: convergence behavior
+    # per corpus is the thing to watch as chains lengthen (the
+    # operator hard-raises at max_iter; this sidecar is the early
+    # signal that a corpus is drifting toward that budget)
+    with open(f"{tmp}/kcore_stats.json", "w") as f:
+        json.dump({"rounds": _kstats.get("rounds")}, f)
 
 
 # every parquet table a published store entry holds, in one place:
