@@ -66,6 +66,20 @@ def main() -> None:
         df.count()
     build_s = round(time.perf_counter() - t0, 2)
 
+    def _release_query_state() -> None:
+        # bench.py's per-query isolation, which this harness was
+        # missing (caught in r12: graph_clustering read 26-30s here
+        # after eight other heavy queries vs 2.1-2.5s standalone —
+        # the same accumulated-storage-block eviction thrash bench.py
+        # documents). Dropping cached blocks + nudging the
+        # ContextCleaner between runs restores clean-session numbers.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
+
+    _release_query_state()
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -73,11 +87,20 @@ def main() -> None:
         for _ in range(args.n):
             t0 = time.perf_counter()
             try:
-                qs[name](spark, sf_dir).collect()
+                # count(), not collect(): bench.py's semantics for
+                # non-headline queries. r11's heavy list only had
+                # bounded outputs so collect() was harmless; r12
+                # added node-level frames (graph_clustering is ~6.4M
+                # rows at sf1) where collect() times driver-side py4j
+                # serialization instead of the distributed compute —
+                # measured 30-50s collected vs 2.1-2.5s counted, same
+                # plan.
+                qs[name](spark, sf_dir).count()
             except Exception as e:  # noqa: BLE001
                 errors[name] = (str(e) or repr(e)).splitlines()[0][:300]
                 break
             arr.append(round(time.perf_counter() - t0, 2))
+            _release_query_state()
         if arr:
             runs[name] = arr
 
