@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_ID_OFFSET = 100_000_000
+_ID_OFFSET = 1_000_000_000  # above sf1's copy-offset ids (max ~9.0e8)
 
 
 def main() -> None:
