@@ -115,12 +115,12 @@ _GATE_PRIORITY = [
     # family, the TPC-H r7 rotation, sessionization, the streaming
     # trio, graph_distances, node_connection_counts).
     # r12-NEW entries (fuzzy_match, corpus_report, events_psi_drift,
-    # pq_search) register past-window — the window is exactly
-    # consumed by the 12 never-driver-run r11 gates + graph_kcore +
-    # the FULL r9-vintage cohort (VERDICT r11 task 1's hard
-    # done-criterion). The three oracled ones are hash-replayed by
-    # the local parity suite (pq_search is rows-only by design);
-    # they queue for the HEAD of the r13 window.
+    # pq_search, zipf_slope, streaming_drift) register past-window —
+    # the window is exactly consumed by the 12 never-driver-run r11
+    # gates + graph_kcore + the FULL r9-vintage cohort (VERDICT r11
+    # task 1's hard done-criterion). The five oracled ones are
+    # hash-replayed by the local parity suite (pq_search is rows-only
+    # by design); they queue for the HEAD of the r13 window.
 ]
 
 

@@ -2043,3 +2043,62 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pq_search"] = pq_search
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic: the OLS slope of ln(freq) ~
+    ln(rank) over the top-1000 vocabulary — natural text sits near
+    -1; a slope collapsing toward 0 means template/boilerplate
+    flooding and a steep slope means vocabulary starvation, both of
+    which shift BEFORE most quality filters notice. One explode +
+    one map-side-combinable count + a 1000-row TakeOrdered + the
+    built-in regr_slope/regr_intercept aggregate — the regression
+    runs over 1000 rows regardless of corpus size."""
+    from ..operators.search import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(1000)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias("slope"),
+        F.round(F.regr_intercept(F.log("freq"), F.log("rank")), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+ZIPF_ORACLE = r"""
+WITH counts AS (
+  SELECT token, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY 1
+), top AS (
+  SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 1000
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+  FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_top,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+       round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept
+FROM ranked
+"""
+
+QUERIES["zipf_slope"] = zipf_slope
+ORACLES["zipf_slope"] = ZIPF_ORACLE

@@ -345,3 +345,94 @@ ORDER BY user_id, purchase_id, view_id
 
 QUERIES["streaming_attribution"] = streaming_attribution
 ORACLES["streaming_attribution"] = STREAMING_ATTRIBUTION_ORACLE
+
+
+def streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the production shape of
+    operators/curation.psi_drift — the STREAM maintains only a
+    (day-window x fixed-bin) count state (bounded by the watermark
+    and the 10-bin config, never by data volume), and the PSI of
+    every day against the FIRST day is computed batch-side over the
+    materialized sink. Bin edges are a FIXED declared domain
+    (value in [0, 200), width 20, clamped edge bins) rather than
+    reference-derived — a stream cannot see global stats before they
+    happen, and fixed monitor configs are what production drift
+    alerts use. Fully deterministic, fully SQL-replayable.
+    Returns (window_start, psi) per day, ascending."""
+    from pyspark.sql import functions as F
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    bin_col = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(20.0)))
+    ).cast("int")
+    pre = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )
+    sink = _run_to_table(pre, "__stream_drift")
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    grid = sink.select("window_start").distinct().crossJoin(F.broadcast(bins))
+    counts = grid.join(sink, ["window_start", "bin"], "left").select(
+        "window_start", "bin", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    )
+    tot = counts.groupBy("window_start").agg(F.sum("n").alias("tot"))
+    frac = (
+        counts.join(tot, "window_start")
+        .select(
+            "window_start",
+            "bin",
+            F.greatest(F.col("n") / F.col("tot"), F.lit(1e-6)).alias("frac"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: reference + current
+    )
+    ref_day = frac.groupBy().agg(F.min("window_start").alias("d0"))
+    ref = (
+        frac.join(F.broadcast(ref_day), frac.window_start == F.col("d0"))
+        .select("bin", F.col("frac").alias("rf"))
+    )
+    return (
+        frac.join(F.broadcast(ref), "bin")
+        .groupBy("window_start")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("frac") - F.col("rf"))
+                    * (F.log("frac") - F.log("rf"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .orderBy("window_start")
+    )
+
+
+STREAMING_DRIFT_ORACLE = """
+WITH agg AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         least(9, greatest(0, CAST(floor(value / 20.0) AS INTEGER))) AS bin,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.window_start, CAST(b.bin AS INTEGER) AS bin,
+         coalesce(a.n, 0) AS n
+  FROM (SELECT DISTINCT window_start FROM agg) d
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+  LEFT JOIN agg a ON a.window_start = d.window_start AND a.bin = b.bin
+), frac AS (
+  SELECT window_start, bin,
+         greatest(n / sum(n) OVER (PARTITION BY window_start), 1e-6) AS frac
+  FROM grid
+), ref AS (
+  SELECT bin, frac AS rf FROM frac
+  WHERE window_start = (SELECT min(window_start) FROM frac)
+)
+SELECT f.window_start,
+       round(sum((f.frac - r.rf) * (ln(f.frac) - ln(r.rf))), 6) AS psi
+FROM frac f JOIN ref r USING (bin)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["streaming_drift"] = streaming_drift
+ORACLES["streaming_drift"] = STREAMING_DRIFT_ORACLE
