@@ -493,3 +493,58 @@ def test_hard_negatives_broadcasts_query_side(spark):
 
     plan = _physical(llm_pipeline.hard_negatives(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_fuzzy_match_blocked_join_no_python(spark):
+    """Candidate generation must be an equi-join on the block key
+    (hash-joinable), the bounded levenshtein stays JVM-side, and the
+    length prefilter sits in the join, not after it."""
+    from xml_to_sqlite3_spark.operators.dedup import fuzzy_match_pairs
+
+    df = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    plan = _physical(
+        fuzzy_match_pairs(df, id_col="p_partkey", name_col="p_name", max_dist=2)
+    )
+    assert "EvalPython" not in plan  # levenshtein is a JVM expression
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_psi_drift_no_row_joins_between_windows(spark):
+    """The two windows are never joined row-to-row: the plan holds
+    aggregates + a bins-sized grid, no Python, nothing cartesian over
+    data-sized inputs (the only cross joins carry 1-row broadcast
+    stats)."""
+    from xml_to_sqlite3_spark.operators.curation import psi_drift
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ref = ev.filter("event_id % 2 = 0")
+    cur = ev.filter("event_id % 2 = 1")
+    plan = _physical(psi_drift(ref, cur, value_col="value", bins=10))
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # bins grid joins broadcast
+
+
+def test_pq_search_single_arrow_pass_and_topk(spark):
+    """ADC scoring is ONE ArrowEvalPython stage over the codes column
+    and the top-k is a TakeOrdered, never a global sort/window."""
+    from xml_to_sqlite3_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = S.pq_train(emb, m=4, ks=8, n_iter=1)
+    codes = S.pq_encode(emb, books)
+    q = emb.filter("vec_id = 0").select("embedding").first()[0]
+    plan = _physical(S.pq_topk(codes, books, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("ArrowEvalPython") <= 2  # encode + ADC, batched
+    assert "Window" not in plan
+
+
+def test_zipf_slope_is_constant_size_regression(spark):
+    """The regression input is the TakeOrdered top-1000 — the
+    rank window runs over 1000 rows, never the vocabulary."""
+    from xml_to_sqlite3_spark.plans.llm_pipeline import zipf_slope
+
+    plan = _physical(zipf_slope(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
