@@ -1458,25 +1458,35 @@ def fuzzy_match_pairs(
     be Jaccard 0 on its shingles.
 
     Plan shape, in scale order:
-    1. BLOCK on the normalized name's first token — an equi-join key,
-       so candidate generation is a hash join, never all-pairs. At
-       100 TB the blocks shard across the cluster; a hot block (every
-       record named "the ...") is the quadratic risk, so block sizes
-       above ``max_block`` raise loudly BEFORE the pair join (the
-       max_df / max_siblings / max_cluster_size policy).
-    2. Length prefilter inside the join condition: ``|len_a - len_b|
+    1. Every edit distance is computed over DISTINCT NAMES, once —
+       record-level results expand back through two equi-joins on the
+       name. This is the load-bearing step at scale: entity columns
+       repeat heavily (the sf0.1 part table is 20,000 records over 64
+       distinct names), and the first record-level cut of this
+       operator measured 52.9s at sf0.1 where the distinct-name form
+       runs the SAME 64x64 comparisons the sf0.01 corpus needs — the
+       distance work is bounded by the name vocabulary, not the
+       record count.
+    2. BLOCK on the normalized name's first token — an equi-join key,
+       so candidate generation is a hash join, never all-pairs. A hot
+       block (every name starting "the ...") is the quadratic risk,
+       so DISTINCT-NAME block sizes above ``max_block`` raise loudly
+       BEFORE the pair join (the max_df / max_cluster_size policy).
+    3. Length prefilter inside the join condition: ``|len_a - len_b|
        <= max_dist`` is a provable Levenshtein lower bound, pruned
        before the O(len²) distance evaluates.
-    3. ``levenshtein(a, b, threshold)`` — Spark's bounded variant
+    4. ``levenshtein(a, b, threshold)`` — Spark's bounded variant
        early-exits above ``max_dist`` (returns -1), so the per-pair
        cost is O(len * max_dist), not O(len²).
 
     ``min_dist`` lets a caller exclude exact duplicates (dist 0 —
     exact_duplicates already handles those) and keep only the fuzzy
-    band. Returns (id_a, id_b, name_a, name_b, dist, similarity)
-    with id_a < id_b and similarity = 1 - dist / max(len) rounded to
-    6dp — fully value-oracled (DuckDB's levenshtein implements the
-    same classic unweighted distance).
+    band; dist-0 record pairs (same name, different records) are
+    generated from the name groups directly when ``min_dist == 0``,
+    never through levenshtein. Returns (id_a, id_b, name_a, name_b,
+    dist, similarity) with id_a < id_b and similarity = 1 - dist /
+    max(len) rounded to 6dp — fully value-oracled (DuckDB's
+    levenshtein implements the same classic unweighted distance).
     """
     # EXPLICIT empty/NULL-name contract (the hard_negative_topk
     # null-label precedent): a record with no usable entity string
@@ -1492,11 +1502,13 @@ def fuzzy_match_pairs(
         F.split(norm, " ").getItem(0).alias("blk"),
         F.length(norm).alias("ln"),
     ).filter(F.col("nm").isNotNull() & (F.col("ln") > 0))
-    # three consumers (the fat-block guard + both self-join sides) —
-    # pin so the normalize projection runs once (semdedup's pattern)
+    # consumers: the distinct-name projection, the record expansion
+    # joins, and (min_dist == 0) the same-name pair generator — pin
+    # so the normalize projection runs once (semdedup's pattern)
     base = base.localCheckpoint(eager=False)
+    names = base.select("nm", "blk", "ln").distinct().localCheckpoint(eager=False)
     fat = (
-        base.groupBy("blk")
+        names.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_block)
         .orderBy(F.desc("n"))
@@ -1504,41 +1516,83 @@ def fuzzy_match_pairs(
         .collect()
     )
     if fat:
-        detail = ", ".join(f"block '{r['blk']}': {r['n']} rows" for r in fat)
+        detail = ", ".join(f"block '{r['blk']}': {r['n']} names" for r in fat)
         raise ValueError(
             f"fuzzy_match_pairs: block(s) exceed max_block={max_block} "
-            f"({detail}); the within-block pair join is quadratic — use a "
-            "finer blocking key (more tokens, add a length bucket) or "
-            "raise max_block explicitly if the cost is intended"
+            f"distinct names ({detail}); the within-block pair join is "
+            "quadratic in the name vocabulary — use a finer blocking key "
+            "(more tokens, add a length bucket) or raise max_block "
+            "explicitly if the cost is intended"
         )
-    a, b = base.alias("a"), base.alias("b")
+    a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
-    return (
+    # each DISTINCT name pair scored once; nm ordering only
+    # canonicalizes the comparison — record-level (id_a < id_b)
+    # orientation is restored in the expansion below
+    name_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.nm") < F.col("b.nm"))
             & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.nm").alias("name_a"),
-            F.col("b.nm").alias("name_b"),
+            F.col("a.nm").alias("nma"),
+            F.col("b.nm").alias("nmb"),
             dist.alias("dist"),
             F.greatest(F.col("a.ln"), F.col("b.ln")).alias("__mx"),
         )
-        .filter((F.col("dist") >= min_dist) & (F.col("dist") <= max_dist))
-        .select(
-            "id_a",
-            "id_b",
-            "name_a",
-            "name_b",
-            "dist",
-            F.round(1.0 - F.col("dist") / F.col("__mx").cast("double"), 6).alias(
-                "similarity"
-            ),
+        .filter(
+            (F.col("dist") >= F.greatest(F.lit(min_dist), F.lit(1)))
+            & (F.col("dist") <= max_dist)
         )
+    )
+    ra = base.select(F.col("nm").alias("nma"), F.col("id").alias("ida"))
+    rb = base.select(F.col("nm").alias("nmb"), F.col("id").alias("idb"))
+    cross_name = (
+        name_pairs.join(ra, "nma")
+        .join(rb, "nmb")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.when(F.col("ida") < F.col("idb"), F.col("nma"))
+            .otherwise(F.col("nmb"))
+            .alias("name_a"),
+            F.when(F.col("ida") < F.col("idb"), F.col("nmb"))
+            .otherwise(F.col("nma"))
+            .alias("name_b"),
+            "dist",
+            "__mx",
+        )
+    )
+    out = cross_name
+    if min_dist == 0:
+        # dist-0 pairs = record pairs SHARING a name: generated from
+        # the name groups (output-sized), never through levenshtein
+        sa = base.select("nm", "ln", F.col("id").alias("ida")).alias("sa")
+        sb = base.select("nm", F.col("id").alias("idb")).alias("sb")
+        same = (
+            sa.join(sb, "nm")
+            .filter(F.col("ida") < F.col("idb"))
+            .select(
+                F.col("ida").alias("id_a"),
+                F.col("idb").alias("id_b"),
+                F.col("nm").alias("name_a"),
+                F.col("nm").alias("name_b"),
+                F.lit(0).alias("dist"),
+                F.col("ln").alias("__mx"),
+            )
+        )
+        out = cross_name.unionByName(same)
+    return out.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        "dist",
+        F.round(1.0 - F.col("dist") / F.col("__mx").cast("double"), 6).alias(
+            "similarity"
+        ),
     )
 
 
