@@ -528,3 +528,89 @@ class TestFuzzyMatch:
             D.fuzzy_match_pairs(df, max_block=10)
         # raising the bound (or a finer key) unblocks
         assert D.fuzzy_match_pairs(df, max_block=100).count() >= 0
+
+
+class TestFuzzyMatchProperties:
+    """Hypothesis property test: the distinct-name + expansion plan
+    must equal a brute-force record-level python replica on arbitrary
+    small corpora (the r12 rewrite changed the PLAN, not the
+    semantics — this pins that claim beyond the hand cases)."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    @classmethod
+    def _replica(cls, rows, max_dist, min_dist):
+        import re
+
+        norm = {}
+        for i, name in rows:
+            if name is None:
+                continue
+            nm = re.sub(r"[ \t\n\x0b\f\r]+", " ", name).strip(" ").lower()
+            # operator trims spaces only AFTER collapsing, like Spark
+            if nm == "":
+                continue
+            norm[i] = nm
+        out = {}
+        ids = sorted(norm)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                na, nb = norm[a], norm[b]
+                if na.split(" ")[0] != nb.split(" ")[0]:
+                    continue
+                if abs(len(na) - len(nb)) > max_dist:
+                    continue
+                d = cls._lev(na, nb)
+                if min_dist <= d <= max_dist:
+                    sim = round(1 - d / max(len(na), len(nb)), 6)
+                    out[(a, b)] = (na, nb, d, sim)
+        return out
+
+    def test_matches_brute_force_replica(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        words = st.sampled_from(
+            ["red", "rad", "ted", "blue", "blu", "widget", "widgit", "gear", ""]
+        )
+        name = st.one_of(
+            st.none(),
+            st.builds(lambda a, b: f"{a} {b}", words, words),
+            st.builds(lambda a: f"  {a}\t", words),
+        )
+        rows_strategy = st.lists(
+            st.tuples(st.integers(min_value=0, max_value=40), name),
+            min_size=0, max_size=12, unique_by=lambda t: t[0],
+        )
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(rows_strategy, st.integers(min_value=1, max_value=3),
+               st.integers(min_value=0, max_value=1))
+        def run(rows, max_dist, min_dist):
+            df = spark.createDataFrame(
+                rows, "id long, name string"
+            ) if rows else spark.createDataFrame([], "id long, name string")
+            got = {
+                (r["id_a"], r["id_b"]): (
+                    r["name_a"], r["name_b"], r["dist"], r["similarity"]
+                )
+                for r in D.fuzzy_match_pairs(
+                    df, max_dist=max_dist, min_dist=min_dist
+                ).collect()
+            }
+            want = self._replica(rows, max_dist, min_dist)
+            assert got == want, (rows, max_dist, min_dist)
+
+        run()

@@ -391,6 +391,21 @@ class TestProductQuantization:
         ids3 = [r["vec_id"] for r in out if r["adc_dist"] == by_id[3]]
         assert ids3.index(3) < ids3.index(200)
 
+    def test_recall_against_exact_l2(self, pq_corpus):
+        # quality bound, not just mechanics: ADC top-10 over m=4/ks=8
+        # codes must recover most of the exact L2 top-10 (measured
+        # 1.0 on this corpus; bound left slack for codebook drift
+        # from future deterministic-trainer changes)
+        import numpy as np
+
+        books = S.pq_train(pq_corpus, m=4, ks=8, n_iter=3)
+        codes = S.pq_encode(pq_corpus, books)
+        q = np.asarray(_vec(3))
+        approx = {r["vec_id"] for r in S.pq_topk(codes, books, q, k=10).collect()}
+        X = {r["vec_id"]: np.asarray(r["embedding"]) for r in pq_corpus.collect()}
+        exact = sorted(X, key=lambda i: float(((X[i] - q) ** 2).sum()))[:10]
+        assert len(approx & set(exact)) / 10 >= 0.7
+
     def test_guards(self, pq_corpus):
         import numpy as np
 
