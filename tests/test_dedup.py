@@ -614,3 +614,31 @@ class TestFuzzyMatchProperties:
             assert got == want, (rows, max_dist, min_dist)
 
         run()
+
+
+def test_fuzzy_match_names_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"), (2, "red widget"), (3, "red widget"),
+            (4, "red widgit"),
+            (5, "red gadget"),
+            (6, "blue bolt"),
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r
+        for r in D.fuzzy_match_names(df, max_dist=2).collect()
+    }
+    r = out[("red widget", "red widgit")]
+    assert (r["dist"], r["n_a"], r["n_b"], r["n_pairs"]) == (1, 3, 1, 3)
+    assert r["similarity"] == pytest.approx(round(1 - 1 / 10, 6))
+    # widgit<->gadget dist 2? w->g, i->a, d=d, g->d... check: "red widgit" vs "red gadget"
+    # ordered by dist then names; no same-name rows ever
+    assert all(a != b for a, b in out)
+    # min_dist coerced to >= 1: passing 0 changes nothing
+    again = {
+        (r["name_a"], r["name_b"])
+        for r in D.fuzzy_match_names(df, max_dist=2, min_dist=0).collect()
+    }
+    assert again == set(out)

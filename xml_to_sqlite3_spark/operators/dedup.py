@@ -1487,6 +1487,14 @@ def fuzzy_match_pairs(
     dist, similarity) with id_a < id_b and similarity = 1 - dist /
     max(len) rounded to 6dp — fully value-oracled (DuckDB's
     levenshtein implements the same classic unweighted distance).
+
+    NOTE the result is OUTPUT-sized by contract: a matched name pair
+    expands to n_a x n_b record pairs, and a corpus with thousands of
+    records per name makes that expansion the dominant cost (measured
+    142-155s at sf1 where each of 64 names covers ~3,125 records —
+    ~150M record pairs). Pipelines that first want to REVIEW matches
+    should use :func:`fuzzy_match_names`, which stops at the
+    vocabulary-sized name relation with group counts.
     """
     # EXPLICIT empty/NULL-name contract (the hard_negative_topk
     # null-label precedent): a record with no usable entity string
@@ -1593,6 +1601,90 @@ def fuzzy_match_pairs(
         F.round(1.0 - F.col("dist") / F.col("__mx").cast("double"), 6).alias(
             "similarity"
         ),
+    )
+
+
+def fuzzy_match_names(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 2,
+    min_dist: int = 1,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """The VOCABULARY-sized view of fuzzy entity matching: matched
+    DISTINCT-name pairs with their record-group sizes — what a
+    pipeline reviews (and a human eyeballs) before committing to the
+    n_a x n_b record-pair expansion that :func:`fuzzy_match_pairs`
+    materializes. Same blocking, guard, prefilter, and bounded
+    levenshtein; the whole computation is bounded by the name
+    vocabulary, so this stays cheap at ANY record count (the r12 sf1
+    measurement: the record expansion is ~150M rows / 142-155s, this
+    relation is ~16 rows). ``min_dist`` is coerced to >= 1: same-name
+    record groups are exact_duplicates' output, not a fuzzy match.
+
+    Returns (name_a, name_b, dist, similarity, n_a, n_b, n_pairs)
+    with name_a < name_b, ordered by (dist, name_a, name_b).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(name_col), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("nm"),
+        F.split(norm, " ").getItem(0).alias("blk"),
+        F.length(norm).alias("ln"),
+    ).filter(F.col("nm").isNotNull() & (F.col("ln") > 0))
+    base = base.localCheckpoint(eager=False)
+    sized = base.groupBy("nm", "blk", "ln").agg(
+        F.count(F.lit(1)).alias("n_rec")
+    ).localCheckpoint(eager=False)
+    fat = (
+        sized.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    )
+    if fat:
+        detail = ", ".join(f"block '{r['blk']}': {r['n']} names" for r in fat)
+        raise ValueError(
+            f"fuzzy_match_names: block(s) exceed max_block={max_block} "
+            f"distinct names ({detail}); use a finer blocking key or raise "
+            "max_block explicitly if the quadratic cost is intended"
+        )
+    a, b = sized.alias("a"), sized.alias("b")
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.nm") < F.col("b.nm"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
+        )
+        .select(
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+            dist.alias("dist"),
+            F.greatest(F.col("a.ln"), F.col("b.ln")).alias("__mx"),
+            F.col("a.n_rec").alias("n_a"),
+            F.col("b.n_rec").alias("n_b"),
+        )
+        .filter(
+            (F.col("dist") >= F.greatest(F.lit(min_dist), F.lit(1)))
+            & (F.col("dist") <= max_dist)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            F.round(1.0 - F.col("dist") / F.col("__mx").cast("double"), 6).alias(
+                "similarity"
+            ),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
+        .orderBy("dist", "name_a", "name_b")
     )
 
 

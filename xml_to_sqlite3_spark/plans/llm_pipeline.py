@@ -1903,40 +1903,40 @@ ORACLES["audio_metadata"] = AUDIO_METADATA_ORACLE
 
 
 def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching over part names: the blocked
-    edit-distance join (operators/dedup.fuzzy_match_pairs — first
-    token blocks, length prefilter, bounded Levenshtein), keeping the
-    FUZZY band only (dist 1..3; dist-0 exacts are exact_duplicates'
-    job). Top-200 by (dist, id_a, id_b) — a deterministic total
-    order, the pair keys are unique."""
+    """Fuzzy entity matching over part names, served at the
+    VOCABULARY level (operators/dedup.fuzzy_match_names — first-token
+    blocks, length prefilter, bounded Levenshtein over DISTINCT
+    names, record-group sizes carried): the review relation a
+    pipeline inspects before committing to the n_a x n_b record
+    expansion (fuzzy_match_pairs — which at sf1 is a legitimate but
+    ~150M-row output). The fuzzy band only (dist 1..3; same-name
+    groups are exact_duplicates' output)."""
     parts = load(spark, sf_dir, "part")
-    return (
-        D.fuzzy_match_pairs(
-            parts, id_col="p_partkey", name_col="p_name",
-            max_dist=3, min_dist=1,
-        )
-        .orderBy("dist", "id_a", "id_b")
-        .limit(200)
+    return D.fuzzy_match_names(
+        parts, id_col="p_partkey", name_col="p_name", max_dist=3, min_dist=1
     )
 
 
 FUZZY_MATCH_ORACLE = r"""
 WITH b AS (
-  SELECT p_partkey AS id,
-         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS nm
+  SELECT lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS nm
   FROM part
-), e AS (
-  SELECT id, nm, split_part(nm, ' ', 1) AS blk, length(nm) AS ln FROM b
+), sized AS (
+  SELECT nm, split_part(nm, ' ', 1) AS blk, length(nm) AS ln,
+         count(*) AS n_rec
+  FROM b WHERE nm IS NOT NULL AND length(nm) > 0
+  GROUP BY 1, 2, 3
 )
-SELECT a.id AS id_a, b2.id AS id_b, a.nm AS name_a, b2.nm AS name_b,
+SELECT a.nm AS name_a, b2.nm AS name_b,
        CAST(levenshtein(a.nm, b2.nm) AS INTEGER) AS dist,
        round(1.0 - levenshtein(a.nm, b2.nm)
-                   / CAST(greatest(a.ln, b2.ln) AS DOUBLE), 6) AS similarity
-FROM e a JOIN e b2
-  ON a.blk = b2.blk AND a.id < b2.id AND abs(a.ln - b2.ln) <= 3
+                   / CAST(greatest(a.ln, b2.ln) AS DOUBLE), 6) AS similarity,
+       a.n_rec AS n_a, b2.n_rec AS n_b,
+       a.n_rec * b2.n_rec AS n_pairs
+FROM sized a JOIN sized b2
+  ON a.blk = b2.blk AND a.nm < b2.nm AND abs(a.ln - b2.ln) <= 3
 WHERE levenshtein(a.nm, b2.nm) BETWEEN 1 AND 3
-ORDER BY dist, id_a, id_b
-LIMIT 200
+ORDER BY dist, name_a, name_b
 """
 
 QUERIES["fuzzy_match"] = fuzzy_match
