@@ -1188,3 +1188,19 @@ class TestPsiDrift:
         got = psi_drift(ref, cur, bins=4).collect()
         assert all(math.isfinite(r["psi_term"]) for r in got)
         assert got[3]["cur_frac"] == pytest.approx(1e-6)
+
+
+def test_psi_drift_empty_window_raises(spark):
+    """ADVICE r12: an empty reference (or current) window must fail
+    loudly, not publish a silent NaN psi_total (0/0 fractions; Spark's
+    greatest(NaN, eps) stays NaN)."""
+    import pytest as _pytest
+
+    from xml_to_sqlite3_spark.operators.curation import psi_drift
+
+    full = spark.createDataFrame([(float(i),) for i in range(20)], "value double")
+    empty = spark.createDataFrame([], "value double")
+    with _pytest.raises(ValueError, match="reference window has zero rows"):
+        psi_drift(empty, full)
+    with _pytest.raises(ValueError, match="current window has zero rows"):
+        psi_drift(full, empty)

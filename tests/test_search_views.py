@@ -245,3 +245,17 @@ class TestIndexAppend:
                 spark, appended["base_path"], appended["delta"], delta_key="ti-v1"
             )
         assert again[1] == appended["got"][1]
+
+
+def test_node_type_views_max_types_guard(spark):
+    """The distinct-type collect is schema-sized by design; a corpus
+    leaking data into tag names must trip the loud cap instead of
+    registering millions of temp views."""
+    import pytest as _pytest
+
+    nodes = spark.createDataFrame(
+        [(i, f"type_{i}") for i in range(12)], "id long, node_type string"
+    )
+    with _pytest.raises(ValueError, match="exceed max_types"):
+        create_node_type_views(spark, nodes, max_types=10)
+    assert len(create_node_type_views(spark, nodes, max_types=12)) == 12

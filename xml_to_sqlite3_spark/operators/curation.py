@@ -1963,7 +1963,27 @@ def psi_drift(
         F.max("x").alias("mx"),
         F.count(F.lit(1)).cast("double").alias("nr"),
     ).localCheckpoint(eager=False)
-    n_cur = c.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    # an EMPTY window would make the fractions 0/0 = NaN, and
+    # greatest(NaN, eps) stays NaN in Spark — a monitor would read a
+    # silent NaN psi_total instead of an alert. Fail loudly instead
+    # (the max_block / max_cluster_size policy); the two 1-row
+    # aggregates are driver-side scalars, not a hot-path collect.
+    nr_val = st.head()["nr"]
+    if not nr_val:
+        raise ValueError(
+            "psi_drift: reference window has zero rows (after casting "
+            f"{value_col!r} to double); PSI fractions would be NaN — "
+            "fix the window predicate or the upstream feed"
+        )
+    n_cur = c.agg(F.count(F.lit(1)).cast("double").alias("nc")).localCheckpoint(
+        eager=False
+    )
+    if not n_cur.head()["nc"]:
+        raise ValueError(
+            "psi_drift: current window has zero rows (after casting "
+            f"{value_col!r} to double); PSI fractions would be NaN — "
+            "fix the window predicate or the upstream feed"
+        )
     width = F.greatest(
         (F.col("mx") - F.col("mn")) / F.lit(float(bins)), F.lit(eps)
     )

@@ -21,9 +21,27 @@ def _safe(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", name)
 
 
-def create_node_type_views(spark: SparkSession, nodes: DataFrame) -> list[str]:
-    """Register a temp view per node_type. Returns the view names."""
+def create_node_type_views(
+    spark: SparkSession, nodes: DataFrame, max_types: int = 10_000
+) -> list[str]:
+    """Register a temp view per node_type. Returns the view names.
+
+    The DISTINCT node_type collect below is driver-side by design:
+    node types are a SCHEMA-sized vocabulary (tag names in the XML
+    grammar — tens, not millions; one view must be issued per type
+    from the driver regardless). ``max_types`` is the loud guard for
+    the degenerate corpus whose "types" are data (e.g. ids leaked
+    into tag names) — that would otherwise register millions of temp
+    views one catalog call at a time.
+    """
     types = [r["node_type"] for r in nodes.select("node_type").distinct().collect()]
+    if len(types) > max_types:
+        raise ValueError(
+            f"create_node_type_views: {len(types)} distinct node types "
+            f"exceed max_types={max_types}; node types should be a "
+            "schema-sized vocabulary — the corpus likely leaks data "
+            "into tag names, or raise max_types explicitly"
+        )
     names = []
     nodes.createOrReplaceTempView("nodes")
     for t in sorted(types):
