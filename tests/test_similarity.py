@@ -437,3 +437,95 @@ class TestProductQuantization:
             b2 = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2)
         assert np.array_equal(b1, b2)
         S.clear_codebook_cache()
+
+
+class TestIvfPq:
+    """The composed IVF-PQ path (r12 VERDICT task 4): coarse-probe →
+    partition-pruned codes → ADC."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(60)]
+        rows.append((300, _vec(7)))  # exact dup of vec 7
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture(scope="class")
+    def models(self, corpus):
+        cents = S.spherical_kmeans(corpus, k=8, n_iter=3)
+        books = S.pq_train(corpus, m=4, ks=8, n_iter=3)
+        return cents, books
+
+    def test_exhaustive_probe_equals_pq_topk(self, corpus, models):
+        # n_probe == n_centroids prunes nothing, so IVF-ADC must be
+        # EXACTLY the flat ADC over the same codes — the composition
+        # identity that proves the probe filter is the only delta
+        cents, books = models
+        index = S.ivf_pq_index(corpus, cents, books)
+        codes = S.pq_encode(corpus, books)
+        q = _vec(7)
+        flat = [
+            (r["vec_id"], r["adc_dist"])
+            for r in S.pq_topk(codes, books, q, k=15).collect()
+        ]
+        ivf = [
+            (r["vec_id"], r["adc_dist"])
+            for r in S.ivf_pq_topk(index, cents, books, q, k=15, n_probe=8).collect()
+        ]
+        assert ivf == flat
+
+    def test_reduced_probe_recall(self, corpus, models):
+        # the serving trade: n_probe=3 of 8 lists must still recover
+        # most of the exact-L2 top-10 (measured 0.9 on this corpus;
+        # slack left for deterministic-trainer drift)
+        import numpy as np
+
+        cents, books = models
+        index = S.ivf_pq_index(corpus, cents, books)
+        q = np.asarray(_vec(7))
+        approx = {
+            r["vec_id"]
+            for r in S.ivf_pq_topk(index, cents, books, q, k=10, n_probe=3).collect()
+        }
+        X = {r["vec_id"]: np.asarray(r["embedding"]) for r in corpus.collect()}
+        exact = sorted(X, key=lambda i: float(((X[i] - q) ** 2).sum()))[:10]
+        assert len(approx & set(exact)) / 10 >= 0.6
+
+    def test_probe_guard(self, corpus, models):
+        cents, books = models
+        index = S.ivf_pq_index(corpus, cents, books)
+        with pytest.raises(ValueError, match="n_probe"):
+            S.ivf_pq_topk(index, cents, books, _vec(0), n_probe=0)
+        with pytest.raises(ValueError, match="n_probe"):
+            S.ivf_pq_topk(index, cents, books, _vec(0), n_probe=9)
+
+    def test_persistent_index_partitioned_and_identical(
+        self, spark, corpus, tmp_path, monkeypatch
+    ):
+        import os
+
+        monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+        data = str(tmp_path / "vecs")
+        corpus.write.parquet(data)
+        idx = S.get_ivf_pq_index(spark, data, n_centroids=8, m=4, ks=8, n_iter=2)
+        # physically partitioned by cluster: the probe filter becomes
+        # directory pruning, the 100 TB read shape
+        root = str(tmp_path / "cb")
+        entry = next(d for d in os.listdir(root) if d.startswith("ivfpq"))
+        parts = [
+            d
+            for d in os.listdir(os.path.join(root, entry, "index"))
+            if d.startswith("cluster=")
+        ]
+        assert len(parts) >= 2
+        # attached == live encode, multiset identity
+        cents = S.get_codebook(spark, data, k=8, n_iter=2)
+        books = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2)
+        live = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in S.ivf_pq_index(corpus, cents, books).collect()
+        }
+        got = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"])) for r in idx.collect()
+        }
+        assert got == live
+        S.clear_codebook_cache()

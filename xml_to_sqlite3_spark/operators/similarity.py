@@ -116,7 +116,12 @@ def hard_negative_topk(
     has query set ≪ corpus; ``max_query_rows`` enforces that contract
     fail-loud — a caller passing a corpus-sized ``queries`` gets a
     ValueError naming the fix, not a driver/executor broadcast OOM.
-    Pass ``None`` to disable (caller asserts the size themselves).
+    NOTE the guard is EAGER: with ``max_query_rows`` set (the
+    default), CALLING this function runs a Spark job (a 1-row count
+    of the filtered query side) before any result is consumed — the
+    returned frame is otherwise lazy as usual. Pass ``None`` to
+    disable and restore a fully lazy call (caller asserts the
+    broadcast size themselves).
 
     Returns (query_id, q_label, neighbor_id, n_label, cosine, rank).
     """
@@ -750,6 +755,128 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index relation (vec_id, cluster, codes): each
+    vector's nearest coarse centroid (the inverted-list key) plus its
+    PQ codes — the composition of the IVF and PQ halves (r12 VERDICT
+    task 4) and the actual billion-vector serving shape: the index
+    holds NO raw vectors (m small ints per row), the cluster column
+    is the pruning key, and both assignments run in ONE Arrow pass
+    (the two pandas UDFs are adjacent, so Spark evaluates them in a
+    single ArrowEvalPython node). Write it ``partitionBy("cluster")``
+    (see :func:`get_ivf_pq_index`) and a probed query reads only
+    n_probe/n_centroids of the files."""
+    assign = _assign_udf(centroids)
+    enc = _pq_encode_udf(books)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "vec_id",
+        assign(F.col("v")).alias("cluster"),
+        enc(F.col("v")).alias("codes"),
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    query,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-ADC top-k: coarse-probe then ADC, never a full-corpus
+    scan. The query (a full float vector, asymmetric by design)
+    picks its ``n_probe`` nearest coarse centroids DRIVER-side (the
+    codebook is a model parameter, k x dim), the index is filtered to
+    those clusters — an isin over the partition column, so a
+    partitioned index prunes to n_probe/n_centroids of its files
+    before any Python runs — and :func:`pq_topk`'s distance-table ADC
+    scores only the surviving codes. With ``n_probe == n_centroids``
+    this is EXACTLY pq_topk over the whole index (the identity the
+    tests pin); smaller n_probe trades recall for a proportional scan
+    cut, the knob billion-vector serving actually turns.
+
+    Returns (vec_id, adc_dist) ascending, dist rounded to 6dp.
+    """
+    n_cent = centroids.shape[0]
+    if not 1 <= n_probe <= n_cent:
+        raise ValueError(
+            f"ivf_pq_topk: n_probe={n_probe} outside [1, {n_cent}]"
+        )
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(C @ qn), kind="stable")[:n_probe]
+    probed = [int(c) for c in order]
+    pruned = index.filter(F.col("cluster").isin(probed)).select("vec_id", "codes")
+    return pq_topk(pruned, books, q, k=k)
+
+
+def get_ivf_pq_index(
+    spark,
+    src_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Content-keyed PERSISTENT IVF-PQ index for ``src_path``:
+    parquet PARTITIONED BY cluster, so ivf_pq_topk's probe filter is
+    partition PRUNING (a probed query opens n_probe directories, not
+    the corpus). Models come from the same persistent caches the
+    halves use (get_codebook / get_pq_codebooks — both deterministic,
+    so attached == rebuilt bit-identically); the encode pass runs
+    once per (input, code, params) and every later session attaches.
+    This is the build-once/serve-many artifact shape of a production
+    vector index at 100 TB: raw vectors stay in the source table,
+    the serving index is m ints + a partition key per vector."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+
+    key = content_key(
+        "ivfpq",
+        src_path,
+        extra=f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}",
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+
+    def _build(tmp: str) -> None:
+        cents = get_codebook(
+            spark, src_path, k=n_centroids, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        books = get_pq_codebooks(
+            spark, src_path, m=m, ks=ks, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        ivf_pq_index(
+            spark.read.parquet(src_path), cents, books,
+            id_col=id_col, vec_col=vec_col,
+        ).write.mode("overwrite").partitionBy("cluster").parquet(f"{tmp}/index")
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(key)
+
+    final = content_cached_dir(root, key, _build, owned_dirs=_CODEBOOK_DIRS)
+    spark.catalog.refreshByPath(f"{final}/index")
+    return spark.read.parquet(f"{final}/index")
 
 
 def get_codebook(

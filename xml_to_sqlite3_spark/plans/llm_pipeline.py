@@ -1903,16 +1903,17 @@ ORACLES["audio_metadata"] = AUDIO_METADATA_ORACLE
 
 
 def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching over part names, served at the
-    VOCABULARY level (operators/dedup.fuzzy_match_names — first-token
-    blocks, length prefilter, bounded Levenshtein over DISTINCT
-    names, record-group sizes carried): the review relation a
-    pipeline inspects before committing to the n_a x n_b record
-    expansion (fuzzy_match_pairs — which at sf1 is a legitimate but
+    """Fuzzy entity matching over part names, served through the
+    DEFAULT public API (operators/dedup.fuzzy_match, which returns
+    the VOCABULARY-level relation — first-token blocks, length
+    prefilter, bounded Levenshtein over DISTINCT names, record-group
+    sizes carried): the review relation a pipeline inspects before
+    committing to the n_a x n_b record expansion
+    (expand_records=True — which at sf1 is a legitimate but
     ~150M-row output). The fuzzy band only (dist 1..3; same-name
     groups are exact_duplicates' output)."""
     parts = load(spark, sf_dir, "part")
-    return D.fuzzy_match_names(
+    return D.fuzzy_match(
         parts, id_col="p_partkey", name_col="p_name", max_dist=3, min_dist=1
     )
 
@@ -2043,6 +2044,29 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pq_search"] = pq_search
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ serving path (r12 VERDICT task 4): the
+    persistent cluster-PARTITIONED code index (operators/similarity.
+    get_ivf_pq_index — no raw vectors, m=8 codes + a partition key
+    per row), probed at n_probe=4 of 16 coarse lists, ADC top-20
+    within the probed lists only. The billion-vector shape: the
+    probe filter is partition pruning over the index files, the scan
+    is codes-only, the reduction is a TakeOrdered. Rows-only like
+    pq_search (float k-means codebooks); exhaustive-probe == pq_topk
+    identity and reduced-probe recall are pinned by
+    tests/test_similarity.py."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.get_codebook(spark, path, k=16, n_iter=5)
+    books = S.get_pq_codebooks(spark, path, m=8, ks=16, n_iter=5)
+    index = S.get_ivf_pq_index(spark, path, n_centroids=16, m=8, ks=16, n_iter=5)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_pq_topk(index, cents, books, q, k=20, n_probe=4)
+
+
+QUERIES["ann_ivf_pq"] = ann_ivf_pq
 
 
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
