@@ -642,3 +642,33 @@ def test_fuzzy_match_names_rollup(spark):
         for r in D.fuzzy_match_names(df, max_dist=2, min_dist=0).collect()
     }
     assert again == set(out)
+
+
+def test_fuzzy_match_default_api(spark):
+    """The public entry point (r12 VERDICT task 3): fuzzy_match
+    defaults to the vocabulary-level name relation; the output-sized
+    record expansion sits behind expand_records=True and matches
+    fuzzy_match_pairs exactly."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"), (2, "red widget"),
+            (3, "red widgit"),
+            (4, "blue bolt"),
+        ],
+        "id long, name string",
+    )
+    names = D.fuzzy_match(df, max_dist=2).collect()
+    assert [r["name_a"] for r in names] == ["red widget"]
+    assert set(names[0].asDict()) == {
+        "name_a", "name_b", "dist", "similarity", "n_a", "n_b", "n_pairs"
+    }
+    assert names[0]["n_pairs"] == 2
+    expanded = {
+        (r["id_a"], r["id_b"])
+        for r in D.fuzzy_match(df, max_dist=2, expand_records=True).collect()
+    }
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in D.fuzzy_match_pairs(df, max_dist=2, min_dist=1).collect()
+    }
+    assert expanded == direct == {(1, 3), (2, 3)}

@@ -229,3 +229,97 @@ def test_stream_rollup_to_parquet_incremental(spark, tmp_path):
     assert got[("2024-01-01 12:00:00", "purchase")] == (1, 9.0)  # new window
     assert len(got) == 3
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_document_maintenance_two_waves(spark, tmp_path, monkeypatch):
+    """r12 VERDICT task 5: dedup store + text index stay warm under
+    continuous ingestion. Two streamed waves (chained O(delta)
+    appends) must equal ONE batch append of the union-delta AND a
+    full rebuild over base+delta — per-table multiset identity for
+    the dedup store, postings multiset + bit-exact scalar stats for
+    the index."""
+    from xml_to_sqlite3_spark.operators import dedup as D
+    from xml_to_sqlite3_spark.operators import search as S
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_entries,
+        stream_document_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "ix"))
+
+    def mkdocs(ids):
+        return spark.createDataFrame(
+            [(i, f"alpha beta doc {i} gamma delta {i % 3} common words") for i in ids],
+            "doc_id long, text string",
+        )
+
+    base_path = str(tmp_path / "base_docs")
+    mkdocs(range(10)).repartition(1).write.parquet(base_path)
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    wave1, wave2 = mkdocs(range(100, 110)), mkdocs(range(110, 120))
+    # one file per wave + maxFilesPerTrigger=1 -> two micro-batches
+    # (the file source watches the TOP level, so land each wave's
+    # part-file directly in in_dir)
+    import glob as _glob
+
+    for name, wave in (("w1", wave1), ("w2", wave2)):
+        staged = str(tmp_path / f"stage_{name}")
+        wave.repartition(1).write.parquet(staged)
+        part = _glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_document_maintenance(
+        spark, str(in_dir), base_path, ckpt,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination()
+
+    got = current_maintained_entries(spark, base_path, ckpt)
+    assert got["dedup"] is not None and got["index"] is not None
+    # two waves -> a two-link chain
+    assert got["dedup"]["append_key"].count("+") == 1
+
+    def sig_ms(frame):
+        return sorted(
+            (r["doc_id"], tuple(r["signature"])) for r in frame.collect()
+        )
+
+    def ids_ms(frame):
+        return sorted(r["doc_id"] for r in frame.collect())
+
+    # one-shot batch append of the union delta
+    batch_entry = D.append_dedup_documents(
+        spark, base_path, wave1.unionByName(wave2), delta_key="oneshot"
+    )
+    assert sig_ms(got["dedup"]["sigs"]) == sig_ms(batch_entry["sigs"])
+    assert ids_ms(got["dedup"]["doc_ids"]) == ids_ms(batch_entry["doc_ids"])
+    tok_ms = lambda fr: sorted(
+        tuple(r) for r in fr.select("doc_id", "h").collect()
+    )
+    assert tok_ms(got["dedup"]["tokens"]) == tok_ms(batch_entry["tokens"])
+
+    # full rebuild over base + delta
+    union_path = str(tmp_path / "union_docs")
+    mkdocs(list(range(10)) + list(range(100, 120))).write.parquet(union_path)
+    rb_tokens, rb_sigs = D.get_minhash_store(spark, union_path)
+    assert sig_ms(got["dedup"]["sigs"]) == sig_ms(rb_sigs)
+    assert tok_ms(got["dedup"]["tokens"]) == tok_ms(rb_tokens)
+
+    # index: streamed chained appends == batch append == full rebuild
+    s_index, s_n, s_avgdl, _ = got["index"]
+    b_index, b_n, b_avgdl, _ = S.append_text_index(
+        spark, base_path, wave1.unionByName(wave2), delta_key="oneshot"
+    )
+    r_index, r_n, r_avgdl = S.get_text_index(spark, union_path)
+    post_ms = lambda fr: sorted(
+        tuple(r) for r in fr.select("token", "doc_id", "tf", "doc_len").collect()
+    )
+    assert post_ms(s_index) == post_ms(b_index) == post_ms(r_index)
+    assert (s_n, s_avgdl) == (b_n, b_avgdl) == (r_n, r_avgdl)
+
+    D.clear_minhash_store()
+    S.clear_index_cache()

@@ -1141,6 +1141,7 @@ def append_dedup_documents(
     k: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_append: str = "",
 ) -> dict:
     """Publish a NEW dedup-store entry = the base entry for
     ``doc_path`` plus ``delta_docs``, at O(delta) cost — the MinHash
@@ -1160,24 +1161,46 @@ def append_dedup_documents(
 
     ``delta_key`` is the caller's identity for the delta content; it
     keys the published entry so the same (base, delta) pair
-    cold-attaches on later calls. Returns ``{"path": dir, <table>:
-    DataFrame, ...}``. Gate queries keep reading base entries through
-    get_minhash_store; appended entries are a pipeline capability
-    with their own identity.
+    cold-attaches on later calls. ``base_append`` CHAINS appends: it
+    names the append chain of the entry to append ONTO (the previous
+    call's returned ``append_key``), so continuous ingestion —
+    streaming/ingest.stream_document_maintenance's per-micro-batch
+    appends — stacks O(delta) waves instead of re-appending against
+    the original base; chained == one-shot == full rebuild is pinned
+    by the streamed-maintenance multiset test. Returns ``{"path":
+    dir, "append_key": chain, <table>: DataFrame, ...}``. Gate
+    queries keep reading base entries through get_minhash_store;
+    appended entries are a pipeline capability with their own
+    identity.
     """
     import os
     import tempfile
 
     from ..cache_util import content_cached_dir, content_key, link_tree
 
-    get_minhash_store(spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col)
-    base_ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
     root = os.environ.get(
         "SPARK_GRAFT_MINHASH_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
     )
+    if base_append:
+        base_ck = _minhash_store_key(
+            doc_path, n, k, id_col, text_col, append=base_append
+        )
+        if not os.path.exists(os.path.join(root, base_ck, "_COMPLETE")):
+            raise ValueError(
+                f"append_dedup_documents: chained base entry "
+                f"(append chain {base_append!r}) is not published — "
+                "appends must stack onto an existing entry in order"
+            )
+        chain = f"{base_append}+{delta_key}"
+    else:
+        get_minhash_store(
+            spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col
+        )
+        base_ck = _minhash_store_key(doc_path, n, k, id_col, text_col)
+        chain = delta_key
     base_dir = os.path.join(root, base_ck)
-    ck = _minhash_store_key(doc_path, n, k, id_col, text_col, append=delta_key)
+    ck = _minhash_store_key(doc_path, n, k, id_col, text_col, append=chain)
 
     def _build(tmp: str) -> None:
         import shutil as _sh
@@ -1219,7 +1242,7 @@ def append_dedup_documents(
             f.write(ck)
 
     final = content_cached_dir(root, ck, _build, owned_dirs=_MINHASH_STORE_DIRS)
-    out: dict = {"path": final}
+    out: dict = {"path": final, "append_key": chain}
     meta = {"n": n, "k": k, "src": doc_path}
     for sub in _DEDUP_STORE_SUBDIRS:
         spark.catalog.refreshByPath(f"{final}/{sub}")
@@ -1492,9 +1515,18 @@ def fuzzy_match_pairs(
     expands to n_a x n_b record pairs, and a corpus with thousands of
     records per name makes that expansion the dominant cost (measured
     142-155s at sf1 where each of 64 names covers ~3,125 records —
-    ~150M record pairs). Pipelines that first want to REVIEW matches
-    should use :func:`fuzzy_match_names`, which stops at the
-    vocabulary-sized name relation with group counts.
+    ~150M record pairs) — treat it as a sink-side materialization,
+    sized like the output it is, not a review step. The DEFAULT public
+    API is :func:`fuzzy_match` (name-level relation); this expansion
+    sits behind its ``expand_records=True``.
+
+    RECALL BOUND inherent to the blocking key: names are only compared
+    WITHIN a first-token block, so a typo in the FIRST word ('gren
+    metallic' vs 'green metallic') lands in different blocks and is
+    never compared. That is the standard blocked-record-linkage
+    trade; widen recall with a second pass under another key (sorted
+    tokens, soundex of the first token, a length bucket) unioned with
+    this one if first-token typos matter for the corpus.
     """
     # EXPLICIT empty/NULL-name contract (the hard_negative_topk
     # null-label precedent): a record with no usable entity string
@@ -1623,6 +1655,10 @@ def fuzzy_match_names(
     relation is ~16 rows). ``min_dist`` is coerced to >= 1: same-name
     record groups are exact_duplicates' output, not a fuzzy match.
 
+    Same first-token blocking as :func:`fuzzy_match_pairs`, and the
+    same RECALL BOUND: a typo in the first word is never compared
+    (see that docstring for the second-blocking-key mitigation).
+
     Returns (name_a, name_b, dist, similarity, n_a, n_b, n_pairs)
     with name_a < name_b, ordered by (dist, name_a, name_b).
     """
@@ -1685,6 +1721,49 @@ def fuzzy_match_names(
             (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
         )
         .orderBy("dist", "name_a", "name_b")
+    )
+
+
+def fuzzy_match(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 2,
+    min_dist: int = 1,
+    max_block: int = 100_000,
+    expand_records: bool = False,
+) -> DataFrame:
+    """The public entry point for fuzzy entity matching. DEFAULT is
+    the VOCABULARY-sized name relation (:func:`fuzzy_match_names` —
+    matched distinct-name pairs with group sizes and the implied
+    ``n_pairs`` expansion count), because that is what a pipeline
+    reviews and it stays cheap at ANY record count.
+
+    ``expand_records=True`` materializes the full record-pair
+    expansion instead (:func:`fuzzy_match_pairs`). COST STATEMENT,
+    mirroring ``max_block``'s: the expansion is OUTPUT-sized by
+    contract — a matched name pair becomes n_a x n_b record pairs
+    (~150M rows / 142-155s measured at sf1, where 64 names cover
+    ~3,125 records each) — so treat it as a sink-side write whose
+    size you have already read off the default relation's ``n_pairs``
+    column, not as a review step.
+    """
+    if expand_records:
+        return fuzzy_match_pairs(
+            df,
+            id_col=id_col,
+            name_col=name_col,
+            max_dist=max_dist,
+            min_dist=min_dist,
+            max_block=max_block,
+        )
+    return fuzzy_match_names(
+        df,
+        id_col=id_col,
+        name_col=name_col,
+        max_dist=max_dist,
+        min_dist=min_dist,
+        max_block=max_block,
     )
 
 

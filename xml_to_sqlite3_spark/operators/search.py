@@ -88,6 +88,23 @@ def _index_cache_root() -> str:
     )
 
 
+def _index_key(
+    src_path: str, id_col: str, text_col: str, append: str = ""
+) -> str:
+    """THE content key of a text-index entry — one definition shared
+    by the build, the append path, and the streaming maintenance
+    attach (the _minhash_store_key discipline), so a key-format
+    change can never desynchronize a reader from its entry."""
+    from ..cache_util import content_key
+
+    extra = f"{id_col}|{text_col}"
+    if append:
+        extra = f"{extra}|append|{append}"
+    return content_key(
+        "i", src_path, extra=extra, code_files=(__file__,), suffixes=(".parquet",)
+    )
+
+
 def get_text_index(
     spark,
     src_path: str,
@@ -113,15 +130,9 @@ def get_text_index(
     import json
     import os
 
-    from ..cache_util import content_cached_dir, content_key
+    from ..cache_util import content_cached_dir
 
-    ck = content_key(
-        "i",
-        src_path,
-        extra=f"{id_col}|{text_col}",
-        code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    ck = _index_key(src_path, id_col, text_col)
     key = (spark.sparkContext.applicationId, ck)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
@@ -192,6 +203,7 @@ def append_text_index(
     delta_key: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_append: str = "",
 ) -> tuple[DataFrame, int, float, str]:
     """Publish a NEW index entry = the base index for ``src_path``
     plus ``delta_docs``, at O(delta) cost — the FOURTH persistent
@@ -209,23 +221,33 @@ def append_text_index(
     dN, sum_dl' = sum_dl + d_sum; avgdl derives), reproducing a full
     rebuild's stats bit-exactly. Guards reject re-sent or intra-delta
     duplicate doc ids (they would double postings and silently
-    inflate tf/df). Returns (index, n_docs, avgdl, path).
+    inflate tf/df). ``base_append`` CHAINS appends (the dedup store's
+    contract): it names the append chain of the entry to append ONTO,
+    so per-micro-batch streaming maintenance stacks O(delta) waves —
+    chained == one-shot == rebuild stats bit-exactly, pinned by the
+    streamed-maintenance test. Returns (index, n_docs, avgdl, path).
     """
     import json
     import os
 
-    from ..cache_util import content_cached_dir, content_key, link_tree
+    from ..cache_util import content_cached_dir, link_tree
 
-    get_text_index(spark, src_path, id_col=id_col, text_col=text_col)
-    base_ck = content_key(
-        "i", src_path, extra=f"{id_col}|{text_col}",
-        code_files=(__file__,), suffixes=(".parquet",),
-    )
-    base_dir = os.path.join(_index_cache_root(), base_ck)
-    ck = content_key(
-        "i", src_path, extra=f"{id_col}|{text_col}|append|{delta_key}",
-        code_files=(__file__,), suffixes=(".parquet",),
-    )
+    if base_append:
+        base_ck = _index_key(src_path, id_col, text_col, append=base_append)
+        base_dir = os.path.join(_index_cache_root(), base_ck)
+        if not os.path.exists(os.path.join(base_dir, "_COMPLETE")):
+            raise ValueError(
+                f"append_text_index: chained base entry (append chain "
+                f"{base_append!r}) is not published — appends must stack "
+                "onto an existing entry in order"
+            )
+        chain = f"{base_append}+{delta_key}"
+    else:
+        get_text_index(spark, src_path, id_col=id_col, text_col=text_col)
+        base_ck = _index_key(src_path, id_col, text_col)
+        base_dir = os.path.join(_index_cache_root(), base_ck)
+        chain = delta_key
+    ck = _index_key(src_path, id_col, text_col, append=chain)
     key = (spark.sparkContext.applicationId, ck)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]

@@ -193,6 +193,12 @@ def stream_corpus_to_sqlite(
         xrefs = detect_all_relationships(corpus.nodes, corpus.properties).withColumn(
             "source_file", F.col("document_id")
         )
+        # driver-side doc-id collect: bounded by the micro-batch's
+        # FILE count (maxFilesPerTrigger caps it), not the corpus —
+        # and the delete-then-insert target is the single-node SQLite
+        # compat sink, which serializes through the driver by
+        # definition. A distributed sink would push the delete down
+        # as a MERGE instead (see stream_rollup_to_parquet below).
         doc_ids = [r["id"] for r in corpus.documents.select("id").collect()]
         delete_xrefs_for_sources(db_path, doc_ids)
         write_corpus_sqlite(
@@ -304,3 +310,174 @@ def stream_rollup_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_document_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    base_doc_path: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 10,
+    available_now: bool = False,
+):
+    """Continuously-maintained DEDUP STORE + TEXT INDEX (r12 VERDICT
+    task 5): as new document parquet files land in ``input_dir``,
+    each micro-batch appends onto the persistent artifacts via the
+    stores' O(delta) append paths (operators/dedup.
+    append_dedup_documents, operators/search.append_text_index), so
+    the MinHash/SimHash/window postings and the BM25 inverted index
+    stay warm under continuous ingestion instead of going stale
+    until the next full rebuild — the streaming-materialized-view
+    pattern of stream_rollup_to_parquet applied to the two
+    document-derived artifacts.
+
+    Append CHAINING: batch b appends onto batch b-1's entry (the
+    stores' ``base_append`` contract), so every wave costs O(that
+    wave). The chain state lives in a sidecar JSON inside the
+    CHECKPOINT directory — the same unit of progress the stream
+    itself commits — so a restarted stream resumes the chain exactly
+    where the checkpoint resumes the data. Exactly-once: delta keys
+    derive from the (stable-on-replay) batch id, and the appends are
+    content-keyed publications, so a replayed batch ATTACHES the
+    already-published entry instead of double-appending; the sidecar
+    write is atomic (tmp + rename). Two streamed waves == one batch
+    append of the union == full rebuild, per-table multisets —
+    pinned by tests/test_streaming.py.
+
+    Returns the StreamingQuery. Read the current artifacts after
+    (or during) the run with :func:`current_maintained_entries`.
+    """
+    import json
+    import os
+
+    from ..operators.dedup import append_dedup_documents
+    from ..operators.search import append_text_index
+
+    state_path = os.path.join(checkpoint_dir, "maintenance_chain.json")
+
+    def _load_state() -> dict:
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                return json.load(f)
+        return {"dedup_chain": "", "index_chain": ""}
+
+    def _save_state(state: dict) -> None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.rename(tmp, state_path)
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = _load_state()
+        dk = f"b{batch_id}"
+        entry = append_dedup_documents(
+            spark,
+            base_doc_path,
+            batch_df,
+            delta_key=dk,
+            n=n,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            base_append=state["dedup_chain"],
+        )
+        state["dedup_chain"] = entry["append_key"]
+        append_text_index(
+            spark,
+            base_doc_path,
+            batch_df,
+            delta_key=dk,
+            id_col=id_col,
+            text_col=text_col,
+            base_append=state["index_chain"],
+        )
+        state["index_chain"] = (
+            f"{state['index_chain']}+{dk}" if state["index_chain"] else dk
+        )
+        _save_state(state)
+
+    # file streams need an explicit schema; the base corpus defines it
+    schema = spark.read.parquet(base_doc_path).schema
+    docs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+    )
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_maintained_entries(
+    spark: SparkSession,
+    base_doc_path: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Attach the artifacts a maintenance stream has built so far:
+    reads the chain sidecar from the checkpoint dir and returns
+    ``{"dedup": {<table>: DataFrame, ...} | None, "index": (index,
+    n_docs, avgdl, path) | None}`` — None before the first batch
+    commits. Pure attach: the content-keyed entries already exist,
+    so no Spark job beyond parquet reads runs here."""
+    import json
+    import os
+
+    from ..operators.dedup import _minhash_store_key
+    from ..operators.search import _index_cache_root, _index_key
+
+    state_path = os.path.join(checkpoint_dir, "maintenance_chain.json")
+    if not os.path.exists(state_path):
+        return {"dedup": None, "index": None}
+    with open(state_path) as f:
+        state = json.load(f)
+    out: dict = {"dedup": None, "index": None}
+    if state.get("dedup_chain"):
+        import tempfile
+
+        from ..operators.dedup import _DEDUP_STORE_SUBDIRS
+
+        root = os.environ.get(
+            "SPARK_GRAFT_MINHASH_CACHE",
+            os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
+        )
+        ck = _minhash_store_key(
+            base_doc_path, n, k, id_col, text_col, append=state["dedup_chain"]
+        )
+        final = os.path.join(root, ck)
+        entry = {"path": final, "append_key": state["dedup_chain"]}
+        for sub in _DEDUP_STORE_SUBDIRS:
+            spark.catalog.refreshByPath(f"{final}/{sub}")
+            entry[sub] = spark.read.parquet(f"{final}/{sub}")
+        out["dedup"] = entry
+    if state.get("index_chain"):
+        ck = _index_key(
+            base_doc_path, id_col, text_col, append=state["index_chain"]
+        )
+        final = os.path.join(_index_cache_root(), ck)
+        with open(os.path.join(final, "_COMPLETE")) as f:
+            meta = json.load(f)
+        spark.catalog.refreshByPath(f"{final}/index")
+        out["index"] = (
+            spark.read.parquet(f"{final}/index"),
+            int(meta["n_docs"]),
+            float(meta["avgdl"]),
+            final,
+        )
+    return out
