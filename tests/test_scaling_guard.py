@@ -100,3 +100,52 @@ def test_scaling_ratio(name, bound, warmed, spark):
         "plan likely picked up an O(data) term (lost store table / "
         "pushdown / bucket join)"
     )
+
+
+def test_kcore_rounds_tripwire(warmed, spark):
+    """k-core convergence tripwire (r12 VERDICT task 7): the store
+    build runs kcore_decomposition's H-index fixpoint, whose ROUND
+    count is graph-dependent — it propagates one hop per round, so a
+    corpus drifting toward long near-degenerate chains degrades
+    toward the operator's hard 100-round budget (which raises mid-
+    build). The build persists the round count in kcore_stats.json
+    precisely so CI can watch it; this guard reads the sidecar at
+    both shipped scales and bounds (a) the absolute count per scale
+    and (b) the growth across the 10x decade.
+
+    Calibration (healthy builds, this graph family): 11 rounds at
+    sf0.001, 17 at sf0.01, 21 at BOTH sf0.1 and sf1 — growth per
+    decade is shrinking, consistent with local stabilization (chain
+    nodes also carry attribute-reference edges). Bounds carry ~2.5x
+    headroom: absolute 30/45, decade ratio 3.0 (measured 1.55). A
+    corpus whose convergence turns O(chain length) multiplies rounds
+    with data and trips here, in a 22s sf0.01 build — not in a 100x
+    production build."""
+    import json
+    import os
+
+    from xml_to_sqlite3_spark.plans import node_graph as ng
+
+    rounds = {}
+    for sf, bound in ((SF_SMALL, 30), (SF_BIG, 45)):
+        store = os.path.join(ng._graph_cache_root(), ng._graph_cache_key(sf))
+        sidecar = os.path.join(store, "kcore_stats.json")
+        assert os.path.exists(sidecar), (
+            f"{sf}: store published without kcore_stats.json — the build "
+            "no longer persists the convergence sidecar this guard watches"
+        )
+        with open(sidecar) as f:
+            rounds[sf] = json.load(f)["rounds"]
+        assert rounds[sf] is not None and rounds[sf] <= bound, (
+            f"{sf}: k-core fixpoint took {rounds[sf]} rounds (bound "
+            f"{bound}, healthy ~{11 if sf == SF_SMALL else 17}); the graph "
+            "family's convergence is degrading toward the 100-round hard "
+            "budget — inspect chain structure before scaling the corpus"
+        )
+    ratio = rounds[SF_BIG] / max(rounds[SF_SMALL], 1)
+    assert ratio <= 3.0, (
+        f"k-core rounds grew {ratio:.2f}x across the 10x decade "
+        f"({rounds[SF_SMALL]} -> {rounds[SF_BIG]}; healthy 1.55x) — "
+        "convergence is scaling with data, which forecasts a blown "
+        "round budget at production scale"
+    )
