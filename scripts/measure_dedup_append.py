@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--delta-src", default="/root/testdata/sf0.1")
     ap.add_argument("--tag", default="dd1")
     ap.add_argument("--threshold", type=float, default=0.3)
+    # sf1 (k=10) copy offsets reach 9.0e8, so 1e9 clears them; sf3
+    # (k=30) reaches 2.9e9+ and needs --id-offset 10000000000
+    ap.add_argument("--id-offset", type=int, default=_ID_OFFSET)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -72,7 +75,7 @@ def main() -> None:
 
     delta = spark.read.parquet(
         os.path.join(args.delta_src, "documents.parquet")
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(_ID_OFFSET))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(args.id_offset))
     delta_docs = delta.count()
     delta_key = content_key(
         "dd", args.delta_src, extra=f"offset|{args.tag}",
