@@ -57,6 +57,10 @@ RATIO_BOUNDS = [
     # blows straight through the bound.
     ("fuzzy_match", 5.0),
     ("pq_search", 6.0),
+    # r13: the composed IVF-ADC path — same 6.0 bound as its PQ half
+    # (codebook/index builds are linear one-time costs; the probed
+    # query itself is sublinear in corpus via partition pruning)
+    ("ann_ivf_pq", 6.0),
     ("events_psi_drift", 6.0),
     ("zipf_slope", 5.0),
 ]
