@@ -1204,3 +1204,59 @@ def test_psi_drift_empty_window_raises(spark):
         psi_drift(empty, full)
     with _pytest.raises(ValueError, match="current window has zero rows"):
         psi_drift(full, empty)
+
+
+class TestKsDrift:
+    def test_matches_scipy_style_replica(self, spark):
+        """Hand replica: exact two-sample KS over small samples,
+        including ties across and within samples."""
+        from xml_to_sqlite3_spark.operators.curation import ks_drift
+
+        ref_vals = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+        cur_vals = [2.0, 4.0, 4.0, 6.0, 9.0]
+        ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+        cur = spark.createDataFrame([(v,) for v in cur_vals], "value double")
+        row = ks_drift(ref, cur).collect()[0]
+
+        pts = sorted(set(ref_vals + cur_vals))
+        best = max(
+            (
+                abs(
+                    sum(v <= x for v in ref_vals) / len(ref_vals)
+                    - sum(v <= x for v in cur_vals) / len(cur_vals)
+                )
+                for x in pts
+            )
+        )
+        assert row["ks_stat"] == pytest.approx(round(best, 6), abs=1e-9)
+        assert (row["n_ref"], row["n_cur"]) == (6, 5)
+        # at_value is the SMALLEST point attaining the sup
+        attain = [
+            x
+            for x in pts
+            if abs(
+                sum(v <= x for v in ref_vals) / 6
+                - sum(v <= x for v in cur_vals) / 5
+            )
+            == best
+        ]
+        assert row["at_value"] == attain[0]
+
+    def test_identical_windows_zero(self, spark):
+        from xml_to_sqlite3_spark.operators.curation import ks_drift
+
+        df = spark.createDataFrame([(float(i % 7),) for i in range(50)], "value double")
+        row = ks_drift(df, df).collect()[0]
+        assert row["ks_stat"] == 0.0
+
+    def test_empty_window_raises(self, spark):
+        import pytest as _pytest
+
+        from xml_to_sqlite3_spark.operators.curation import ks_drift
+
+        full = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+        empty = spark.createDataFrame([], "value double")
+        with _pytest.raises(ValueError, match="reference window has zero"):
+            ks_drift(empty, full)
+        with _pytest.raises(ValueError, match="current window has zero"):
+            ks_drift(full, empty)

@@ -2030,3 +2030,120 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between a
+    reference and a current window — PSI's nonparametric sibling
+    (psi_drift needs a bin count and reads mass shifts; KS is
+    bin-free and reads the WORST single point of CDF divergence, so
+    the pair covers both "how much moved" and "where it tears").
+
+    Exact and SQL-replayable: the supremum of |F_ref - F_cur| is
+    attained at sample points, both empirical CDFs are integer
+    counts divided by integer totals (bit-identical IEEE division in
+    any engine), and the scan/aggregate shapes are deterministic.
+
+    Scale shape: one tagged union + ONE map-side-combinable groupBy
+    collapses the corpus to DISTINCT values, then the cumulative
+    count uses the pack_training_sequences two-phase cumsum —
+    per-range-bucket windows (bucket = equi-width slot from a 1-row
+    min/max aggregate) plus a buckets-sized offset window — so no
+    window ever serializes the corpus through one task. At 100 TB
+    each window is a scan with partial aggregation; everything after
+    the groupBy is distinct-value-sized.
+
+    Fail-loud on an empty window (the psi_drift contract): an empty
+    side has no CDF and a silent 0/NaN would defeat the monitor.
+
+    Returns ONE row: (ks_stat, at_value, n_ref, n_cur) — the
+    statistic (6dp), the smallest value attaining it, and the two
+    window sizes.
+    """
+    r = ref.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    c = cur.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    u = r.select("x", F.lit(1).alias("__r"), F.lit(0).alias("__c")).unionByName(
+        c.select("x", F.lit(0).alias("__r"), F.lit(1).alias("__c"))
+    )
+    g = u.groupBy("x").agg(
+        F.sum("__r").alias("rn"), F.sum("__c").alias("cn")
+    ).localCheckpoint(eager=False)  # consumers: stats + both cum passes
+    st = g.agg(
+        F.sum("rn").alias("n_ref"),
+        F.sum("cn").alias("n_cur"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    ).localCheckpoint(eager=False)
+    srow = st.head()
+    if not srow["n_ref"]:
+        raise ValueError(
+            "ks_drift: reference window has zero non-null rows (after "
+            f"casting {value_col!r} to double) — no CDF to compare; fix "
+            "the window predicate or the upstream feed"
+        )
+    if not srow["n_cur"]:
+        raise ValueError(
+            "ks_drift: current window has zero non-null rows (after "
+            f"casting {value_col!r} to double) — no CDF to compare; fix "
+            "the window predicate or the upstream feed"
+        )
+    width = F.greatest(
+        (F.col("mx") - F.col("mn")) / F.lit(float(buckets)), F.lit(1e-12)
+    )
+    b = g.crossJoin(F.broadcast(st)).select(
+        "x",
+        "rn",
+        "cn",
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("x") - F.col("mn")) / width).cast("int")
+            ),
+        ).alias("__bk"),
+    )
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.select(
+        "x",
+        "__bk",
+        F.sum("rn").over(w_in).alias("__lr"),
+        F.sum("cn").over(w_in).alias("__lc"),
+    )
+    per_bk = b.groupBy("__bk").agg(
+        F.sum("rn").alias("__tr"), F.sum("cn").alias("__tc")
+    )
+    w_bk = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bk.select(
+        "__bk",
+        F.coalesce(F.sum("__tr").over(w_bk), F.lit(0)).alias("__or"),
+        F.coalesce(F.sum("__tc").over(w_bk), F.lit(0)).alias("__oc"),
+    )
+    d = F.abs(
+        (F.col("__or") + F.col("__lr")) / F.col("n_ref")
+        - (F.col("__oc") + F.col("__lc")) / F.col("n_cur")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bk")
+        .crossJoin(F.broadcast(st.select("n_ref", "n_cur")))
+        .select(d.alias("__d"), "x", "n_ref", "n_cur")
+        .orderBy(F.desc("__d"), F.asc("x"))
+        .limit(1)
+        .select(
+            F.round("__d", 6).alias("ks_stat"),
+            F.col("x").alias("at_value"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+        )
+    )

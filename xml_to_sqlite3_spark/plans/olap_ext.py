@@ -1092,3 +1092,56 @@ ORDER BY bin
 
 QUERIES["events_psi_drift"] = events_psi_drift
 ORACLES["events_psi_drift"] = EVENTS_PSI_ORACLE
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of the event value
+    distribution, first half vs second half of the event_id range —
+    the same yesterday-vs-today split as events_psi_drift, through
+    the bin-free monitor (operators/curation.ks_drift: tagged union →
+    distinct-value groupBy → two-phase cumulative CDFs → the single
+    worst divergence point). PSI says how much mass moved; KS names
+    the exact value where the CDFs tear furthest."""
+    from ..operators.curation import ks_drift
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2.0).alias("mid")
+    ).localCheckpoint(eager=False)
+    ref = ev.crossJoin(F.broadcast(mid)).filter(F.col("event_id") < F.col("mid"))
+    cur = ev.crossJoin(F.broadcast(mid)).filter(F.col("event_id") >= F.col("mid"))
+    return ks_drift(ref, cur, value_col="value")
+
+
+EVENTS_KS_ORACLE = r"""
+WITH ev AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS x FROM events
+  WHERE value IS NOT NULL
+), mid AS (
+  SELECT (min(event_id) + max(event_id)) / 2.0 AS mid FROM ev
+), tagged AS (
+  SELECT x, CASE WHEN event_id < mid THEN 1 ELSE 0 END AS r,
+         CASE WHEN event_id >= mid THEN 1 ELSE 0 END AS c
+  FROM ev, mid
+), g AS (
+  SELECT x, SUM(r) AS rn, SUM(c) AS cn FROM tagged GROUP BY x
+), tot AS (
+  SELECT CAST(SUM(rn) AS BIGINT) AS n_ref, CAST(SUM(cn) AS BIGINT) AS n_cur
+  FROM g
+), cum AS (
+  SELECT x,
+         SUM(rn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(cn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM g
+)
+SELECT round(abs(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur), 6)
+         AS ks_stat,
+       x AS at_value, n_ref, n_cur
+FROM cum, tot
+ORDER BY abs(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur) DESC,
+         x ASC
+LIMIT 1
+"""
+
+QUERIES["events_ks_drift"] = events_ks_drift
+ORACLES["events_ks_drift"] = EVENTS_KS_ORACLE
