@@ -529,3 +529,47 @@ class TestIvfPq:
         }
         assert got == live
         S.clear_codebook_cache()
+
+
+class TestPca:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(50)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_covariance_matches_numpy(self, corpus):
+        import numpy as np
+
+        got = {(r["i"], r["j"]): r["cov"] for r in S.embedding_covariance(corpus).collect()}
+        X = np.array([_vec(i) for i in range(50)])
+        want = np.cov(X, rowvar=False, bias=True)  # population covariance
+        assert len(got) == DIM * DIM
+        for (i, j), v in got.items():
+            assert v == pytest.approx(want[i, j], abs=2e-6), (i, j)
+
+    def test_covariance_empty_raises(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="zero vectors"):
+            S.embedding_covariance(empty)
+
+    def test_components_and_projection_replica(self, corpus):
+        import numpy as np
+
+        cov = S.embedding_covariance(corpus).collect()
+        comps, explained = S.pca_components(cov, dim=DIM, k=3)
+        assert comps.shape == (3, DIM)
+        # orthonormal, descending explained variance, sign convention
+        assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+        assert list(explained) == sorted(explained, reverse=True)
+        for row in comps:
+            assert row[np.argmax(np.abs(row))] > 0
+        # projection == numpy matmul, batch-for-batch
+        got = {r["vec_id"]: np.asarray(r["proj"]) for r in S.pca_project(corpus, comps).collect()}
+        X = np.array([_vec(i) for i in range(50)])
+        want = X @ comps.T
+        for i in range(50):
+            assert np.allclose(got[i], want[i], atol=1e-9), i
+        # the top component must actually dominate: projecting onto it
+        # captures more variance than any single original coordinate
+        proj_var = (X @ comps[0]).var()
+        assert proj_var >= X.var(axis=0).max() - 1e-9

@@ -879,6 +879,120 @@ def get_ivf_pq_index(
     return spark.read.parquet(f"{final}/index")
 
 
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact population covariance matrix of an embedding column,
+    as (i, j, cov) rows — the statistics bedrock under PCA
+    whitening / dimensionality reduction for an embedding corpus
+    (the rotation PQ-style quantizers want applied first, and the
+    standard diagnostic for collapsed/anisotropic embedding spaces).
+
+    Fully SQL-replayable by the lm_quality discipline: every product
+    x_i*x_j (and every coordinate, for the means) is round(·, 9) then
+    cast DECIMAL(18,9) BEFORE summing, so the reductions are
+    order-independent integer arithmetic and a DuckDB replay matches
+    bit-for-bit; the final cov = (S_ij - S_i*S_j/n)/n assembles in
+    double from those exact sums and rounds at 6dp.
+
+    Plan shape: one scan, two sequential posexplodes (d, then d² rows
+    per vector — all JVM-side codegen, no Python), one map-side-
+    combinable groupBy per reduction. d² rows per vector is the
+    honest cost of an exact Gram at any scale; at 100 TB you'd run it
+    on a deterministic sample (the gate does: vec_id % 5 == 0), which
+    changes the input relation, not this plan.
+    """
+    v = df.select(_as_double(F.col(vec_col)).alias("v"))
+    e1 = v.select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+    n = v.count()
+    if n == 0:
+        raise ValueError(
+            "embedding_covariance: zero vectors — no covariance to "
+            "estimate; fix the input relation"
+        )
+    dec = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
+    sums_i = (
+        e1.select("i", dec(F.col("xi")).alias("__xi"))
+        .groupBy("i")
+        .agg(F.sum("__xi").alias("si"))
+    )
+    pairs = e1.select(
+        "i", "xi", F.posexplode("v").alias("j", "xj")
+    ).select("i", "j", dec(F.col("xi") * F.col("xj")).alias("__p"))
+    sums_ij = pairs.groupBy("i", "j").agg(F.sum("__p").alias("sij"))
+    sj = sums_i.select(F.col("i").alias("j"), F.col("si").alias("sj"))
+    nn = F.lit(float(n))
+    return (
+        sums_ij.join(F.broadcast(sums_i), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sij").cast("double")
+                    - F.col("si").cast("double") * F.col("sj").cast("double") / nn
+                )
+                / nn,
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_components(cov_rows, dim: int, k: int = 8) -> tuple:
+    """Driver-side eigendecomposition of a collected (i, j, cov)
+    relation — the covariance matrix is a MODEL PARAMETER (d², a few
+    thousand doubles), exactly like the k-means and PQ codebooks, so
+    collecting it is the documented model-sized exception to the
+    no-collect rule. Returns (components, explained) — (k, d) top
+    eigenvectors by descending eigenvalue and their explained-
+    variance ratios. Deterministic sign convention: each component's
+    largest-|entry| coordinate is made positive (eigh's sign is
+    otherwise arbitrary), ties broken by the lower index winning via
+    argmax's contract."""
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    C = (C + C.T) / 2.0  # symmetrize 6dp rounding noise
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = vecs[:, order].T.copy()  # (k, d)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    total = float(vals.sum()) or 1.0
+    explained = (vals[order] / total).astype(float)
+    return comps, explained
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto PCA components: one Arrow-batched matmul
+    per batch against the broadcast (closure-captured) component
+    matrix — the same serving shape as the PQ encoder. Returns
+    (vec_id, proj array<double>)."""
+    P = np.asarray(components, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        return pd.Series(list(M @ P.T))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        proj(_as_double(F.col(vec_col))).alias("proj"),
+    )
+
+
 def get_codebook(
     spark,
     src_path: str,

@@ -2069,6 +2069,76 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_pq"] = ann_ivf_pq
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance of the embedding corpus over the
+    deterministic vec_id % 5 == 0 sample (the link_prediction
+    sampling precedent — d² rows per vector is the honest exact-Gram
+    cost, and a pipeline runs it on a sample at scale;
+    operators/similarity.embedding_covariance). Decimal-summed, so
+    the DuckDB replay is bit-exact."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return S.embedding_covariance(emb)
+
+
+EMBEDDING_COV_ORACLE = r"""
+WITH s AS (
+  SELECT embedding AS v FROM embeddings WHERE vec_id % 5 = 0
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM s
+), idx AS (
+  SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i
+), si AS (
+  SELECT i, SUM(CAST(round(v[i + 1], 9) AS DECIMAL(18,9))) AS si
+  FROM s, idx GROUP BY i
+), sij AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(round(v[a.i + 1] * v[b.i + 1], 9) AS DECIMAL(18,9))) AS sij
+  FROM s, idx a, idx b GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       round((CAST(p.sij AS DOUBLE)
+              - CAST(x.si AS DOUBLE) * CAST(y.si AS DOUBLE) / n.n) / n.n,
+             6) AS cov
+FROM sij p JOIN si x ON p.i = x.i JOIN si y ON p.j = y.i, n
+ORDER BY p.i, p.j
+"""
+
+QUERIES["embedding_covariance"] = embedding_covariance
+ORACLES["embedding_covariance"] = EMBEDDING_COV_ORACLE
+
+
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA serving path: covariance over the same deterministic
+    sample → driver-side eigendecomposition (the d² matrix is a
+    model parameter, like the k-means codebooks) → Arrow-batched
+    projection of the FULL corpus onto the top-4 components
+    (operators/similarity.pca_components/pca_project), flattened to
+    scalar columns for stability. Rows-only like pq_search: the
+    eigensolve is float linear algebra, not SQL-expressible; the
+    covariance feeding it IS value-oracled (embedding_covariance),
+    and the projection math is pinned by a numpy replica test."""
+    emb = load(spark, sf_dir, "embeddings")
+    cov = S.embedding_covariance(
+        emb.filter(F.col("vec_id") % 5 == 0)
+    ).collect()
+    comps, _explained = S.pca_components(cov, dim=64, k=4)
+    out = S.pca_project(emb, comps)
+    return (
+        out.select(
+            "vec_id",
+            *[
+                F.round(F.col("proj").getItem(i), 6).alias(f"pc{i + 1}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+QUERIES["pca_projection"] = pca_projection
+
+
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law corpus diagnostic: the OLS slope of ln(freq) ~
     ln(rank) over the top-1000 vocabulary — natural text sits near
