@@ -844,15 +844,9 @@ def get_ivf_pq_index(
     import os
     import tempfile
 
-    from ..cache_util import content_cached_dir, content_key
+    from ..cache_util import content_cached_dir
 
-    key = content_key(
-        "ivfpq",
-        src_path,
-        extra=f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}",
-        code_files=(__file__,),
-        suffixes=(".parquet",),
-    )
+    key = _ivfpq_key(src_path, n_centroids, m, ks, n_iter, id_col, vec_col)
     root = os.environ.get(
         "SPARK_GRAFT_CODEBOOK_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
@@ -877,6 +871,144 @@ def get_ivf_pq_index(
     final = content_cached_dir(root, key, _build, owned_dirs=_CODEBOOK_DIRS)
     spark.catalog.refreshByPath(f"{final}/index")
     return spark.read.parquet(f"{final}/index")
+
+
+def _ivfpq_key(
+    src_path: str,
+    n_centroids: int,
+    m: int,
+    ks: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    append: str = "",
+) -> str:
+    """THE content key of an IVF-PQ index entry — one definition for
+    the build and the append chain (the _minhash_store_key
+    discipline)."""
+    from ..cache_util import content_key
+
+    extra = f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}"
+    if append:
+        extra = f"{extra}|append|{append}"
+    return content_key(
+        "ivfpq", src_path, extra=extra, code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+
+
+def append_ivf_pq_index(
+    spark,
+    src_path: str,
+    delta_df: DataFrame,
+    delta_key: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    base_append: str = "",
+) -> dict:
+    """Append NEW vectors into the persistent IVF-PQ index at
+    O(delta) — the FIFTH persistent artifact's append path (the
+    vector-serving analogue of the dedup/index/graph/components
+    appends): encode the delta with the BASE-trained models (the
+    coarse codebook and PQ books are model parameters — an append
+    does NOT retrain them, exactly as a production vector index
+    serves arrivals under the existing quantizer and schedules a
+    retrain+rebuild when drift accumulates; the PSI/KS monitors are
+    the drift signal), hard-link clone the base entry, and land the
+    delta's (vec_id, codes) rows into their cluster partitions.
+    Appended == rebuilt-over-union is EXACT per-row identity GIVEN
+    the same models, pinned by tests; guards reject re-sent or
+    intra-delta duplicate vec ids. ``base_append`` chains waves (the
+    append_dedup_documents contract). Returns {"path", "append_key",
+    "index"}."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, link_tree
+
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+    params = dict(
+        n_centroids=n_centroids, m=m, ks=ks, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if base_append:
+        base_ck = _ivfpq_key(src_path, append=base_append, **params)
+        if not os.path.exists(os.path.join(root, base_ck, "_COMPLETE")):
+            raise ValueError(
+                f"append_ivf_pq_index: chained base entry (append chain "
+                f"{base_append!r}) is not published — appends must stack "
+                "onto an existing entry in order"
+            )
+        chain = f"{base_append}+{delta_key}"
+    else:
+        get_ivf_pq_index(spark, src_path, **params)
+        base_ck = _ivfpq_key(src_path, **params)
+        chain = delta_key
+    base_dir = os.path.join(root, base_ck)
+    ck = _ivfpq_key(src_path, append=chain, **params)
+
+    def _build(tmp: str) -> None:
+        import shutil as _sh
+
+        link_tree(base_dir, tmp, ("index",), what="ivfpq index")
+        delta_df.write.mode("overwrite").parquet(f"{tmp}/delta_vecs")
+        dd = spark.read.parquet(f"{tmp}/delta_vecs")
+        dups = [
+            r[id_col]
+            for r in dd.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(3)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"append_ivf_pq_index: delta carries vec ids {dups} more "
+                "than once — dedupe the delta first"
+            )
+        base_ids = spark.read.parquet(f"{base_dir}/index").select("vec_id")
+        hits = [
+            r["vec_id"]
+            for r in dd.select(F.col(id_col).alias("vec_id"))
+            .join(base_ids, "vec_id")
+            .limit(3)
+            .collect()
+        ]
+        if hits:
+            raise ValueError(
+                f"append_ivf_pq_index: vec ids {hits} already exist in the "
+                "base index — appends must carry NEW vectors; changed "
+                "vectors need a rebuild"
+            )
+        cents = get_codebook(
+            spark, src_path, k=n_centroids, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        books = get_pq_codebooks(
+            spark, src_path, m=m, ks=ks, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        ivf_pq_index(dd, cents, books, id_col=id_col, vec_col=vec_col).write.mode(
+            "append"
+        ).partitionBy("cluster").parquet(f"{tmp}/index")
+        _sh.rmtree(f"{tmp}/delta_vecs", ignore_errors=True)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(ck)
+
+    final = content_cached_dir(root, ck, _build, owned_dirs=_CODEBOOK_DIRS)
+    spark.catalog.refreshByPath(f"{final}/index")
+    return {
+        "path": final,
+        "append_key": chain,
+        "index": spark.read.parquet(f"{final}/index"),
+    }
 
 
 def embedding_covariance(
