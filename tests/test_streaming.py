@@ -323,3 +323,74 @@ def test_stream_document_maintenance_two_waves(spark, tmp_path, monkeypatch):
 
     D.clear_minhash_store()
     S.clear_index_cache()
+
+
+def test_stream_embedding_maintenance_two_waves(spark, tmp_path, monkeypatch):
+    """The vector-side maintenance twin: two streamed waves of new
+    embeddings == one batch append of the union == a fresh encode of
+    the union under the SAME base-trained models (per-row identity),
+    and the chain sidecar rides the checkpoint dir."""
+    import math
+
+    from xml_to_sqlite3_spark.operators import similarity as S
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_index,
+        stream_embedding_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+
+    def vec(seed):
+        return [math.sin(seed * 13.7 + i * 2.3) for i in range(8)]
+
+    def mkvecs(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<double>"
+        )
+
+    base_path = str(tmp_path / "base_vecs")
+    mkvecs(range(30)).repartition(1).write.parquet(base_path)
+
+    in_dir = tmp_path / "incoming_vecs"
+    in_dir.mkdir()
+    import glob as _glob
+
+    for name, ids in (("w1", range(100, 110)), ("w2", range(110, 120))):
+        staged = str(tmp_path / f"stage_{name}")
+        mkvecs(ids).repartition(1).write.parquet(staged)
+        part = _glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt_vecs")
+    kw = dict(n_centroids=4, m=4, ks=8, n_iter=2)
+    q = stream_embedding_maintenance(
+        spark, str(in_dir), base_path, ckpt,
+        max_files_per_trigger=1, available_now=True, **kw,
+    )
+    q.awaitTermination()
+
+    got = current_maintained_index(spark, base_path, ckpt, **kw)
+    assert got is not None and got["append_key"].count("+") == 1
+
+    cents = S.get_codebook(spark, base_path, k=4, n_iter=2)
+    books = S.get_pq_codebooks(spark, base_path, m=4, ks=8, n_iter=2)
+    union = mkvecs(list(range(30)) + list(range(100, 120)))
+    want = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in S.ivf_pq_index(union, cents, books).collect()
+    }
+    streamed = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in got["index"].collect()
+    }
+    assert streamed == want
+
+    # one-shot batch append of the union delta lands the same rows
+    batch = S.append_ivf_pq_index(
+        spark, base_path, mkvecs(range(100, 120)), delta_key="oneshot", **kw
+    )
+    assert {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in batch["index"].collect()
+    } == want
+    S.clear_codebook_cache()

@@ -481,3 +481,134 @@ def current_maintained_entries(
             final,
         )
     return out
+
+
+def stream_embedding_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    base_vec_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 10,
+    available_now: bool = False,
+):
+    """Continuously-maintained IVF-PQ INDEX — the vector-side twin of
+    :func:`stream_document_maintenance`, completing the set: every
+    persistent artifact the engine maintains (node graph, dedup
+    store, components, BM25 index, vector index) now stays warm
+    under continuous ingestion. As new embedding parquet files land,
+    each micro-batch encodes under the BASE-trained models and
+    appends into the cluster partitions via
+    operators/similarity.append_ivf_pq_index's chained O(delta)
+    path. Same exactly-once story: batch-id-derived delta keys +
+    content-keyed publication make replays ATTACH, and the chain
+    sidecar (tmp+rename atomic) rides in the checkpoint dir. Models
+    are never retrained mid-stream by contract — schedule a
+    rebuild when the PSI/KS drift monitors fire.
+
+    Returns the StreamingQuery; read the current index with
+    :func:`current_maintained_index`."""
+    import json
+    import os
+
+    from ..operators.similarity import append_ivf_pq_index
+
+    state_path = os.path.join(checkpoint_dir, "ivfpq_chain.json")
+
+    def _load() -> dict:
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                return json.load(f)
+        return {"chain": ""}
+
+    def _save(state: dict) -> None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.rename(tmp, state_path)
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = _load()
+        entry = append_ivf_pq_index(
+            spark,
+            base_vec_path,
+            batch_df,
+            delta_key=f"b{batch_id}",
+            n_centroids=n_centroids,
+            m=m,
+            ks=ks,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            base_append=state["chain"],
+        )
+        state["chain"] = entry["append_key"]
+        _save(state)
+
+    schema = spark.read.parquet(base_vec_path).schema
+    vecs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+    )
+    writer = (
+        vecs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_maintained_index(
+    spark: SparkSession,
+    base_vec_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Attach the IVF-PQ index a maintenance stream has built so far
+    (None before the first batch commits). Pure attach — parquet
+    reads only."""
+    import json
+    import os
+    import tempfile
+
+    from ..operators.similarity import _ivfpq_key
+
+    state_path = os.path.join(checkpoint_dir, "ivfpq_chain.json")
+    if not os.path.exists(state_path):
+        return None
+    with open(state_path) as f:
+        state = json.load(f)
+    if not state.get("chain"):
+        return None
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+    ck = _ivfpq_key(
+        base_vec_path, n_centroids, m, ks, n_iter, id_col, vec_col,
+        append=state["chain"],
+    )
+    final = os.path.join(root, ck)
+    spark.catalog.refreshByPath(f"{final}/index")
+    return {
+        "path": final,
+        "append_key": state["chain"],
+        "index": spark.read.parquet(f"{final}/index"),
+    }
