@@ -394,3 +394,38 @@ def test_stream_embedding_maintenance_two_waves(spark, tmp_path, monkeypatch):
         for r in batch["index"].collect()
     } == want
     S.clear_codebook_cache()
+
+
+def test_maintenance_replay_rewind():
+    """The sidecar replay guard: a replayed batch id rewinds to the
+    pre-batch chains (the crash window between sidecar save and
+    checkpoint commit); an older batch id fails loudly."""
+    import pytest as _pytest
+
+    from xml_to_sqlite3_spark.streaming.ingest import _replay_rewind
+
+    # fresh state: no-op
+    st = {"dedup_chain": "", "index_chain": ""}
+    _replay_rewind(st, 0, ("dedup_chain", "index_chain"))
+    assert st["dedup_chain"] == ""
+
+    # batch 1 committed chains b0+b1; replaying batch 1 must rewind
+    # to the pre-batch chains so the appends re-derive (attach) the
+    # same entries instead of chaining onto themselves
+    st = {
+        "dedup_chain": "b0+b1",
+        "index_chain": "b0+b1",
+        "prev": {"dedup_chain": "b0", "index_chain": "b0"},
+        "last_batch": 1,
+    }
+    _replay_rewind(st, 1, ("dedup_chain", "index_chain"))
+    assert st["dedup_chain"] == "b0" and st["index_chain"] == "b0"
+
+    # the NEXT batch leaves chains untouched
+    st["dedup_chain"] = st["index_chain"] = "b0+b1"
+    _replay_rewind(st, 2, ("dedup_chain", "index_chain"))
+    assert st["dedup_chain"] == "b0+b1"
+
+    # a batch BEHIND the sidecar is a corruption signal
+    with _pytest.raises(ValueError, match="more than one batch"):
+        _replay_rewind(st, 0, ("dedup_chain", "index_chain"))

@@ -312,6 +312,35 @@ def stream_rollup_to_parquet(
     return writer.start()
 
 
+def _replay_rewind(state: dict, batch_id: int, chain_fields: tuple) -> None:
+    """Replay guard for the maintenance chain sidecars: the sidecar
+    is saved AFTER the batch's appends but BEFORE Structured
+    Streaming commits the batch to its checkpoint, so a crash in
+    that window replays a batch whose chains the sidecar already
+    advanced — chaining it onto itself would then trip the
+    duplicate-ids guard and wedge the stream. A replayed batch id
+    (== the sidecar's last_batch) REWINDS to the pre-batch chains
+    recorded alongside, so the replay re-derives the SAME
+    content-keyed entries (a pure attach, no double-append). A batch
+    id BEHIND last_batch means the checkpoint and sidecar disagree
+    by more than one batch — that cannot happen under a single
+    writer, so fail loudly rather than guess."""
+    last = state.get("last_batch")
+    if last is None:
+        return
+    if batch_id == last:
+        for f_ in chain_fields:
+            state[f_] = state.get("prev", {}).get(f_, "")
+    elif batch_id < last:
+        raise ValueError(
+            f"maintenance stream: batch {batch_id} arrived after the "
+            f"chain sidecar already advanced to batch {last} — the "
+            "checkpoint and the sidecar disagree by more than one "
+            "batch (mixed checkpoints? manual edit?); rebuild the "
+            "artifacts or reset the checkpoint"
+        )
+
+
 def stream_document_maintenance(
     spark: SparkSession,
     input_dir: str,
@@ -376,6 +405,8 @@ def stream_document_maintenance(
         if batch_df.isEmpty():
             return
         state = _load_state()
+        _replay_rewind(state, batch_id, ("dedup_chain", "index_chain"))
+        prev = {k2: state[k2] for k2 in ("dedup_chain", "index_chain")}
         dk = f"b{batch_id}"
         entry = append_dedup_documents(
             spark,
@@ -401,6 +432,8 @@ def stream_document_maintenance(
         state["index_chain"] = (
             f"{state['index_chain']}+{dk}" if state["index_chain"] else dk
         )
+        state["prev"] = prev
+        state["last_batch"] = batch_id
         _save_state(state)
 
     # file streams need an explicit schema; the base corpus defines it
@@ -537,6 +570,8 @@ def stream_embedding_maintenance(
         if batch_df.isEmpty():
             return
         state = _load()
+        _replay_rewind(state, batch_id, ("chain",))
+        prev = {"chain": state["chain"]}
         entry = append_ivf_pq_index(
             spark,
             base_vec_path,
@@ -551,6 +586,8 @@ def stream_embedding_maintenance(
             base_append=state["chain"],
         )
         state["chain"] = entry["append_key"]
+        state["prev"] = prev
+        state["last_batch"] = batch_id
         _save(state)
 
     schema = spark.read.parquet(base_vec_path).schema
