@@ -118,8 +118,8 @@ def test_kcore_rounds_tripwire(warmed, spark):
     and (b) the growth across the 10x decade.
 
     Calibration (healthy builds, this graph family): 11 rounds at
-    sf0.001, 17 at sf0.01, 21 at BOTH sf0.1 and sf1 — growth per
-    decade is shrinking, consistent with local stabilization (chain
+    sf0.001, 17 at sf0.01, 21 at sf0.1, sf1 AND sf3 (r13 measured the
+    third decade: flat at 21) — growth per decade is shrinking, consistent with local stabilization (chain
     nodes also carry attribute-reference edges). Bounds carry ~2.5x
     headroom: absolute 30/45, decade ratio 3.0 (measured 1.55). A
     corpus whose convergence turns O(chain length) multiplies rounds

@@ -2122,6 +2122,11 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 5 == 0)
     ).collect()
     comps, _explained = S.pca_components(cov, dim=64, k=4)
+    # no barrier needed for the four getItem projections: Spark
+    # extracts the Python UDF into its own ArrowEvalPython node
+    # BEFORE projection collapse, so the matmul runs once (measured
+    # 0.32s plain vs 0.43s+materialization with a lazy checkpoint
+    # at sf1)
     out = S.pca_project(emb, comps)
     return (
         out.select(
