@@ -643,3 +643,132 @@ class TestIvfPqAppend:
                 spark, base_path, w2, delta_key="x", base_append="nope", **kw
             )
         S.clear_codebook_cache()
+
+
+class TestIvfPqResidual:
+    """Residual (Jégou-style) IVF-ADC: codes quantize x - centroid,
+    ADC uses a per-probed-cluster distance table."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(60)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture(scope="class")
+    def models(self, corpus):
+        import numpy as np
+
+        cents = S.spherical_kmeans(corpus, k=8, n_iter=3)
+        # residual frame replica for training: x - normalized-centroid
+        X = np.array([_vec(i) for i in range(60)])
+        return cents, X
+
+    def test_encode_matches_numpy_replica(self, spark, corpus, models):
+        import numpy as np
+
+        cents, X = models
+        C = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cl = np.argmax(Xn @ C.T, axis=1)
+        R = X - C[cl]
+        res_df = spark.createDataFrame(
+            [(i, list(map(float, R[i]))) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        books = S.pq_train(res_df, m=4, ks=8, n_iter=2)
+        got = {
+            r["vec_id"]: (r["cluster"], list(r["codes"]))
+            for r in S.ivf_pq_index(corpus, cents, books, residual=True).collect()
+        }
+        m, ks, sub = books.shape
+        for i in range(60):
+            want_codes = [
+                int(((books[j] - R[i, j * sub : (j + 1) * sub]) ** 2)
+                    .sum(axis=1).argmin())
+                for j in range(m)
+            ]
+            assert got[i] == (int(cl[i]), want_codes), i
+
+    def test_residual_adc_matches_replica_and_recall(self, spark, corpus, models):
+        import numpy as np
+
+        cents, X = models
+        C = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cl = np.argmax(Xn @ C.T, axis=1)
+        R = X - C[cl]
+        res_df = spark.createDataFrame(
+            [(i, list(map(float, R[i]))) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        books = S.pq_train(res_df, m=4, ks=8, n_iter=3)
+        index = S.ivf_pq_index(corpus, cents, books, residual=True)
+        q = np.asarray(_vec(7))
+        out = S.ivf_pq_topk(
+            index, cents, books, q, k=10, n_probe=8, residual=True
+        ).collect()
+        # replica: per-row ADC = sum over subspaces of
+        # ||books[j][code] - (q - C[cluster])[j-th slice]||^2
+        m, ks, sub = books.shape
+        codes = {
+            r["vec_id"]: (r["cluster"], np.asarray(r["codes"]))
+            for r in index.collect()
+        }
+        for r in out:
+            c, cd = codes[r["vec_id"]]
+            qr = q - C[c]
+            want = sum(
+                float(((books[j][cd[j]] - qr[j * sub : (j + 1) * sub]) ** 2).sum())
+                for j in range(m)
+            )
+            assert r["adc_dist"] == pytest.approx(round(want, 6), abs=1e-6)
+        # quality: residual ADC at full probe must recover most of the
+        # exact L2 top-10 on this corpus (raw-mode measured 0.55-0.7 on
+        # harder corpora; residual should not be WORSE than the same
+        # bound)
+        exact = sorted(
+            range(60), key=lambda i: float(((X[i] - q) ** 2).sum())
+        )[:10]
+        approx = {r["vec_id"] for r in out}
+        assert len(approx & set(exact)) / 10 >= 0.6
+
+    def test_persistent_residual_index_and_append(
+        self, spark, corpus, tmp_path, monkeypatch
+    ):
+        import numpy as np
+
+        monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+        base_path = str(tmp_path / "base_vecs")
+        corpus.write.parquet(base_path)
+        kw = dict(n_centroids=8, m=4, ks=8, n_iter=2)
+        idx = S.get_ivf_pq_index(spark, base_path, residual=True, **kw)
+        # residual and raw entries are DIFFERENT artifacts
+        idx_raw = S.get_ivf_pq_index(spark, base_path, residual=False, **kw)
+        res_rows = {(r["vec_id"], tuple(r["codes"])) for r in idx.collect()}
+        raw_rows = {(r["vec_id"], tuple(r["codes"])) for r in idx_raw.collect()}
+        assert res_rows != raw_rows
+        # append under residual: identity vs fresh encode of the union
+        delta = spark.createDataFrame(
+            [(i, _vec(i)) for i in range(100, 110)],
+            "vec_id long, embedding array<double>",
+        )
+        e = S.append_ivf_pq_index(
+            spark, base_path, delta, delta_key="w1", residual=True, **kw
+        )
+        cents = S.get_codebook(spark, base_path, k=8, n_iter=2)
+        books = S.get_residual_pq_codebooks(spark, base_path, n_centroids=8,
+                                            m=4, ks=8, n_iter=2)
+        union = spark.createDataFrame(
+            [(i, _vec(i)) for i in list(range(60)) + list(range(100, 110))],
+            "vec_id long, embedding array<double>",
+        )
+        want = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in S.ivf_pq_index(union, cents, books, residual=True).collect()
+        }
+        got = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in e["index"].collect()
+        }
+        assert got == want
+        S.clear_codebook_cache()

@@ -2053,10 +2053,16 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row), probed at n_probe=4 of 16 coarse lists, ADC top-20
     within the probed lists only. The billion-vector shape: the
     probe filter is partition pruning over the index files, the scan
-    is codes-only, the reduction is a TakeOrdered. Rows-only like
-    pq_search (float k-means codebooks); exhaustive-probe == pq_topk
-    identity and reduced-probe recall are pinned by
-    tests/test_similarity.py."""
+    is codes-only, the reduction is a TakeOrdered. The gate serves
+    RAW-mode encoding: residual (Jégou-style) encoding exists as
+    ``residual=True`` across the whole family and is replica-pinned,
+    but on THIS synthetic corpus it measures 0.45 vs raw's 0.55
+    recall@20 at sf1 — make_sf's perturbation deliberately diffuses
+    coarse-cluster structure, so the residual trick has no
+    between-cluster variance to absorb; it is the right knob only
+    when the corpus actually clusters. Rows-only like pq_search
+    (float k-means codebooks); exhaustive-probe == pq_topk identity
+    and reduced-probe recall are pinned by tests/test_similarity.py."""
     path = f"{sf_dir}/embeddings.parquet"
     cents = S.get_codebook(spark, path, k=16, n_iter=5)
     books = S.get_pq_codebooks(spark, path, m=8, ks=16, n_iter=5)
