@@ -36,85 +36,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries() entries in
-# dict order (observed: CORRECTNESS_r02..r12 == first 50 registered).
+# dict order (observed: CORRECTNESS_r02..r13 == first 50 registered).
 # This priority list is RE-DERIVED EACH ROUND so demoted queries cycle
-# back into the window. Round 13 composition (VERDICT r12 task 1):
-# FIRST the six r12-new gates that registered past-window last round —
-# the only registered queries with NO driver row ever (locally
-# parity-MATCHed; pq_search rows-only by design); THEN 44 of the
-# 45-query r10-vintage cohort, so after this round the hash-green
-# vintage histogram floor is r11 except q1_pricing_summary — the ONE
-# r10 query left out (the window is 50 and 6+45=51): it is the
-# flagship `entry()` query, driver-smoke-run EVERY round at sf0.001
-# and hash-replayed by the local parity suite, so it carries the
-# strongest non-window evidence of the cohort; it heads the r14
-# rotation. The three r8-vintage rows-only gates (bpe_merges,
-# image_dedup, multimodal_pipeline) stay past-window by design: a
-# rows>0 re-check adds no value signal over their pinned replica
-# tests. Entries past position 50 are r10/r11/r12-green with
-# unchanged semantics; pytest's local oracle replica
-# (tests/test_oracle_parity.py) still hash-checks every registered
-# entry each run.
+# back into the window. Round 14 composition (VERDICT r13 task 1):
+# FIRST the five queued gates — the four r13-new entries that
+# registered past-window last round (the only registered queries with
+# no driver row ever; locally parity-MATCHed, ann_ivf_pq/pca_projection
+# rows-only by design) plus the q1_pricing_summary vintage refresh (the
+# one r10 remnant; driver-smoke-run every round via entry() but last
+# hash-gated r10); THEN 45 of the 50-query r11-vintage cohort, lifting
+# the vintage floor to r12. NO new gates registered this round
+# (VERDICT r13 task 8: freeze registration for one round so the
+# 50-slot rotation catches up against 158 registered queries).
+# Left out (the window is 50 and 5+50=55):
+#   - graph_pagerank — rows-only by design, value-pinned by the 1e-7
+#     numpy-replica oracle test each pytest run (same rationale as the
+#     r8 rows-only trio: a rows>0 re-check adds no signal);
+#   - q10_returned_items, q12_ship_latency, q13_customer_distribution,
+#     q14_promo_effect — the TPC-H family carries nine r13-fresh
+#     hash-green siblings (q2/q3/q5/q6/q8/q9/q11/q16/q20) built on the
+#     same shared scan/join helpers, so these four have the strongest
+#     family-level evidence of the cohort; they head the r15 rotation.
+# The three r8-vintage rows-only gates (bpe_merges, image_dedup,
+# multimodal_pipeline) stay past-window by design. Entries past
+# position 50 are r11/r12/r13-green with unchanged semantics; pytest's
+# local oracle replica (tests/test_oracle_parity.py) still hash-checks
+# every registered entry each run.
 _GATE_WINDOW = 50
 _GATE_PRIORITY = [
-    # -- the six r12-new gates: first driver contact
-    "fuzzy_match",
-    "corpus_report",
-    "events_psi_drift",
-    "zipf_slope",
-    "streaming_drift",
-    "pq_search",             # rows-only by design (float k-means codebook)
-    # -- 44 of the 45-query r10-vintage cohort (see note above for the
-    #    q1_pricing_summary exception)
-    "ann_lsh",
-    "asof_join",
-    "asof_join_forward",
-    "asof_join_tables",
-    "audio_metadata",
-    "bloom_prefilter",
-    "cheapest_part_supplier",
-    "chunk_documents",
-    "curate_cheap",
-    "curate_corpus",
-    "decontaminate",
-    "dedup_embedding",
-    "dedup_incremental",
-    "dedup_minhash",
-    "dedup_simhash",
-    "events_in_sessions",
-    "events_windowed",
-    "graph_distances",
-    "hll_distinct",
-    "length_batches",
-    "line_dedup",
-    "lm_bigram",
-    "ngram_jaccard",
-    "node_connection_counts",
-    "orders_rollup",
-    "price_percentiles",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q20_dominant_suppliers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "robust_price_stats",
-    "running_totals",
-    "sessionization",
-    "source_overlap",
-    "stratified_sample",
-    "streaming_dedup",
-    "streaming_sessions",
-    "streaming_windowed",
-    "topk_per_group",
-    # demoted to past-window this round (all r11/r12-green, unchanged
+    # -- the four r13-new gates: first driver contact
+    "ann_ivf_pq",             # rows-only by design (float k-means codebook)
+    "events_ks_drift",
+    "embedding_covariance",
+    "pca_projection",         # rows-only by design (float eigh components)
+    # -- vintage refresh: the one r10 remnant
+    "q1_pricing_summary",
+    # -- 45 of the 50-query r11-vintage cohort (see note above for the
+    #    five exceptions)
+    "sibling_pairs",
+    "broken_references",
+    "hierarchy_levels",
+    "most_connected",
+    "link_prediction",
+    "dedup_components",
+    "ancestors",
+    "descendants",
+    "ann_ivf",
+    "bm25_search",
+    "c4_line_filter",
+    "cdc_merge",
+    "cms_sketch",
+    "cohort_retention",
+    "dedup_recall_audit",
+    "dedup_spans_apply",
+    "doc_fingerprint",
+    "dup_spans",
+    "events_deltas",
+    "events_moving_avg",
+    "funnel_conversion",
+    "graph_triangles",
+    "key_skew_report",
+    "lang_id",
+    "mix_sources",
+    "near_dedup_corpus",
+    "nodes_by_type",
+    "orders_cube",
+    "orders_profile",
+    "pack_sequences",
+    "phrase_pmi",
+    "price_histogram",
+    "q18_large_volume",
+    "q22_inactive_customers",
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "quality_score",
+    "random_projection",
+    "scd2_events",
+    "source_distinct_sketch",
+    "streaming_attribution",
+    "streaming_enriched",
+    "streaming_topk",
+    "token_count",
+    "unicode_quality",
+    # demoted to past-window this round (all r12/r13-green, unchanged
     # plans; the local parity replica still hash-proves every one):
-    # the full r11 and r12 cohorts. r13-NEW entries (ann_ivf_pq and
-    # friends) register past-window and queue for the HEAD of the r14
-    # window alongside q1_pricing_summary.
+    # the full r12 and r13 cohorts. Queued for the r15 head:
+    # q10_returned_items, q12_ship_latency, q13_customer_distribution,
+    # q14_promo_effect (see note above).
 ]
 
 
