@@ -1260,3 +1260,63 @@ class TestKsDrift:
             ks_drift(empty, full)
         with _pytest.raises(ValueError, match="current window has zero"):
             ks_drift(full, empty)
+
+
+def test_drift_check_nonempty_false_is_lazy(spark):
+    """ADVICE r13: the eager empty-window guards grew an opt-out —
+    check_nonempty=False must restore a fully lazy call (no Spark job,
+    no raise at construction time) even when a window IS empty; the
+    silent NaN/absence downstream is then the caller's explicit
+    choice."""
+    from xml_to_sqlite3_spark.operators.curation import ks_drift, psi_drift
+
+    full = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    empty = spark.createDataFrame([], "value double")
+    # construction must not raise; the degenerate 0-row window then
+    # surfaces at EVALUATION as Spark's ANSI divide-by-zero (0/0
+    # fractions) — later and less named than the eager guard, which
+    # is exactly the trade the opt-out documents
+    psi = psi_drift(empty, full, check_nonempty=False)
+    ks = ks_drift(full, empty, check_nonempty=False)
+    from pyspark.errors import ArithmeticException
+
+    with pytest.raises(ArithmeticException):
+        psi.collect()
+    with pytest.raises(ArithmeticException):
+        ks.collect()
+
+
+def test_events_ks_drift_null_midpoint_parity(spark, tmp_path):
+    """ADVICE r13 (latent): a NULL-valued row holding the min or max
+    event_id must not skew the split midpoint — the oracle derives mid
+    from value-non-null rows, and the Spark plan now filters the same
+    way. Synthesizes an events table where BOTH extremes are
+    null-valued (mid over all rows would differ) and pins hash parity."""
+    from tests.oracle_harness import compare
+    from xml_to_sqlite3_spark.plans.olap_ext import (
+        EVENTS_KS_ORACLE,
+        events_ks_drift,
+    )
+
+    rows = [(0, None), (1000, None)] + [
+        (i, float(i % 7) + (3.0 if i >= 300 else 0.0)) for i in range(100, 500)
+    ]
+    # single parquet FILE (pyarrow): the oracle harness reads the same
+    # path through DuckDB's read_parquet, which doesn't glob Spark's
+    # directory layout
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    ok, detail = compare(
+        events_ks_drift(spark, str(tmp_path)), EVENTS_KS_ORACLE, str(tmp_path)
+    )
+    assert ok, detail

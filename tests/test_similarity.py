@@ -772,3 +772,53 @@ class TestIvfPqResidual:
         }
         assert got == want
         S.clear_codebook_cache()
+
+
+class TestIvfPqResidualMarker:
+    """ADVICE r13: the index relation carries its encoding flag in the
+    codes column metadata; ivf_pq_topk turns a residual-flag mismatch
+    into a loud error instead of silently-wrong ADC distances."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(40)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture(scope="class")
+    def models(self, corpus):
+        cents = S.spherical_kmeans(corpus, k=4, n_iter=2)
+        books = S.pq_train(corpus, m=4, ks=8, n_iter=2)
+        return cents, books
+
+    def test_mismatch_raises_both_ways(self, corpus, models):
+        cents, books = models
+        raw = S.ivf_pq_index(corpus, cents, books, residual=False)
+        res = S.ivf_pq_index(corpus, cents, books, residual=True)
+        q = _vec(3)
+        with pytest.raises(ValueError, match="encoded with residual=False"):
+            S.ivf_pq_topk(raw, cents, books, q, residual=True)
+        with pytest.raises(ValueError, match="encoded with residual=True"):
+            S.ivf_pq_topk(res, cents, books, q, residual=False)
+
+    def test_marker_survives_parquet(self, spark, corpus, models, tmp_path):
+        # the persistent entry is a partitioned parquet dir — the
+        # marker must ride the schema footer through write+read, so
+        # an attached index is protected too
+        cents, books = models
+        p = str(tmp_path / "idx")
+        S.ivf_pq_index(corpus, cents, books, residual=True).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(p)
+        back = spark.read.parquet(p)
+        assert back.schema["codes"].metadata.get("ivfpq_residual") is True
+        with pytest.raises(ValueError, match="encoded with residual=True"):
+            S.ivf_pq_topk(back, cents, books, _vec(3), residual=False)
+
+    def test_unmarked_index_keeps_permissive_contract(self, spark, models):
+        # indexes from other producers (no marker) skip the check
+        cents, books = models
+        bare = spark.createDataFrame(
+            [(1, 0, [0, 0, 0, 0])],
+            "vec_id long, cluster int, codes array<int>",
+        )
+        S.ivf_pq_topk(bare, cents, books, _vec(3), residual=False).collect()

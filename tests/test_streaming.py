@@ -429,3 +429,30 @@ def test_maintenance_replay_rewind():
     # a batch BEHIND the sidecar is a corruption signal
     with _pytest.raises(ValueError, match="more than one batch"):
         _replay_rewind(st, 0, ("dedup_chain", "index_chain"))
+
+
+def test_maintained_attach_requires_complete(spark, tmp_path, monkeypatch):
+    """ADVICE r13: a chain sidecar naming an entry that is NOT
+    published under the current cache roots (cleared cache, different
+    SPARK_GRAFT_*_CACHE, mismatched params) must fail with the repo's
+    loud attach message, not a raw parquet path-not-found."""
+    import json
+
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_entries,
+        current_maintained_index,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "ivfpq_chain.json").write_text(json.dumps({"chain": "b0"}))
+    (ckpt / "maintenance_chain.json").write_text(
+        json.dumps({"dedup_chain": "b0", "index_chain": "b0"})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "ix"))
+    with pytest.raises(ValueError, match="no published entry exists"):
+        current_maintained_index(spark, "/nonexistent/base", str(ckpt))
+    with pytest.raises(ValueError, match="no published entry exists"):
+        current_maintained_entries(spark, "/nonexistent/base", str(ckpt))

@@ -1928,6 +1928,7 @@ def psi_drift(
     value_col: str = "value",
     bins: int = 10,
     eps: float = 1e-6,
+    check_nonempty: bool = True,
 ) -> DataFrame:
     """Population Stability Index between a reference window and a
     current window of a numeric column — the standard production
@@ -1952,6 +1953,15 @@ def psi_drift(
     Returns one row per bin: (bin, ref_frac, cur_frac, psi_term,
     psi_total) with psi_total repeated (the scalar a monitor alerts
     on), ordered by bin.
+
+    NOTE the empty-window guard is EAGER (the hard_negative_topk
+    contract): with ``check_nonempty`` (the default), CALLING this
+    function runs two 1-row count jobs before any result is consumed
+    — the returned frame is otherwise lazy as usual. Pass ``False``
+    to restore a fully lazy call when composing plans; an empty
+    window then surfaces only at evaluation, as Spark's ANSI
+    divide-by-zero on the 0/0 fractions — later and less named than
+    this guard's error.
     """
     r = ref.select(F.col(value_col).cast("double").alias("x"))
     c = cur.select(F.col(value_col).cast("double").alias("x"))
@@ -1968,22 +1978,22 @@ def psi_drift(
     # silent NaN psi_total instead of an alert. Fail loudly instead
     # (the max_block / max_cluster_size policy); the two 1-row
     # aggregates are driver-side scalars, not a hot-path collect.
-    nr_val = st.head()["nr"]
-    if not nr_val:
-        raise ValueError(
-            "psi_drift: reference window has zero rows (after casting "
-            f"{value_col!r} to double); PSI fractions would be NaN — "
-            "fix the window predicate or the upstream feed"
-        )
     n_cur = c.agg(F.count(F.lit(1)).cast("double").alias("nc")).localCheckpoint(
         eager=False
     )
-    if not n_cur.head()["nc"]:
-        raise ValueError(
-            "psi_drift: current window has zero rows (after casting "
-            f"{value_col!r} to double); PSI fractions would be NaN — "
-            "fix the window predicate or the upstream feed"
-        )
+    if check_nonempty:
+        if not st.head()["nr"]:
+            raise ValueError(
+                "psi_drift: reference window has zero rows (after casting "
+                f"{value_col!r} to double); PSI fractions would be NaN — "
+                "fix the window predicate or the upstream feed"
+            )
+        if not n_cur.head()["nc"]:
+            raise ValueError(
+                "psi_drift: current window has zero rows (after casting "
+                f"{value_col!r} to double); PSI fractions would be NaN — "
+                "fix the window predicate or the upstream feed"
+            )
     width = F.greatest(
         (F.col("mx") - F.col("mn")) / F.lit(float(bins)), F.lit(eps)
     )
@@ -2037,6 +2047,7 @@ def ks_drift(
     cur: DataFrame,
     value_col: str = "value",
     buckets: int = 1024,
+    check_nonempty: bool = True,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic between a
     reference and a current window — PSI's nonparametric sibling
@@ -2060,6 +2071,11 @@ def ks_drift(
 
     Fail-loud on an empty window (the psi_drift contract): an empty
     side has no CDF and a silent 0/NaN would defeat the monitor.
+    NOTE the guard is EAGER (the hard_negative_topk contract): with
+    ``check_nonempty`` (the default), CALLING this function runs a
+    1-row stats job before any result is consumed — the returned
+    frame is otherwise lazy as usual. Pass ``False`` to restore a
+    fully lazy call when composing plans.
 
     Returns ONE row: (ks_stat, at_value, n_ref, n_cur) — the
     statistic (6dp), the smallest value attaining it, and the two
@@ -2083,19 +2099,20 @@ def ks_drift(
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
     ).localCheckpoint(eager=False)
-    srow = st.head()
-    if not srow["n_ref"]:
-        raise ValueError(
-            "ks_drift: reference window has zero non-null rows (after "
-            f"casting {value_col!r} to double) — no CDF to compare; fix "
-            "the window predicate or the upstream feed"
-        )
-    if not srow["n_cur"]:
-        raise ValueError(
-            "ks_drift: current window has zero non-null rows (after "
-            f"casting {value_col!r} to double) — no CDF to compare; fix "
-            "the window predicate or the upstream feed"
-        )
+    if check_nonempty:
+        srow = st.head()
+        if not srow["n_ref"]:
+            raise ValueError(
+                "ks_drift: reference window has zero non-null rows (after "
+                f"casting {value_col!r} to double) — no CDF to compare; fix "
+                "the window predicate or the upstream feed"
+            )
+        if not srow["n_cur"]:
+            raise ValueError(
+                "ks_drift: current window has zero non-null rows (after "
+                f"casting {value_col!r} to double) — no CDF to compare; fix "
+                "the window predicate or the upstream feed"
+            )
     width = F.greatest(
         (F.col("mx") - F.col("mn")) / F.lit(float(buckets)), F.lit(1e-12)
     )

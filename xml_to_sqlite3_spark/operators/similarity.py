@@ -813,7 +813,12 @@ def ivf_pq_index(
     (:func:`get_residual_pq_codebooks`) and search with
     ``ivf_pq_topk(..., residual=True)``; the flag is part of the
     persistent entry's content key, so mismatched index/query flags
-    cannot silently share an entry."""
+    cannot silently share an entry. The flag is ALSO stamped into the
+    ``codes`` column metadata (Spark persists StructField metadata in
+    the parquet footer, so it survives the persistent entry and its
+    appends) — ivf_pq_topk validates it, turning an ad-hoc
+    flag-mismatched search from silently-wrong ADC distances into a
+    loud error."""
     enc = _ivfpq_encode_udf(centroids, books, residual)
     return (
         corpus.select(
@@ -823,7 +828,9 @@ def ivf_pq_index(
         .select(
             "vec_id",
             F.col("__e.cluster").alias("cluster"),
-            F.col("__e.codes").alias("codes"),
+            F.col("__e.codes").alias(
+                "codes", metadata={"ivfpq_residual": bool(residual)}
+            ),
         )
     )
 
@@ -868,6 +875,21 @@ def ivf_pq_topk(
         raise ValueError(
             f"ivf_pq_topk: n_probe={n_probe} outside [1, {n_cent}]"
         )
+    # indexes built by ivf_pq_index carry their encoding flag in the
+    # codes column metadata (persisted through parquet) — a mismatched
+    # residual flag would otherwise return silently-wrong ADC
+    # distances (codes encode x-centroid while the table assumes x, or
+    # vice versa). Indexes from other producers (no marker) skip the
+    # check, preserving the old permissive contract.
+    if "codes" in index.columns:
+        marker = (index.schema["codes"].metadata or {}).get("ivfpq_residual")
+        if marker is not None and bool(marker) != bool(residual):
+            raise ValueError(
+                f"ivf_pq_topk: residual={bool(residual)} but the index was "
+                f"encoded with residual={bool(marker)} — ADC distance "
+                "tables must match the encoding; search with the flag the "
+                "index was built with (or rebuild the index)"
+            )
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)

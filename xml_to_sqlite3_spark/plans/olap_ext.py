@@ -1104,7 +1104,17 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact value where the CDFs tear furthest."""
     from ..operators.curation import ks_drift
 
-    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    # value-null rows must not influence the split midpoint: the
+    # oracle's ev CTE filters value IS NOT NULL before min/max, and
+    # ks_drift drops null values anyway — derive mid from the SAME
+    # row set so a null-valued row holding the extreme event_id can
+    # never make the two sides disagree (latent today: testdata has
+    # no null values)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     mid = ev.agg(
         ((F.min("event_id") + F.max("event_id")) / 2.0).alias("mid")
     ).localCheckpoint(eager=False)

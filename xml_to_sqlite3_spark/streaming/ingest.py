@@ -454,6 +454,25 @@ def stream_document_maintenance(
     return writer.start()
 
 
+def _require_complete(final: str, what: str, chain: str, params: str) -> None:
+    """Fail-loud attach guard (the repo-wide _COMPLETE discipline): a
+    chain sidecar can name an entry that is not published here — the
+    cache root was cleared, a different SPARK_GRAFT_*_CACHE env is
+    set, or the caller's params differ from the stream's — and the
+    raw parquet path-not-found that would otherwise surface names
+    neither the chain nor the fix."""
+    import os
+
+    if not os.path.exists(os.path.join(final, "_COMPLETE")):
+        raise ValueError(
+            f"{what}: the maintenance sidecar names append chain {chain!r} "
+            f"but no published entry exists at {final} — the cache root was "
+            "cleared, a different cache env var is set, or these params "
+            f"({params}) do not match the ones the maintenance stream ran "
+            "with"
+        )
+
+
 def current_maintained_entries(
     spark: SparkSession,
     base_doc_path: str,
@@ -494,6 +513,13 @@ def current_maintained_entries(
             base_doc_path, n, k, id_col, text_col, append=state["dedup_chain"]
         )
         final = os.path.join(root, ck)
+        _require_complete(
+            final,
+            "current_maintained_entries (dedup)",
+            state["dedup_chain"],
+            f"n={n}, k={k}, id_col={id_col!r}, text_col={text_col!r}, "
+            f"minhash cache root={root}",
+        )
         entry = {"path": final, "append_key": state["dedup_chain"]}
         for sub in _DEDUP_STORE_SUBDIRS:
             spark.catalog.refreshByPath(f"{final}/{sub}")
@@ -504,6 +530,13 @@ def current_maintained_entries(
             base_doc_path, id_col, text_col, append=state["index_chain"]
         )
         final = os.path.join(_index_cache_root(), ck)
+        _require_complete(
+            final,
+            "current_maintained_entries (index)",
+            state["index_chain"],
+            f"id_col={id_col!r}, text_col={text_col!r}, "
+            f"index cache root={_index_cache_root()}",
+        )
         with open(os.path.join(final, "_COMPLETE")) as f:
             meta = json.load(f)
         spark.catalog.refreshByPath(f"{final}/index")
@@ -643,6 +676,13 @@ def current_maintained_index(
         append=state["chain"],
     )
     final = os.path.join(root, ck)
+    _require_complete(
+        final,
+        "current_maintained_index",
+        state["chain"],
+        f"n_centroids={n_centroids}, m={m}, ks={ks}, n_iter={n_iter}, "
+        f"id_col={id_col!r}, vec_col={vec_col!r}, codebook cache root={root}",
+    )
     spark.catalog.refreshByPath(f"{final}/index")
     return {
         "path": final,
