@@ -551,6 +551,34 @@ class TestPca:
         empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="zero vectors"):
             S.embedding_covariance(empty)
+        with pytest.raises(ValueError, match="zero vectors"):
+            S.embedding_covariance(empty, exact=False)
+
+    def test_covariance_fast_path_tolerance(self, corpus):
+        """VERDICT r13 task 4: the float serving path (per-batch
+        partial Grams, no per-vector d² explode) must agree with the
+        decimal-exact oracle twin to float-summation tolerance, over
+        the full (i, j) grid, repartitioned so MULTIPLE partial-Gram
+        batches actually merge."""
+        import numpy as np
+
+        exact = {
+            (r["i"], r["j"]): r["cov"]
+            for r in S.embedding_covariance(corpus).collect()
+        }
+        fast = {
+            (r["i"], r["j"]): r["cov"]
+            for r in S.embedding_covariance(
+                corpus.repartition(4), exact=False
+            ).collect()
+        }
+        assert set(fast) == set(exact)
+        assert len(fast) == DIM * DIM
+        X = np.array([_vec(i) for i in range(50)])
+        want = np.cov(X, rowvar=False, bias=True)
+        for (i, j), v in fast.items():
+            assert v == pytest.approx(exact[(i, j)], abs=2e-6), (i, j)
+            assert v == pytest.approx(want[i, j], abs=2e-6), (i, j)
 
     def test_components_and_projection_replica(self, corpus):
         import numpy as np

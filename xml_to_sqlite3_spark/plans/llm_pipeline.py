@@ -2121,11 +2121,16 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.pca_components/pca_project), flattened to
     scalar columns for stability. Rows-only like pq_search: the
     eigensolve is float linear algebra, not SQL-expressible; the
-    covariance feeding it IS value-oracled (embedding_covariance),
-    and the projection math is pinned by a numpy replica test."""
+    covariance ALGORITHM is value-oracled through the exact twin
+    (embedding_covariance gate), and the projection math is pinned by
+    a numpy replica test. Since r14 this gate serves from the FLOAT
+    covariance (exact=False — per-batch partial Grams, no per-vector
+    d² explode, tolerance-pinned against the exact path): the decimal
+    discipline is oracle machinery, not user value, and it was ~3x of
+    this gate's cost (VERDICT r13 nit 2)."""
     emb = load(spark, sf_dir, "embeddings")
     cov = S.embedding_covariance(
-        emb.filter(F.col("vec_id") % 5 == 0)
+        emb.filter(F.col("vec_id") % 5 == 0), exact=False
     ).collect()
     comps, _explained = S.pca_components(cov, dim=64, k=4)
     # no barrier needed for the four getItem projections: Spark
