@@ -184,3 +184,42 @@ def test_guard_accepts_self_contained_delta(spark, tmp_path):
             [("b1", "docB", None), ("b2", "docB", "b1"), ("b3", "docB", "orphan_x")],
         ),
     )
+
+
+def test_build_coreness_optout(spark):
+    """VERDICT r13 task 6: build_coreness=False skips the k-core
+    fixpoint (the dominant global build cost at scale) and its table;
+    the flag separates BOTH the persistent content key (two live
+    configurations, never stale siblings) and the session handle key,
+    so the default store's coreness stays reachable in the same
+    session."""
+    ck_full = ng._graph_cache_key(SF_SMOKE)
+    ck_nocore = ng._graph_cache_key(SF_SMOKE, build_coreness=False)
+    assert ck_full != ck_nocore
+    # extra participates in the key PREFIX (prune scoping): the two
+    # entries must differ before the content hash too
+    assert ck_full.rsplit("_", 1)[0] != ck_nocore.rsplit("_", 1)[0]
+
+    nodes, props, xrefs = ng.get_graph(spark, SF_SMOKE, build_coreness=False)
+    assert nodes.count() > 0 and xrefs.count() > 0
+    final = os.path.join(ng._graph_cache_root(), ck_nocore)
+    assert os.path.exists(os.path.join(final, "_COMPLETE"))
+    assert not os.path.isdir(os.path.join(final, "coreness"))
+    assert not os.path.exists(os.path.join(final, "kcore_stats.json"))
+    # every other table is present and readable
+    for sub in ng._STORE_SUBDIRS:
+        if sub == "coreness":
+            continue
+        assert os.path.isdir(os.path.join(final, sub)), sub
+    # the DEFAULT configuration still serves coreness in this session
+    assert ng.get_coreness(spark, SF_SMOKE).count() > 0
+    # appending onto the nocore base also skips the fixpoint and
+    # publishes a coreness-less entry
+    dn, dp = ng.synthesize_delta_document(spark, SF_SMOKE, tag="nc")
+    store = ng.append_documents(
+        spark, SF_SMOKE, dn, dp,
+        delta_key="test-nocore-v1", build_coreness=False,
+    )
+    assert "coreness" not in store
+    assert not os.path.isdir(os.path.join(store["path"], "coreness"))
+    assert store["nodes"].count() == nodes.count() + dn.count()

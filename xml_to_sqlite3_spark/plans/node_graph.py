@@ -574,24 +574,41 @@ def _graph_code_files() -> tuple:
     )
 
 
-def _graph_cache_key(sf_dir: str) -> str:
+def _graph_cache_key(sf_dir: str, build_coreness: bool = True) -> str:
     """Content key: the input parquet identity (path + per-file size
     and mtime) and the build code itself (_graph_code_files, plus the
     shared cache machinery via cache_util.content_key). A code edit
     or regenerated testdata produces a new key — the stale entry for
-    that sf_dir is pruned after the fresh build succeeds."""
+    that sf_dir is pruned after the fresh build succeeds.
+    ``build_coreness`` is part of the key (via ``extra``, so it also
+    scopes the stale-prune prefix): a store without the coreness
+    table is a DIFFERENT live configuration, never a stale sibling
+    of the full store."""
     from ..cache_util import content_key
 
     return content_key(
         "g",
         sf_dir,
+        extra="" if build_coreness else "nocore",
         code_files=_graph_code_files(),
         suffixes=(".parquet",),
     )
 
 
-def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+def get_graph(
+    spark: SparkSession, sf_dir: str, build_coreness: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(nodes, properties, xrefs), materialized once per CONTENT.
+
+    ``build_coreness=False`` skips the k-core H-index fixpoint (and
+    its coreness table) — the one store artifact only the graph_kcore
+    query reads, and the dominant GLOBAL cost at scale: measured
+    fixpoint cost 22s/82s/351s at sf0.01/0.1/1, and at sf3 it roughly
+    DOUBLES the cold build (1807s with vs ~804s without,
+    BENCH_newops_r13). Corpora that never query k-core should opt
+    out. The flag is part of the persistent content key (two live
+    configurations, not stale siblings) and of the session handle
+    key; gates always use the default full store.
 
     The driver runs every gate query back to back in one session;
     without materialization each query would recompute the ~18M-row
@@ -615,11 +632,15 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
     # applicationId, not id(sparkContext): CPython reuses object
     # addresses after GC, so an id()-keyed hit could hand back
     # DataFrames bound to a STOPPED session
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        (spark.sparkContext.applicationId, sf_dir)
+        if build_coreness
+        else (spark.sparkContext.applicationId, sf_dir, "nocore")
+    )
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
 
-    ck = _graph_cache_key(sf_dir)
+    ck = _graph_cache_key(sf_dir, build_coreness=build_coreness)
 
     def _build(tmp: str) -> None:
         # the nodes and properties writes are independent jobs —
@@ -645,7 +666,7 @@ def get_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, D
         nodes_tmp = spark.read.parquet(f"{tmp}/nodes")
         props_tmp = spark.read.parquet(f"{tmp}/properties")
         _write_store_tables(spark, tmp, nodes_tmp, props_tmp, mode="overwrite")
-        _write_rank_tables(spark, tmp)
+        _write_rank_tables(spark, tmp, build_coreness=build_coreness)
         with open(f"{tmp}/_COMPLETE", "w") as f:
             f.write(ck)
 
@@ -1081,7 +1102,9 @@ def _write_store_tables(
         _sh.rmtree(f"{tmp}/{scratch}", ignore_errors=True)
 
 
-def _write_rank_tables(spark: SparkSession, tmp: str) -> None:
+def _write_rank_tables(
+    spark: SparkSession, tmp: str, build_coreness: bool = True
+) -> None:
     """The GLOBAL rank artifacts: the pr_stats sidecar and the
     materialized pagerank vector. Separate from _write_store_tables
     because they are the ONE part of the store that is a function of
@@ -1142,6 +1165,12 @@ def _write_rank_tables(spark: SparkSession, tmp: str) -> None:
     # vector; the fixpoint propagates one hop per round, and the
     # mixed graph's sibling chains stabilize locally because chain
     # nodes also carry attribute-reference edges).
+    if not build_coreness:
+        # opted out (get_graph(build_coreness=False)): the fixpoint
+        # is the dominant global build cost at scale and only the
+        # graph_kcore query reads its table — see get_graph's
+        # docstring for the measured cost ladder
+        return
     from ..operators.graph import kcore_decomposition as _kcore
 
     _kstats: dict = {}
@@ -1186,6 +1215,8 @@ def _attach_store(
     and return the (nodes, properties, xrefs) triple — shared by
     get_graph (base stores) regardless of whether this process built
     or cold-attached the entry."""
+    import os as _os
+
     # a clear+rebuild lands NEW part files at the SAME path — drop
     # Spark's file-status cache for it or a stale listing would point
     # reads at deleted files (FAILED_READ_FILE)
@@ -1205,7 +1236,11 @@ def _attach_store(
     _LEVELS_CACHE[key] = spark.read.parquet(f"{final}/node_levels")
     _AA_UND_CACHE[key] = spark.read.parquet(f"{final}/aa_und")
     _AA_CENTERS_CACHE[key] = spark.read.parquet(f"{final}/aa_centers")
-    _CORENESS_CACHE[key] = spark.read.parquet(f"{final}/coreness")
+    # absent when the entry was built with build_coreness=False —
+    # get_coreness keys on the DEFAULT (full) store, so it never
+    # looks this handle up for an opted-out entry
+    if _os.path.isdir(f"{final}/coreness"):
+        _CORENESS_CACHE[key] = spark.read.parquet(f"{final}/coreness")
     try:
         with open(f"{final}/pr_stats.json") as f:
             _stats = json.load(f)
@@ -1503,10 +1538,13 @@ def append_documents(
     delta_properties: DataFrame,
     delta_key: str,
     check_guards: bool = True,
+    build_coreness: bool = True,
 ) -> dict:
     """Publish a NEW store entry = the base store for ``sf_dir`` plus
     the delta documents, at O(delta) cost (plus the global rank-vector
-    re-derivation — see _write_rank_tables).
+    re-derivation — see _write_rank_tables; ``build_coreness=False``
+    appends onto the coreness-less base configuration and skips the
+    k-core fixpoint re-derivation, the dominant global append cost).
 
     ``delta_key`` is the caller's identity for the delta content (fold
     in input paths/mtimes and any synthesizer code) — it keys the
@@ -1527,13 +1565,15 @@ def append_documents(
 
     from ..cache_util import content_cached_dir, content_key
 
-    get_graph(spark, sf_dir)  # ensure the base entry exists
-    base_ck = _graph_cache_key(sf_dir)
+    # ensure the base entry (of the matching configuration) exists
+    get_graph(spark, sf_dir, build_coreness=build_coreness)
+    base_ck = _graph_cache_key(sf_dir, build_coreness=build_coreness)
     base_dir = os.path.join(_graph_cache_root(), base_ck)
     ck = content_key(
         "ga",
         sf_dir,
-        extra=f"append|{delta_key}",
+        extra=f"append|{delta_key}"
+        + ("" if build_coreness else "|nocore"),
         code_files=_graph_code_files(),
         suffixes=(".parquet",),
     )
@@ -1553,7 +1593,7 @@ def append_documents(
         dn.write.mode("append").parquet(f"{tmp}/nodes")
         dp.write.mode("append").parquet(f"{tmp}/properties")
         _write_store_tables(spark, tmp, dn, dp, mode="append", base_dir=base_dir)
-        _write_rank_tables(spark, tmp)
+        _write_rank_tables(spark, tmp, build_coreness=build_coreness)
         with open(f"{tmp}/manifest.json", "w") as f:
             json.dump(
                 {"kind": "append", "base_key": base_ck, "delta_key": delta_key}, f
@@ -1568,6 +1608,8 @@ def append_documents(
     )
     out: dict = {"path": final}
     for sub in _STORE_SUBDIRS:
+        if sub == "coreness" and not build_coreness:
+            continue
         spark.catalog.refreshByPath(f"{final}/{sub}")
         out[sub] = spark.read.parquet(f"{final}/{sub}")
     return out
