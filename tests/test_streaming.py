@@ -456,3 +456,153 @@ def test_maintained_attach_requires_complete(spark, tmp_path, monkeypatch):
         current_maintained_index(spark, "/nonexistent/base", str(ckpt))
     with pytest.raises(ValueError, match="no published entry exists"):
         current_maintained_entries(spark, "/nonexistent/base", str(ckpt))
+
+
+def test_stream_document_maintenance_components(spark, tmp_path, monkeypatch):
+    """r13 VERDICT task 5 (closure half): with maintain_components=True
+    the near-dup components closure chains per micro-batch. Two
+    streamed waves == one batch append_components of the union-delta
+    == a full get_components_store rebuild over base+delta — exact
+    multiset identity, including components that merge ACROSS waves
+    through new documents."""
+    from xml_to_sqlite3_spark.operators import dedup as D
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_entries,
+        stream_document_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "ix"))
+
+    A = "alpha beta gamma delta epsilon zeta shared duplicate text"
+    B = "one two three four five six seven eight nine ten"
+
+    def uniq(i):
+        return f"solitary w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f"
+
+    base_rows = [(0, A), (1, A)] + [(i, uniq(i)) for i in range(2, 10)]
+    wave1_rows = [(100, A), (101, B)] + [(i, uniq(i)) for i in range(102, 106)]
+    wave2_rows = [(110, B), (111, uniq(111))] + [
+        (i, uniq(i)) for i in range(112, 116)
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_path = str(tmp_path / "base_docs")
+    mk(base_rows).repartition(1).write.parquet(base_path)
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    import glob as _glob
+
+    for name, rows in (("w1", wave1_rows), ("w2", wave2_rows)):
+        staged = str(tmp_path / f"stage_{name}")
+        mk(rows).repartition(1).write.parquet(staged)
+        part = _glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_document_maintenance(
+        spark, str(in_dir), base_path, ckpt,
+        max_files_per_trigger=1, available_now=True,
+        maintain_components=True,
+    )
+    q.awaitTermination()
+
+    got = current_maintained_entries(spark, base_path, ckpt)
+    assert got["components"] is not None
+    assert got["components"]["append_key"].count("+") == 1
+    comp_ms = lambda fr: sorted(
+        (r["doc_id"], r["component"], r["is_keeper"]) for r in fr.collect()
+    )
+    streamed = comp_ms(got["components"]["components"])
+    # cross-wave merge really happened: 110 (wave2) joined 101 (wave1)
+    by_doc = {d: c for d, c, _ in streamed}
+    assert by_doc[110] == by_doc[101]
+    assert by_doc[100] == by_doc[0] == by_doc[1]
+
+    # one-shot batch append of the union delta
+    batch = D.append_components(
+        spark, base_path, mk(wave1_rows + wave2_rows), delta_key="oneshot"
+    )
+    assert streamed == comp_ms(batch["components"])
+
+    # full rebuild over base + delta
+    union_path = str(tmp_path / "union_docs")
+    mk(base_rows + wave1_rows + wave2_rows).write.parquet(union_path)
+    rebuilt = D.get_components_store(spark, union_path)
+    assert streamed == comp_ms(rebuilt)
+
+    D.clear_minhash_store()
+
+
+@pytest.mark.heavy
+def test_stream_graph_maintenance_two_waves(spark, tmp_path, monkeypatch):
+    """r13 VERDICT task 5 (graph half): the node-graph store stays
+    warm under continuous XML ingestion. Two streamed waves of XML
+    documents (chained O(delta) appends through the batch parser)
+    must equal ONE batch append of the union delta — per-table
+    multiset identity for every delta-carrying table."""
+    from xml_to_sqlite3_spark.plans import node_graph as ng
+    from xml_to_sqlite3_spark.sources.xml_source import read_xml_corpus
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_graph,
+        stream_graph_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", str(tmp_path / "gc"))
+    ng.clear_graph_cache()
+
+    def doc(tag, n_items=3):
+        items = "".join(
+            f'<item id="{tag}_i{j}" ref="{tag}_i{(j + 1) % n_items}" '
+            f'qty="{j}"><w>{tag} body {j}</w></item>'
+            for j in range(n_items)
+        )
+        return f'<?xml version="1.0"?><top id="{tag}_root">{items}</top>'
+
+    in_dir = tmp_path / "xml_in"
+    in_dir.mkdir()
+    (in_dir / "wave_a.xml").write_text(doc("wa"))
+    (in_dir / "wave_b.xml").write_text(doc("wb", n_items=4))
+
+    from tests.conftest import SF_SMOKE
+
+    ckpt = str(tmp_path / "ckpt_graph")
+    q = stream_graph_maintenance(
+        spark, str(in_dir), SF_SMOKE, ckpt,
+        max_files_per_trigger=1, available_now=True, build_coreness=False,
+    )
+    q.awaitTermination()
+
+    got = current_maintained_graph(spark, SF_SMOKE, ckpt, build_coreness=False)
+    assert got is not None and got["append_key"].count("+") == 1
+    assert "coreness" not in got
+
+    # batch twin: parse BOTH files through the batch reader, project
+    # to the store schemas exactly as the stream does, append once
+    corpus = read_xml_corpus(spark, str(in_dir))
+    nodes = corpus.nodes.select(
+        "id", "node_type", "document_id", "parent_id",
+        F.col("position").cast("bigint").alias("position"),
+        "content", "xpath",
+    )
+    props = corpus.properties.select(
+        "node_id", "property_name", "property_value", "data_type"
+    )
+    batch = ng.append_documents(
+        spark, SF_SMOKE, nodes, props,
+        delta_key="oneshot-xml", build_coreness=False,
+    )
+    for table in ("nodes", "properties", "xrefs", "degrees",
+                  "node_levels", "doc_ids", "targets"):
+        # key=repr: rows carry None-able string columns (parent_id),
+        # which plain tuple ordering cannot compare
+        s_rows = sorted((tuple(r) for r in got[table].collect()), key=repr)
+        b_rows = sorted((tuple(r) for r in batch[table].collect()), key=repr)
+        assert s_rows == b_rows, table
+    # the streamed store actually contains the XML documents
+    doc_ids = {r["document_id"] for r in got["doc_ids"].collect()}
+    assert {"wave_a", "wave_b"} <= doc_ids
+    ng.clear_graph_cache()

@@ -1338,6 +1338,8 @@ def append_components(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 64,
+    base_append: str = "",
 ) -> dict:
     """Publish a NEW components-store entry = the base closure for
     ``doc_path`` merged with ``delta_docs``, at O(delta) cost — the
@@ -1359,8 +1361,11 @@ def append_components(
     Builds the delta pair set from :func:`append_dedup_documents`'s
     postings (no re-shingling of the base corpus). Exactness vs a
     full rebuild over the unioned corpus is pinned by
-    tests/test_dedup_append.py. Returns {"path": dir, "components":
-    DataFrame}.
+    tests/test_dedup_append.py. ``base_append`` CHAINS waves onto a
+    previously-appended entry (the append_dedup_documents contract):
+    the closure base AND the pairing-token base both come from the
+    chained entries, so wave b costs O(wave b) against everything
+    before it. Returns {"path": dir, "components": DataFrame}.
     """
     import os
     import tempfile
@@ -1371,32 +1376,61 @@ def append_components(
 
     base_extra = f"t{threshold}_n{n}_{id_col}_{text_col}"
     code = (__file__, _graph_mod.__file__)
-    get_components_store(
-        spark, doc_path, threshold=threshold, n=n, id_col=id_col, text_col=text_col
-    )
-    base_ck = content_key(
-        "dupcomp", doc_path, extra=base_extra, code_files=code, suffixes=(".parquet",)
-    )
     root = os.environ.get(
         "SPARK_GRAFT_MINHASH_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
     )
+    if base_append:
+        base_ck = content_key(
+            "dupcomp", doc_path, extra=f"{base_extra}|append|{base_append}",
+            code_files=code, suffixes=(".parquet",),
+        )
+        if not os.path.exists(os.path.join(root, base_ck, "_COMPLETE")):
+            raise ValueError(
+                f"append_components: chained base entry (append chain "
+                f"{base_append!r}) is not published — appends must stack "
+                "onto an existing entry in order"
+            )
+        chain = f"{base_append}+{delta_key}"
+    else:
+        get_components_store(
+            spark, doc_path, threshold=threshold, n=n,
+            id_col=id_col, text_col=text_col,
+        )
+        base_ck = content_key(
+            "dupcomp", doc_path, extra=base_extra, code_files=code,
+            suffixes=(".parquet",),
+        )
+        chain = delta_key
     base_dir = os.path.join(root, base_ck)
     ck = content_key(
-        "dupcomp", doc_path, extra=f"{base_extra}|append|{delta_key}",
+        "dupcomp", doc_path, extra=f"{base_extra}|append|{chain}",
         code_files=code, suffixes=(".parquet",),
     )
     # the appended dedup store is both the delta postings' source and
     # the artifact a real pipeline maintains alongside the closure
-    dedup_entry = append_dedup_documents(
-        spark, doc_path, delta_docs, delta_key, n=n,
-        id_col=id_col, text_col=text_col,
+    # (content-keyed, so when the caller — e.g. the maintenance
+    # stream — already appended this (delta, chain), this is an attach)
+    append_dedup_documents(
+        spark, doc_path, delta_docs, delta_key, n=n, k=k,
+        id_col=id_col, text_col=text_col, base_append=base_append,
     )
 
     def _build(tmp: str) -> None:
-        base_tokens, _ = get_minhash_store(
-            spark, doc_path, n=n, id_col=id_col, text_col=text_col
-        )
+        if base_append:
+            # pairing base = everything BEFORE this delta: the chained
+            # dedup entry at base_append (base corpus + prior waves)
+            pre_ck = _minhash_store_key(
+                doc_path, n, k, id_col, text_col, append=base_append
+            )
+            spark.catalog.refreshByPath(os.path.join(root, pre_ck, "tokens"))
+            base_tokens = spark.read.parquet(
+                os.path.join(root, pre_ck, "tokens")
+            )
+        else:
+            base_tokens, _ = get_minhash_store(
+                spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col
+            )
         base_comp = spark.read.parquet(f"{base_dir}/components")
         # delta postings: re-shingle the DELTA alone — O(delta), and a
         # pure function of each document so it equals the appended
@@ -1462,7 +1496,11 @@ def append_components(
 
     final = content_cached_dir(root, ck, _build, owned_dirs=_COMPONENTS_STORE_DIRS)
     spark.catalog.refreshByPath(f"{final}/components")
-    return {"path": final, "components": spark.read.parquet(f"{final}/components")}
+    return {
+        "path": final,
+        "append_key": chain,
+        "components": spark.read.parquet(f"{final}/components"),
+    }
 
 
 def fuzzy_match_pairs(

@@ -1539,6 +1539,7 @@ def append_documents(
     delta_key: str,
     check_guards: bool = True,
     build_coreness: bool = True,
+    base_append: str = "",
 ) -> dict:
     """Publish a NEW store entry = the base store for ``sf_dir`` plus
     the delta documents, at O(delta) cost (plus the global rank-vector
@@ -1555,25 +1556,52 @@ def append_documents(
     is hard links, and a failed append leaves only its tmp dir (the
     shared cache_util publish machinery removes it).
 
-    Returns ``{"path": <dir>, <table>: DataFrame, ...}`` for every
-    store table. Gate queries keep reading the sf_dir-keyed BASE store
-    through get_graph; appended stores are a pipeline capability with
-    their own identity (tests/test_store_append.py pins the appended
-    tables to a full rebuild over the unioned input, multiset-exact).
+    ``base_append`` CHAINS waves (the append_dedup_documents
+    contract): wave b appends onto the entry published for chain
+    ``base_append`` instead of the base store, so a maintenance
+    stream pays O(wave) per wave. The chained base carries merged
+    doc_ids/dangling_parents, so the locality guards hold across the
+    whole chain.
+
+    Returns ``{"path": <dir>, "append_key": <chain>, <table>:
+    DataFrame, ...}`` for every store table. Gate queries keep
+    reading the sf_dir-keyed BASE store through get_graph; appended
+    stores are a pipeline capability with their own identity
+    (tests/test_store_append.py pins the appended tables to a full
+    rebuild over the unioned input, multiset-exact).
     """
     import os
 
     from ..cache_util import content_cached_dir, content_key
 
-    # ensure the base entry (of the matching configuration) exists
-    get_graph(spark, sf_dir, build_coreness=build_coreness)
-    base_ck = _graph_cache_key(sf_dir, build_coreness=build_coreness)
+    nocore = "" if build_coreness else "|nocore"
+    if base_append:
+        base_ck = content_key(
+            "ga",
+            sf_dir,
+            extra=f"append|{base_append}{nocore}",
+            code_files=_graph_code_files(),
+            suffixes=(".parquet",),
+        )
+        if not os.path.exists(
+            os.path.join(_graph_cache_root(), base_ck, "_COMPLETE")
+        ):
+            raise ValueError(
+                f"append_documents: chained base entry (append chain "
+                f"{base_append!r}) is not published — appends must stack "
+                "onto an existing entry in order"
+            )
+        chain = f"{base_append}+{delta_key}"
+    else:
+        # ensure the base entry (of the matching configuration) exists
+        get_graph(spark, sf_dir, build_coreness=build_coreness)
+        base_ck = _graph_cache_key(sf_dir, build_coreness=build_coreness)
+        chain = delta_key
     base_dir = os.path.join(_graph_cache_root(), base_ck)
     ck = content_key(
         "ga",
         sf_dir,
-        extra=f"append|{delta_key}"
-        + ("" if build_coreness else "|nocore"),
+        extra=f"append|{chain}{nocore}",
         code_files=_graph_code_files(),
         suffixes=(".parquet",),
     )
@@ -1596,7 +1624,13 @@ def append_documents(
         _write_rank_tables(spark, tmp, build_coreness=build_coreness)
         with open(f"{tmp}/manifest.json", "w") as f:
             json.dump(
-                {"kind": "append", "base_key": base_ck, "delta_key": delta_key}, f
+                {
+                    "kind": "append",
+                    "base_key": base_ck,
+                    "delta_key": delta_key,
+                    "append_key": chain,
+                },
+                f,
             )
         for scratch in ("delta_nodes", "delta_properties"):
             _sh.rmtree(f"{tmp}/{scratch}", ignore_errors=True)
@@ -1606,7 +1640,7 @@ def append_documents(
     final = content_cached_dir(
         _graph_cache_root(), ck, _build, owned_dirs=_GRAPH_CACHE_DIRS
     )
-    out: dict = {"path": final}
+    out: dict = {"path": final, "append_key": chain}
     for sub in _STORE_SUBDIRS:
         if sub == "coreness" and not build_coreness:
             continue

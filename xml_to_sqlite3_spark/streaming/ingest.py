@@ -352,6 +352,8 @@ def stream_document_maintenance(
     text_col: str = "text",
     max_files_per_trigger: int = 10,
     available_now: bool = False,
+    maintain_components: bool = False,
+    threshold: float = 0.3,
 ):
     """Continuously-maintained DEDUP STORE + TEXT INDEX (r12 VERDICT
     task 5): as new document parquet files land in ``input_dir``,
@@ -363,6 +365,17 @@ def stream_document_maintenance(
     until the next full rebuild — the streaming-materialized-view
     pattern of stream_rollup_to_parquet applied to the two
     document-derived artifacts.
+
+    ``maintain_components=True`` (r13 VERDICT task 5) ALSO chains the
+    near-dup components closure per batch
+    (operators/dedup.append_components at ``threshold``): the merge-
+    on-append is delta-sized because existing components can only
+    merge THROUGH new documents, and its internal
+    append_dedup_documents call is a content-keyed ATTACH of the
+    entry this stream just published (same delta key, same chain) —
+    no double work. Off by default: the closure is a (threshold, n)-
+    parameterized artifact, and a stream should only maintain the
+    configurations its consumers read.
 
     Append CHAINING: batch b appends onto batch b-1's entry (the
     stores' ``base_append`` contract), so every wave costs O(that
@@ -383,16 +396,19 @@ def stream_document_maintenance(
     import json
     import os
 
-    from ..operators.dedup import append_dedup_documents
+    from ..operators.dedup import append_components, append_dedup_documents
     from ..operators.search import append_text_index
 
     state_path = os.path.join(checkpoint_dir, "maintenance_chain.json")
+    chain_fields = ("dedup_chain", "index_chain") + (
+        ("components_chain",) if maintain_components else ()
+    )
 
     def _load_state() -> dict:
         if os.path.exists(state_path):
             with open(state_path) as f:
                 return json.load(f)
-        return {"dedup_chain": "", "index_chain": ""}
+        return {f_: "" for f_ in chain_fields}
 
     def _save_state(state: dict) -> None:
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -405,8 +421,9 @@ def stream_document_maintenance(
         if batch_df.isEmpty():
             return
         state = _load_state()
-        _replay_rewind(state, batch_id, ("dedup_chain", "index_chain"))
-        prev = {k2: state[k2] for k2 in ("dedup_chain", "index_chain")}
+        state.setdefault("components_chain", "")
+        _replay_rewind(state, batch_id, chain_fields)
+        prev = {k2: state.get(k2, "") for k2 in chain_fields}
         dk = f"b{batch_id}"
         entry = append_dedup_documents(
             spark,
@@ -432,6 +449,20 @@ def stream_document_maintenance(
         state["index_chain"] = (
             f"{state['index_chain']}+{dk}" if state["index_chain"] else dk
         )
+        if maintain_components:
+            centry = append_components(
+                spark,
+                base_doc_path,
+                batch_df,
+                delta_key=dk,
+                threshold=threshold,
+                n=n,
+                k=k,
+                id_col=id_col,
+                text_col=text_col,
+                base_append=state["components_chain"],
+            )
+            state["components_chain"] = centry["append_key"]
         state["prev"] = prev
         state["last_batch"] = batch_id
         _save_state(state)
@@ -481,13 +512,17 @@ def current_maintained_entries(
     k: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold: float = 0.3,
 ) -> dict:
     """Attach the artifacts a maintenance stream has built so far:
     reads the chain sidecar from the checkpoint dir and returns
     ``{"dedup": {<table>: DataFrame, ...} | None, "index": (index,
-    n_docs, avgdl, path) | None}`` — None before the first batch
-    commits. Pure attach: the content-keyed entries already exist,
-    so no Spark job beyond parquet reads runs here."""
+    n_docs, avgdl, path) | None, "components": {"path", "append_key",
+    "components"} | None}`` — None before the first batch commits
+    (components also None unless the stream ran with
+    ``maintain_components=True``). Pure attach: the content-keyed
+    entries already exist, so no Spark job beyond parquet reads runs
+    here."""
     import json
     import os
 
@@ -496,10 +531,10 @@ def current_maintained_entries(
 
     state_path = os.path.join(checkpoint_dir, "maintenance_chain.json")
     if not os.path.exists(state_path):
-        return {"dedup": None, "index": None}
+        return {"dedup": None, "index": None, "components": None}
     with open(state_path) as f:
         state = json.load(f)
-    out: dict = {"dedup": None, "index": None}
+    out: dict = {"dedup": None, "index": None, "components": None}
     if state.get("dedup_chain"):
         import tempfile
 
@@ -546,6 +581,39 @@ def current_maintained_entries(
             float(meta["avgdl"]),
             final,
         )
+    if state.get("components_chain"):
+        import tempfile as _tf
+
+        from ..cache_util import content_key
+        from ..operators import dedup as _dd
+        from ..operators import graph as _graph_mod
+
+        root = os.environ.get(
+            "SPARK_GRAFT_MINHASH_CACHE",
+            os.path.join(_tf.gettempdir(), "spark_graft_minhash_cache"),
+        )
+        ck = content_key(
+            "dupcomp",
+            base_doc_path,
+            extra=f"t{threshold}_n{n}_{id_col}_{text_col}"
+            f"|append|{state['components_chain']}",
+            code_files=(_dd.__file__, _graph_mod.__file__),
+            suffixes=(".parquet",),
+        )
+        final = os.path.join(root, ck)
+        _require_complete(
+            final,
+            "current_maintained_entries (components)",
+            state["components_chain"],
+            f"threshold={threshold}, n={n}, id_col={id_col!r}, "
+            f"text_col={text_col!r}, minhash cache root={root}",
+        )
+        spark.catalog.refreshByPath(f"{final}/components")
+        out["components"] = {
+            "path": final,
+            "append_key": state["components_chain"],
+            "components": spark.read.parquet(f"{final}/components"),
+        }
     return out
 
 
@@ -689,3 +757,179 @@ def current_maintained_index(
         "append_key": state["chain"],
         "index": spark.read.parquet(f"{final}/index"),
     }
+
+
+def stream_graph_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    sf_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.xml",
+    max_files_per_trigger: int = 100,
+    available_now: bool = False,
+    build_coreness: bool = True,
+    check_guards: bool = True,
+):
+    """Continuously-maintained NODE-GRAPH STORE (r13 VERDICT task 5,
+    completing the set: all five persistent artifacts now stay warm
+    under continuous ingestion). Watches ``input_dir`` for new XML
+    documents, parses each micro-batch with the SAME parser as the
+    batch path (sources/xml_source._parse_batches), projects the
+    corpus-model nodes/properties onto the store's table schemas, and
+    chains plans/node_graph.append_documents per batch — every
+    derived table (xrefs, degrees, node_levels, ...) advances at
+    O(batch), with the global rank tables re-derived over the merged
+    graph exactly as a batch append does.
+
+    The within-document-locality guards append_documents enforces are
+    the natural shape of XML arrival: a document resolves its parent
+    links internally, so a batch of NEW documents passes by
+    construction, and a re-sent document id fails loudly instead of
+    corrupting the id-keyed tables.
+
+    Same exactly-once story as the other maintenance streams:
+    batch-id-derived delta keys + content-keyed publication make
+    replays ATTACH; the chain sidecar (tmp+rename atomic, replay-
+    rewind guarded) rides in the checkpoint dir. Two streamed waves
+    == one batch append == full rebuild per-table multisets — pinned
+    by tests/test_streaming.py.
+
+    Returns the StreamingQuery; attach the current store with
+    :func:`current_maintained_graph`."""
+    import json
+    import os
+
+    from ..plans.node_graph import append_documents
+    from ..sources.xml_source import corpus_from_parsed
+
+    state_path = os.path.join(checkpoint_dir, "graph_chain.json")
+
+    def _load() -> dict:
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                return json.load(f)
+        return {"chain": ""}
+
+    def _save(state: dict) -> None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.rename(tmp, state_path)
+
+    def on_batch(parsed, batch_id: int) -> None:
+        # the parse feeds two projections (nodes + properties), each
+        # materialized by the append — pin it so the XML parse of the
+        # batch's files runs once
+        parsed = parsed.persist()
+        try:
+            if parsed.isEmpty():
+                return
+            corpus = corpus_from_parsed(parsed)
+            # the store's table schemas (build_nodes/build_properties
+            # parity): 7-column nodes with bigint position, 4-column
+            # properties — the corpus model's ordinal/created_at are
+            # sink-side columns the store does not carry
+            nodes = corpus.nodes.select(
+                "id",
+                "node_type",
+                "document_id",
+                "parent_id",
+                F.col("position").cast("bigint").alias("position"),
+                "content",
+                "xpath",
+            )
+            props = corpus.properties.select(
+                "node_id", "property_name", "property_value", "data_type"
+            )
+            state = _load()
+            _replay_rewind(state, batch_id, ("chain",))
+            prev = {"chain": state["chain"]}
+            entry = append_documents(
+                spark,
+                sf_dir,
+                nodes,
+                props,
+                delta_key=f"b{batch_id}",
+                check_guards=check_guards,
+                build_coreness=build_coreness,
+                base_append=state["chain"],
+            )
+            state["chain"] = entry["append_key"]
+            state["prev"] = prev
+            state["last_batch"] = batch_id
+            _save(state)
+        finally:
+            parsed.unpersist()
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_maintained_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    build_coreness: bool = True,
+):
+    """Attach the node-graph store a maintenance stream has built so
+    far: ``{"path", "append_key", <table>: DataFrame, ...}``, or None
+    before the first batch commits. Pure attach — parquet reads
+    only."""
+    import json
+    import os
+
+    from ..cache_util import content_key
+    from ..plans.node_graph import (
+        _STORE_SUBDIRS,
+        _graph_cache_root,
+        _graph_code_files,
+    )
+
+    state_path = os.path.join(checkpoint_dir, "graph_chain.json")
+    if not os.path.exists(state_path):
+        return None
+    with open(state_path) as f:
+        state = json.load(f)
+    if not state.get("chain"):
+        return None
+    nocore = "" if build_coreness else "|nocore"
+    ck = content_key(
+        "ga",
+        sf_dir,
+        extra=f"append|{state['chain']}{nocore}",
+        code_files=_graph_code_files(),
+        suffixes=(".parquet",),
+    )
+    final = os.path.join(_graph_cache_root(), ck)
+    _require_complete(
+        final,
+        "current_maintained_graph",
+        state["chain"],
+        f"sf_dir={sf_dir!r}, build_coreness={build_coreness}, "
+        f"graph cache root={_graph_cache_root()}",
+    )
+    out: dict = {"path": final, "append_key": state["chain"]}
+    for sub in _STORE_SUBDIRS:
+        if sub == "coreness" and not build_coreness:
+            continue
+        spark.catalog.refreshByPath(f"{final}/{sub}")
+        out[sub] = spark.read.parquet(f"{final}/{sub}")
+    return out
