@@ -862,11 +862,16 @@ def ivf_pq_topk(
     (q - centroid[c]) — still n_probe small (m, ks) tables computed
     driver-side, still m lookups per row (the Jégou IVF-ADC recipe:
     the coarse quantizer absorbs between-cluster variance, so the
-    same code budget quantizes finer). HONEST measurement: on the
-    synthetic sf1 corpus residual reads 0.45 vs raw's 0.55 recall@20
-    — make_sf's perturbation diffuses cluster structure, so there is
-    no between-cluster variance to absorb there; reach for residual
-    when the corpus actually clusters (real embedding corpora do).
+    same code budget quantizes finer). MEASURED both ways
+    (BENCH_vecrecall_r14): on the planted-cluster fixture
+    (scripts/measure_clustered_recall.py — 32 Gaussian clusters,
+    sigma 0.15, the shape of a real embedding corpus) residual wins
+    0.25 vs raw's 0.19 recall@20 at every probe setting, exactly as
+    the theory predicts; on make_sf's deliberately cluster-DIFFUSING
+    sf1 perturbation raw wins 0.55 vs 0.45 (no between-cluster
+    variance to absorb). Default to residual=True for corpora that
+    actually cluster — real embedding corpora do; keep raw for
+    near-uniform vector sets.
 
     Returns (vec_id, adc_dist) ascending, dist rounded to 6dp.
     """

@@ -2054,13 +2054,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the probed lists only. The billion-vector shape: the
     probe filter is partition pruning over the index files, the scan
     is codes-only, the reduction is a TakeOrdered. The gate serves
-    RAW-mode encoding: residual (Jégou-style) encoding exists as
-    ``residual=True`` across the whole family and is replica-pinned,
-    but on THIS synthetic corpus it measures 0.45 vs raw's 0.55
-    recall@20 at sf1 — make_sf's perturbation deliberately diffuses
-    coarse-cluster structure, so the residual trick has no
-    between-cluster variance to absorb; it is the right knob only
-    when the corpus actually clusters. Rows-only like pq_search
+    RAW-mode encoding because THIS synthetic corpus is deliberately
+    cluster-diffuse (raw 0.55 vs residual 0.45 recall@20 at sf1);
+    measured the other way on the planted-cluster fixture residual
+    wins 0.25 vs 0.19 at every probe setting
+    (BENCH_vecrecall_r14, scripts/measure_clustered_recall.py) — so
+    the DOCUMENTED default for real, clustering embedding corpora is
+    ``residual=True``, and this gate's raw mode is the
+    corpus-matched exception. Rows-only like pq_search
     (float k-means codebooks); exhaustive-probe == pq_topk identity
     and reduced-probe recall are pinned by tests/test_similarity.py."""
     path = f"{sf_dir}/embeddings.parquet"
