@@ -63,6 +63,16 @@ RATIO_BOUNDS = [
     ("ann_ivf_pq", 6.0),
     ("events_psi_drift", 6.0),
     ("zipf_slope", 5.0),
+    # r14: the remaining window-head gates. ks_drift collapses to
+    # distinct values before any window (healthy ratio ~1);
+    # covariance/pca are LINEAR in sampled vectors by design (d² per
+    # vector), but at these scales (200 vs 2k vectors) the cost is
+    # overhead-dominated and the floored denominator keeps the bound
+    # meaningful — a lost sample filter or a corpus-sized window
+    # would multiply the big side well past it.
+    ("events_ks_drift", 6.0),
+    ("embedding_covariance", 6.0),
+    ("pca_projection", 6.0),
 ]
 assert len({k for k, _ in RATIO_BOUNDS}) == len(RATIO_BOUNDS)
 
