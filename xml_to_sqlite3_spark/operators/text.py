@@ -126,19 +126,47 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints:
     - full_md5: md5 of whitespace-normalized lowercase text
     - min_shingle_md5: min md5 over word 3-gram shingles (a 1-hash
-      MinHash — the rolling-hash fingerprint generalization)."""
+      MinHash — the rolling-hash fingerprint generalization).
+
+    Normalization stays Column-side (codegen, and char-identical to
+    the DuckDB oracle's regexp_replace); the shingle+md5+min walk is
+    ONE Arrow UDF per batch — the dup_spans lesson again (r7):
+    Catalyst INTERPRETS transform/slice/sequence higher-order
+    lambdas, and the first cut of this operator spent 3.9-4.9s at
+    sf0.1 in that interpreter (r14's honest bench exposed it; the
+    count()-timed bench had pruned the value expressions entirely).
+    hashlib.md5 over the same UTF-8 bytes produces the identical hex,
+    so the value oracle is unchanged."""
+    import hashlib
+
     text = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
-    words = F.split(norm, " ")
-    n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
-    )
-    return df.select(
+
+    @F.pandas_udf("struct<full_md5: string, min_shingle_md5: string>")
+    def fp(norms: pd.Series) -> pd.DataFrame:
+        fulls: list = []
+        mins: list = []
+        for t in norms:
+            if t is None:
+                fulls.append(None)
+                mins.append(None)
+                continue
+            fulls.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            w = t.split(" ")
+            best = None
+            for i in range(max(len(w) - 2, 1)):
+                h = hashlib.md5(
+                    " ".join(w[i : i + 3]).encode("utf-8")
+                ).hexdigest()
+                if best is None or h < best:
+                    best = h
+            mins.append(best)
+        return pd.DataFrame({"full_md5": fulls, "min_shingle_md5": mins})
+
+    return df.select("doc_id", fp(norm).alias("__fp")).select(
         "doc_id",
-        F.md5(norm).alias("full_md5"),
-        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
+        F.col("__fp.full_md5").alias("full_md5"),
+        F.col("__fp.min_shingle_md5").alias("min_shingle_md5"),
     )
 
 
