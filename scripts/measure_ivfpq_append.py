@@ -60,7 +60,14 @@ def main() -> None:
     )
 
     def mkwave(tag: str, start: int):
-        rng = np.random.default_rng(hash(tag) % (2**32))
+        # zlib.crc32, NOT hash(): Python's str hash is salted per
+        # process, which would give each run different vectors under
+        # the SAME cache delta key — a warm re-run would attach the
+        # previous run's entries while the rebuild path encodes this
+        # run's data (apples-to-oranges timings)
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(tag.encode()))
         X = rng.standard_normal((args.wave, dim))
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         return spark.createDataFrame(

@@ -606,3 +606,26 @@ def test_stream_graph_maintenance_two_waves(spark, tmp_path, monkeypatch):
     doc_ids = {r["document_id"] for r in got["doc_ids"].collect()}
     assert {"wave_a", "wave_b"} <= doc_ids
     ng.clear_graph_cache()
+
+
+def test_components_chain_lockstep_guard(spark, tmp_path):
+    """Self-review r14: a sidecar whose components chain fell behind
+    the dedup chain (stream ran with maintain_components=False after
+    building components) must fail loud on attach — the closure
+    silently lacks those waves."""
+    import json
+
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_entries,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "maintenance_chain.json").write_text(
+        json.dumps(
+            {"dedup_chain": "aa-b0+aa-b1", "index_chain": "aa-b0+aa-b1",
+             "components_chain": "aa-b0"}
+        )
+    )
+    with pytest.raises(ValueError, match="frozen at chain"):
+        current_maintained_entries(spark, "/nonexistent/base", str(ckpt))

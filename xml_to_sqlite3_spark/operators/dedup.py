@@ -894,6 +894,35 @@ def _minhash_store_key(
     )
 
 
+def _components_store_key(
+    doc_path: str,
+    threshold: float,
+    n: int,
+    id_col: str,
+    text_col: str,
+    append: str = "",
+) -> str:
+    """THE content key of a components-store entry — the
+    _minhash_store_key discipline applied to the closure: one
+    definition shared by the build, the append path, and the
+    maintenance-stream attach accessor (streaming/ingest.py), so a
+    key-format change can never desynchronize a reader from the entry
+    it expects."""
+    from ..cache_util import content_key
+    from . import graph as _graph_mod
+
+    extra = f"t{threshold}_n{n}_{id_col}_{text_col}"
+    if append:
+        extra = f"{extra}|append|{append}"
+    return content_key(
+        "dupcomp",
+        doc_path,
+        extra=extra,
+        code_files=(__file__, _graph_mod.__file__),
+        suffixes=(".parquet",),
+    )
+
+
 def get_minhash_store(
     spark,
     doc_path: str,
@@ -1055,17 +1084,10 @@ def get_components_store(
     import os
     import tempfile
 
-    from ..cache_util import content_cached_dir, content_key
-    from . import graph as _graph_mod
+    from ..cache_util import content_cached_dir
     from .graph import duplicate_groups
 
-    ck = content_key(
-        "dupcomp",
-        doc_path,
-        extra=f"t{threshold}_n{n}_{id_col}_{text_col}",
-        code_files=(__file__, _graph_mod.__file__),
-        suffixes=(".parquet",),
-    )
+    ck = _components_store_key(doc_path, threshold, n, id_col, text_col)
     memo_key = (spark.sparkContext.applicationId, ck)
     memo = _COMPONENTS_STORE_MEMO.get(memo_key)
     if memo is not None:
@@ -1365,25 +1387,26 @@ def append_components(
     previously-appended entry (the append_dedup_documents contract):
     the closure base AND the pairing-token base both come from the
     chained entries, so wave b costs O(wave b) against everything
-    before it. Returns {"path": dir, "components": DataFrame}.
+    before it. ``k`` does not change the CLOSURE (pairs come from
+    exact token Jaccard and tokens are k-independent) — it exists so
+    the internal dedup append aligns with the caller's (n, k) chain
+    (e.g. the maintenance stream's) and ATTACHES that entry instead
+    of publishing a parallel one. Returns {"path": dir, "append_key":
+    chain, "components": DataFrame}.
     """
     import os
     import tempfile
 
-    from ..cache_util import content_cached_dir, content_key
-    from . import graph as _graph_mod
+    from ..cache_util import content_cached_dir
     from .graph import connected_components
 
-    base_extra = f"t{threshold}_n{n}_{id_col}_{text_col}"
-    code = (__file__, _graph_mod.__file__)
     root = os.environ.get(
         "SPARK_GRAFT_MINHASH_CACHE",
         os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
     )
     if base_append:
-        base_ck = content_key(
-            "dupcomp", doc_path, extra=f"{base_extra}|append|{base_append}",
-            code_files=code, suffixes=(".parquet",),
+        base_ck = _components_store_key(
+            doc_path, threshold, n, id_col, text_col, append=base_append
         )
         if not os.path.exists(os.path.join(root, base_ck, "_COMPLETE")):
             raise ValueError(
@@ -1397,15 +1420,11 @@ def append_components(
             spark, doc_path, threshold=threshold, n=n,
             id_col=id_col, text_col=text_col,
         )
-        base_ck = content_key(
-            "dupcomp", doc_path, extra=base_extra, code_files=code,
-            suffixes=(".parquet",),
-        )
+        base_ck = _components_store_key(doc_path, threshold, n, id_col, text_col)
         chain = delta_key
     base_dir = os.path.join(root, base_ck)
-    ck = content_key(
-        "dupcomp", doc_path, extra=f"{base_extra}|append|{chain}",
-        code_files=code, suffixes=(".parquet",),
+    ck = _components_store_key(
+        doc_path, threshold, n, id_col, text_col, append=chain
     )
     # the appended dedup store is both the delta postings' source and
     # the artifact a real pipeline maintains alongside the closure

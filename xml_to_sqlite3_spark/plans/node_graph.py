@@ -595,6 +595,26 @@ def _graph_cache_key(sf_dir: str, build_coreness: bool = True) -> str:
     )
 
 
+def _graph_append_key(
+    sf_dir: str, chain: str, build_coreness: bool = True
+) -> str:
+    """THE content key of an APPENDED store entry (the
+    _minhash_store_key discipline): one definition shared by
+    append_documents and the maintenance-stream attach accessor
+    (streaming/ingest.current_maintained_graph), so a key-format
+    change can never desynchronize a reader from the entry it
+    expects."""
+    from ..cache_util import content_key
+
+    return content_key(
+        "ga",
+        sf_dir,
+        extra=f"append|{chain}" + ("" if build_coreness else "|nocore"),
+        code_files=_graph_code_files(),
+        suffixes=(".parquet",),
+    )
+
+
 def get_graph(
     spark: SparkSession, sf_dir: str, build_coreness: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -1572,16 +1592,11 @@ def append_documents(
     """
     import os
 
-    from ..cache_util import content_cached_dir, content_key
+    from ..cache_util import content_cached_dir
 
-    nocore = "" if build_coreness else "|nocore"
     if base_append:
-        base_ck = content_key(
-            "ga",
-            sf_dir,
-            extra=f"append|{base_append}{nocore}",
-            code_files=_graph_code_files(),
-            suffixes=(".parquet",),
+        base_ck = _graph_append_key(
+            sf_dir, base_append, build_coreness=build_coreness
         )
         if not os.path.exists(
             os.path.join(_graph_cache_root(), base_ck, "_COMPLETE")
@@ -1598,13 +1613,7 @@ def append_documents(
         base_ck = _graph_cache_key(sf_dir, build_coreness=build_coreness)
         chain = delta_key
     base_dir = os.path.join(_graph_cache_root(), base_ck)
-    ck = content_key(
-        "ga",
-        sf_dir,
-        extra=f"append|{chain}{nocore}",
-        code_files=_graph_code_files(),
-        suffixes=(".parquet",),
-    )
+    ck = _graph_append_key(sf_dir, chain, build_coreness=build_coreness)
 
     def _build(tmp: str) -> None:
         import shutil as _sh

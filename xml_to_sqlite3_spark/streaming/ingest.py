@@ -422,9 +422,37 @@ def stream_document_maintenance(
             return
         state = _load_state()
         state.setdefault("components_chain", "")
+        if maintain_components and state["components_chain"] != state.get(
+            "dedup_chain", ""
+        ):
+            # the closure chain can only be correct if it advanced in
+            # LOCKSTEP with the dedup chain — a stream that ran with
+            # maintain_components=False and was later flipped on would
+            # silently build a closure missing every wave ingested
+            # while the flag was off (under-dedup with no error)
+            raise ValueError(
+                "stream_document_maintenance: maintain_components=True but "
+                f"the sidecar's components chain ({state['components_chain']!r}) "
+                f"is behind the dedup chain ({state.get('dedup_chain', '')!r}) — "
+                "the stream previously ran without components maintenance. "
+                "Start a fresh checkpoint (rebuilding the closure over the "
+                "full corpus) instead of resuming with a gap"
+            )
         _replay_rewind(state, batch_id, chain_fields)
         prev = {k2: state.get(k2, "") for k2 in chain_fields}
-        dk = f"b{batch_id}"
+        if "nonce" not in state:
+            # per-checkpoint identity folded into every delta key: the
+            # appends' content keys otherwise depend only on (base,
+            # chain string, code) — a RESET checkpoint replaying batch
+            # ids over a warm cache root would silently ATTACH another
+            # run's entries built from different data. Stored in the
+            # sidecar, so crash replays reuse it (same keys, pure
+            # attach); only a crash before the first sidecar save
+            # orphans one wave's entries (never double-appends).
+            import secrets
+
+            state["nonce"] = secrets.token_hex(4)
+        dk = f"{state['nonce']}-b{batch_id}"
         entry = append_dedup_documents(
             spark,
             base_doc_path,
@@ -534,6 +562,23 @@ def current_maintained_entries(
         return {"dedup": None, "index": None, "components": None}
     with open(state_path) as f:
         state = json.load(f)
+    if state.get("components_chain") and state["components_chain"] != state.get(
+        "dedup_chain", ""
+    ):
+        # fail FAST, before attaching anything: the closure chain can
+        # only be correct if it advanced in lockstep with the dedup
+        # chain — a mismatch means the stream ran with
+        # maintain_components=False after building components, so the
+        # closure silently lacks those waves
+        raise ValueError(
+            "current_maintained_entries: the components closure is "
+            f"frozen at chain {state['components_chain']!r} while the "
+            f"dedup store advanced to {state.get('dedup_chain', '')!r} — "
+            "the stream ran with maintain_components=False after building "
+            "components, so the closure silently lacks those waves. "
+            "Rebuild from a fresh checkpoint (or remove components_chain "
+            "from the sidecar to acknowledge the abandoned closure)"
+        )
     out: dict = {"dedup": None, "index": None, "components": None}
     if state.get("dedup_chain"):
         import tempfile
@@ -584,21 +629,15 @@ def current_maintained_entries(
     if state.get("components_chain"):
         import tempfile as _tf
 
-        from ..cache_util import content_key
-        from ..operators import dedup as _dd
-        from ..operators import graph as _graph_mod
+        from ..operators.dedup import _components_store_key
 
         root = os.environ.get(
             "SPARK_GRAFT_MINHASH_CACHE",
             os.path.join(_tf.gettempdir(), "spark_graft_minhash_cache"),
         )
-        ck = content_key(
-            "dupcomp",
-            base_doc_path,
-            extra=f"t{threshold}_n{n}_{id_col}_{text_col}"
-            f"|append|{state['components_chain']}",
-            code_files=(_dd.__file__, _graph_mod.__file__),
-            suffixes=(".parquet",),
+        ck = _components_store_key(
+            base_doc_path, threshold, n, id_col, text_col,
+            append=state["components_chain"],
         )
         final = os.path.join(root, ck)
         _require_complete(
@@ -673,11 +712,17 @@ def stream_embedding_maintenance(
         state = _load()
         _replay_rewind(state, batch_id, ("chain",))
         prev = {"chain": state["chain"]}
+        if "nonce" not in state:
+            # per-checkpoint identity in the delta key — see
+            # stream_document_maintenance's nonce comment
+            import secrets
+
+            state["nonce"] = secrets.token_hex(4)
         entry = append_ivf_pq_index(
             spark,
             base_vec_path,
             batch_df,
-            delta_key=f"b{batch_id}",
+            delta_key=f"{state['nonce']}-b{batch_id}",
             n_centroids=n_centroids,
             m=m,
             ks=ks,
@@ -845,12 +890,18 @@ def stream_graph_maintenance(
             state = _load()
             _replay_rewind(state, batch_id, ("chain",))
             prev = {"chain": state["chain"]}
+            if "nonce" not in state:
+                # per-checkpoint identity in the delta key — see
+                # stream_document_maintenance's nonce comment
+                import secrets
+
+                state["nonce"] = secrets.token_hex(4)
             entry = append_documents(
                 spark,
                 sf_dir,
                 nodes,
                 props,
-                delta_key=f"b{batch_id}",
+                delta_key=f"{state['nonce']}-b{batch_id}",
                 check_guards=check_guards,
                 build_coreness=build_coreness,
                 base_append=state["chain"],
@@ -896,11 +947,10 @@ def current_maintained_graph(
     import json
     import os
 
-    from ..cache_util import content_key
     from ..plans.node_graph import (
         _STORE_SUBDIRS,
+        _graph_append_key,
         _graph_cache_root,
-        _graph_code_files,
     )
 
     state_path = os.path.join(checkpoint_dir, "graph_chain.json")
@@ -910,14 +960,7 @@ def current_maintained_graph(
         state = json.load(f)
     if not state.get("chain"):
         return None
-    nocore = "" if build_coreness else "|nocore"
-    ck = content_key(
-        "ga",
-        sf_dir,
-        extra=f"append|{state['chain']}{nocore}",
-        code_files=_graph_code_files(),
-        suffixes=(".parquet",),
-    )
+    ck = _graph_append_key(sf_dir, state["chain"], build_coreness=build_coreness)
     final = os.path.join(_graph_cache_root(), ck)
     _require_complete(
         final,
