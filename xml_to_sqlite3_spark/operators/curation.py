@@ -652,16 +652,28 @@ def dsir_select(
     rounded then DECIMAL-summed (order-independent at any cluster
     size), and the top-k cut is a TakeOrdered threshold broadcast —
     no global window over the corpus."""
-    from .text import _adjacent_pairs  # noqa: PLC0415 — avoid cycle at import time
     from .search import tokenize
 
+    @F.pandas_udf("array<string>")
+    def uni_bi(arrs: pd.Series) -> pd.Series:
+        # unigrams followed by space-joined bigrams, matching the
+        # Column form concat(w, transform(pairs, concat(a,' ',b))) —
+        # one Arrow pass instead of two interpreted HOFs; the hashed
+        # bucketing stays Column-side so the oracle replays unchanged
+        out = []
+        for a in arrs:
+            if a is None:
+                out.append(None)
+            else:
+                out.append(
+                    list(a) + [f"{a[i]} {a[i + 1]}" for i in range(len(a) - 1)]
+                )
+        return pd.Series(out)
+
     def grams(df: DataFrame) -> DataFrame:
-        w = tokenize(F.col(text_col))
-        bi = F.transform(
-            _adjacent_pairs(w), lambda p: F.concat(p["a"], F.lit(" "), p["b"])
-        )
         return df.select(
-            F.col(id_col).alias("doc_id"), F.explode(F.concat(w, bi)).alias("g")
+            F.col(id_col).alias("doc_id"),
+            F.explode(uni_bi(tokenize(F.col(text_col)))).alias("g"),
         ).select("doc_id", (stable_hash60(F.col("g")) % n_buckets).alias("b"))
 
     # raw_b feeds BOTH the model fit and the per-doc scoring —

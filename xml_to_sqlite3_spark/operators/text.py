@@ -472,7 +472,16 @@ def apply_bpe(
 def _adjacent_pairs(arr: Column) -> Column:
     """(a, b) struct pairs of adjacent elements of an array column —
     the shared bigram/merge-pair primitive for phrase_pmi and
-    train_bpe: zip the array with itself shifted by one."""
+    train_bpe: zip the array with itself shifted by one.
+
+    MEASURED, kept Column-side deliberately (r14): an Arrow-UDF
+    version benched SLOWER here (0.95s vs 0.70s for the
+    explode+groupBy bigram count at sf0.1) — unlike doc_fingerprint/
+    gopher, whose UDFs REDUCE inside the batch, this primitive's
+    output is input-sized, so the Arrow round-trip of the full token
+    arrays costs more than zip_with's interpretation saves. The HOF
+    lesson is about interpreted per-element work feeding a reduction,
+    not a blanket rule."""
     n1 = F.greatest(F.size(arr) - 1, F.lit(0))
     return F.zip_with(
         F.slice(arr, 1, n1),
