@@ -554,6 +554,33 @@ class TestPca:
         with pytest.raises(ValueError, match="zero vectors"):
             S.embedding_covariance(empty, exact=False)
 
+    def test_covariance_null_vectors_excluded_both_paths(self, spark):
+        """Self-review r14: NULL embedding rows are EXCLUDED (no
+        vector, no evidence) by BOTH paths — the exact path previously
+        counted them in n (silently deflating every covariance) and
+        the fast path crashed on np.asarray(None)."""
+        import numpy as np
+
+        rows = [(i, _vec(i)) for i in range(20)] + [(100, None), (101, None)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        clean = spark.createDataFrame(
+            rows[:20], "vec_id long, embedding array<double>"
+        )
+        want = {
+            (r["i"], r["j"]): r["cov"]
+            for r in S.embedding_covariance(clean).collect()
+        }
+        for exact in (True, False):
+            got = {
+                (r["i"], r["j"]): r["cov"]
+                for r in S.embedding_covariance(df, exact=exact).collect()
+            }
+            assert set(got) == set(want)
+            for k, v in got.items():
+                assert v == pytest.approx(want[k], abs=2e-6), (exact, k)
+
     def test_covariance_fast_path_tolerance(self, corpus):
         """VERDICT r13 task 4: the float serving path (per-batch
         partial Grams, no per-vector d² explode) must agree with the

@@ -877,6 +877,21 @@ _MINHASH_STORE_DIRS: list[str] = []
 _DEDUP_STORE_SUBDIRS = ("tokens", "sigs", "simhash", "win8", "doc_ids")
 
 
+def _minhash_cache_root() -> str:
+    """THE dedup/components cache root — one definition (the
+    _index_cache_root/_graph_cache_root precedent) shared by the
+    store builders, both append paths, and the maintenance-stream
+    attach accessor, so an env-var or default-path change can never
+    strand a reader away from the entries the writers publish."""
+    import os
+    import tempfile
+
+    return os.environ.get(
+        "SPARK_GRAFT_MINHASH_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
+    )
+
+
 def _minhash_store_key(
     doc_path: str, n: int, k: int, id_col: str, text_col: str, append: str = ""
 ) -> str:
@@ -953,10 +968,7 @@ def get_minhash_store(
     memo = _MINHASH_STORE_MEMO.get(memo_key)
     if memo is not None:
         return memo
-    root = os.environ.get(
-        "SPARK_GRAFT_MINHASH_CACHE",
-        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
-    )
+    root = _minhash_cache_root()
 
     def _build(tmp: str) -> None:
         docs = spark.read.parquet(doc_path)
@@ -1092,10 +1104,7 @@ def get_components_store(
     memo = _COMPONENTS_STORE_MEMO.get(memo_key)
     if memo is not None:
         return memo
-    root = os.environ.get(
-        "SPARK_GRAFT_MINHASH_CACHE",
-        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
-    )
+    root = _minhash_cache_root()
 
     def _build(tmp: str) -> None:
         docs = spark.read.parquet(doc_path)
@@ -1200,10 +1209,7 @@ def append_dedup_documents(
 
     from ..cache_util import content_cached_dir, content_key, link_tree
 
-    root = os.environ.get(
-        "SPARK_GRAFT_MINHASH_CACHE",
-        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
-    )
+    root = _minhash_cache_root()
     if base_append:
         base_ck = _minhash_store_key(
             doc_path, n, k, id_col, text_col, append=base_append
@@ -1400,10 +1406,7 @@ def append_components(
     from ..cache_util import content_cached_dir
     from .graph import connected_components
 
-    root = os.environ.get(
-        "SPARK_GRAFT_MINHASH_CACHE",
-        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
-    )
+    root = _minhash_cache_root()
     if base_append:
         base_ck = _components_store_key(
             doc_path, threshold, n, id_col, text_col, append=base_append

@@ -1256,8 +1256,12 @@ def _embedding_covariance_fast(df: DataFrame, vec_col: str) -> DataFrame:
     row carrying (n, Σx, Gram) and everything after the scan is
     #batches × d² rows, not n × d². Output schema and 6dp rounding
     match the exact path; values differ only by float summation order
-    (replica-tested tolerance 2e-6)."""
-    v = df.select(_as_double(F.col(vec_col)).alias("v"))
+    (replica-tested tolerance 2e-6). NULL vectors are excluded up
+    front (no vector, no evidence) — the same contract as the exact
+    path, pinned by a shared test."""
+    v = df.select(_as_double(F.col(vec_col)).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     first = v.head(1)
     if not first:
         raise ValueError(
@@ -1358,7 +1362,14 @@ def embedding_covariance(
     """
     if not exact:
         return _embedding_covariance_fast(df, vec_col)
-    v = df.select(_as_double(F.col(vec_col)).alias("v"))
+    # NULL vectors are EXCLUDED (no vector, no evidence) — without the
+    # filter they would silently deflate every covariance through n
+    # (posexplode drops them from the sums but count() kept them),
+    # and the fast path would crash on np.asarray(None) instead of
+    # agreeing; both paths share this contract (tolerance test)
+    v = df.select(_as_double(F.col(vec_col)).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     e1 = v.select(F.posexplode("v").alias("i", "xi"), F.col("v"))
     n = v.count()
     if n == 0:

@@ -108,6 +108,27 @@ def sessionize_stream(
     )
 
 
+def _xml_file_stream(
+    spark: SparkSession, input_dir: str, glob: str, max_files_per_trigger: int
+) -> DataFrame:
+    """The ONE streaming XML source: binaryFile watch → the exact
+    batch parser (_parse_batches) — shared by every XML-consuming
+    stream (corpus hook, SQLite maintenance, graph maintenance) so a
+    parser-schema or source-option change can never make one stream's
+    parse diverge from the others or from the batch path."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+    return files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+
+
 def stream_xml_corpus(
     spark: SparkSession,
     input_dir: str,
@@ -120,17 +141,7 @@ def stream_xml_corpus(
     with the SAME parser as the batch path, hand each micro-batch's
     parsed node DataFrame to ``on_batch`` (foreachBatch — the
     exactly-once sink hook). Returns the StreamingQuery."""
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(input_dir)
-        .select("path", "length", "content")
-    )
-    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    parsed = _xml_file_stream(spark, input_dir, glob, max_files_per_trigger)
 
     return (
         parsed.writeStream.outputMode("append")
@@ -205,17 +216,7 @@ def stream_corpus_to_sqlite(
             corpus, db_path, cross_references=xrefs, optimize=False
         )
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(input_dir)
-        .select("path", "length", "content")
-    )
-    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    parsed = _xml_file_stream(spark, input_dir, glob, max_files_per_trigger)
     writer = (
         parsed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -310,6 +311,22 @@ def stream_rollup_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ensure_nonce(state: dict) -> None:
+    """Per-checkpoint identity folded into every maintenance delta
+    key: the appends' content keys otherwise depend only on (base,
+    chain string, code) — a RESET checkpoint replaying batch ids over
+    a warm cache root would silently ATTACH another run's entries
+    built from different data. Stored in the sidecar, so crash
+    replays reuse it (same keys, pure attach); only a crash before
+    the first sidecar save orphans one wave's entries (never
+    double-appends). ONE definition for all three maintenance streams
+    so the delta-key format can never desynchronize."""
+    if "nonce" not in state:
+        import secrets
+
+        state["nonce"] = secrets.token_hex(4)
 
 
 def _replay_rewind(state: dict, batch_id: int, chain_fields: tuple) -> None:
@@ -440,18 +457,7 @@ def stream_document_maintenance(
             )
         _replay_rewind(state, batch_id, chain_fields)
         prev = {k2: state.get(k2, "") for k2 in chain_fields}
-        if "nonce" not in state:
-            # per-checkpoint identity folded into every delta key: the
-            # appends' content keys otherwise depend only on (base,
-            # chain string, code) — a RESET checkpoint replaying batch
-            # ids over a warm cache root would silently ATTACH another
-            # run's entries built from different data. Stored in the
-            # sidecar, so crash replays reuse it (same keys, pure
-            # attach); only a crash before the first sidecar save
-            # orphans one wave's entries (never double-appends).
-            import secrets
-
-            state["nonce"] = secrets.token_hex(4)
+        _ensure_nonce(state)
         dk = f"{state['nonce']}-b{batch_id}"
         entry = append_dedup_documents(
             spark,
@@ -581,14 +587,9 @@ def current_maintained_entries(
         )
     out: dict = {"dedup": None, "index": None, "components": None}
     if state.get("dedup_chain"):
-        import tempfile
+        from ..operators.dedup import _DEDUP_STORE_SUBDIRS, _minhash_cache_root
 
-        from ..operators.dedup import _DEDUP_STORE_SUBDIRS
-
-        root = os.environ.get(
-            "SPARK_GRAFT_MINHASH_CACHE",
-            os.path.join(tempfile.gettempdir(), "spark_graft_minhash_cache"),
-        )
+        root = _minhash_cache_root()
         ck = _minhash_store_key(
             base_doc_path, n, k, id_col, text_col, append=state["dedup_chain"]
         )
@@ -627,14 +628,12 @@ def current_maintained_entries(
             final,
         )
     if state.get("components_chain"):
-        import tempfile as _tf
-
-        from ..operators.dedup import _components_store_key
-
-        root = os.environ.get(
-            "SPARK_GRAFT_MINHASH_CACHE",
-            os.path.join(_tf.gettempdir(), "spark_graft_minhash_cache"),
+        from ..operators.dedup import (
+            _components_store_key,
+            _minhash_cache_root,
         )
+
+        root = _minhash_cache_root()
         ck = _components_store_key(
             base_doc_path, threshold, n, id_col, text_col,
             append=state["components_chain"],
@@ -712,12 +711,7 @@ def stream_embedding_maintenance(
         state = _load()
         _replay_rewind(state, batch_id, ("chain",))
         prev = {"chain": state["chain"]}
-        if "nonce" not in state:
-            # per-checkpoint identity in the delta key — see
-            # stream_document_maintenance's nonce comment
-            import secrets
-
-            state["nonce"] = secrets.token_hex(4)
+        _ensure_nonce(state)
         entry = append_ivf_pq_index(
             spark,
             base_vec_path,
@@ -890,12 +884,7 @@ def stream_graph_maintenance(
             state = _load()
             _replay_rewind(state, batch_id, ("chain",))
             prev = {"chain": state["chain"]}
-            if "nonce" not in state:
-                # per-checkpoint identity in the delta key — see
-                # stream_document_maintenance's nonce comment
-                import secrets
-
-                state["nonce"] = secrets.token_hex(4)
+            _ensure_nonce(state)
             entry = append_documents(
                 spark,
                 sf_dir,
@@ -913,17 +902,7 @@ def stream_graph_maintenance(
         finally:
             parsed.unpersist()
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(input_dir)
-        .select("path", "length", "content")
-    )
-    parsed = files.mapInPandas(_parse_batches, schema=_PARSE_SCHEMA)
+    parsed = _xml_file_stream(spark, input_dir, glob, max_files_per_trigger)
     writer = (
         parsed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
