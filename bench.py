@@ -141,7 +141,14 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — unhashable schema: pay the collect
             plan = None
         if plan is not None:
-            plan.collect()
+            try:
+                plan.collect()
+            except Exception:  # noqa: BLE001 — lazy-analysis backends
+                # (Spark Connect) surface AnalysisException at collect,
+                # not at df.select — an unhashable schema there must
+                # still fall back to a real collect, not record a
+                # query error (r14 ADVICE)
+                df.collect()
         else:
             df.collect()
 
@@ -176,11 +183,18 @@ def main() -> None:
             key=lambda kv: kv[1],
         )
     )
+    # timing-semantics version stamp: "hash_eval_v2" = non-headline
+    # gates pay a full xxhash64-over-all-columns evaluation (r14+);
+    # r13-and-earlier totals used count() timing, which Catalyst
+    # value-prunes — raw totals across that boundary are NOT
+    # comparable (r14 VERDICT task 7).
+    timing_semantics = "hash_eval_v2"
     out = {
         "queries": ordered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "unit": "sec",
         "value": total,
+        "timing": timing_semantics,
         "metric": "headline_queries_total",
     }
     if errors:
@@ -203,6 +217,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": out["sf"],
+        "timing": timing_semantics,
         "n": len(ordered),
         "n_errors": len(errors),
         "queries": heaviest,

@@ -529,6 +529,54 @@ class TestFuzzyMatch:
         # raising the bound (or a finer key) unblocks
         assert D.fuzzy_match_pairs(df, max_block=100).count() >= 0
 
+    def test_second_blocking_key_recovers_first_word_typos(self, spark):
+        """r14 VERDICT task 6: first-token blocking never compares
+        names whose FIRST word is the typo'd one — the union
+        last-token block recovers them; pairs matched under BOTH keys
+        score once; the default stays byte-identical to single-key."""
+        df = spark.createDataFrame(
+            [
+                (1, "green metallic paint"),
+                (2, "gren metallic paint"),   # FIRST-word typo: only 'last' finds it
+                (3, "green metalic paint"),   # middle typo: BOTH keys match -> once
+                (4, "green metallic paints"),  # last-word typo: only 'first' finds it
+                (5, "blue oxide paints"),     # shares last token with 4 (dist > 3)
+            ],
+            "id long, name string",
+        )
+        first_only = {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in D.fuzzy_match_names(df, max_dist=3).collect()
+        }
+        assert ("green metallic paint", "gren metallic paint") not in first_only
+        both = {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in D.fuzzy_match_names(
+                df, max_dist=3, block_keys=("first", "last")
+            ).collect()
+        }
+        # the first-word typo is recovered through the last-token block
+        assert both[("green metallic paint", "gren metallic paint")] == 1
+        # everything single-key found is still found (recall is a superset)
+        assert set(first_only) <= set(both)
+        # double-key match appears exactly once with the same dist
+        assert both[("green metalic paint", "green metallic paint")] == 1
+        rows = D.fuzzy_match_names(
+            df, max_dist=3, block_keys=("first", "last")
+        ).collect()
+        assert len(rows) == len({(r["name_a"], r["name_b"]) for r in rows})
+        # the record-pair expansion honors the same knob
+        pair_ids = {
+            (r["id_a"], r["id_b"])
+            for r in D.fuzzy_match_pairs(
+                df, max_dist=3, min_dist=1, block_keys=("first", "last")
+            ).collect()
+        }
+        assert (1, 2) in pair_ids and (1, 3) in pair_ids and (1, 4) in pair_ids
+        # an unknown key fails loudly
+        with pytest.raises(ValueError, match="block_keys"):
+            D.fuzzy_match_names(df, block_keys=("soundex",))
+
 
 class TestFuzzyMatchProperties:
     """Hypothesis property test: the distinct-name + expansion plan

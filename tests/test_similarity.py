@@ -629,6 +629,45 @@ class TestPca:
         proj_var = (X @ comps[0]).var()
         assert proj_var >= X.var(axis=0).max() - 1e-9
 
+    def test_covariance_oracle_null_vector_parity(self, spark, tmp_path):
+        """ADVICE r14 (medium): the Spark plan filters NULL embeddings
+        (similarity.py) — the DuckDB oracle's ``s`` CTE must derive n
+        from the SAME row set (``embedding IS NOT NULL``), or a null
+        vector in the sampled stratum deflates every oracle cov
+        through count(*). Plants a NULL at a vec_id % 5 == 0 slot and
+        pins full gate-vs-oracle hash parity. Same latent class as the
+        ks-midpoint fix r14 landed."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tests.oracle_harness import compare
+        from xml_to_sqlite3_spark.plans.llm_pipeline import (
+            EMBEDDING_COV_ORACLE,
+            embedding_covariance,
+        )
+
+        def vec64(seed):
+            return [
+                math.sin(0.37 * seed + 1.13 * d) + 0.01 * seed for d in range(64)
+            ]
+
+        vecs = [vec64(i) if i not in (10, 15) else None for i in range(30)]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(30), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        ok, detail = compare(
+            embedding_covariance(spark, str(tmp_path)),
+            EMBEDDING_COV_ORACLE,
+            str(tmp_path),
+        )
+        assert ok, detail
+
 
 class TestIvfPqAppend:
     """O(delta) appends for the IVF-PQ index (the fifth persistent

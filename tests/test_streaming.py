@@ -431,6 +431,33 @@ def test_maintenance_replay_rewind():
         _replay_rewind(st, 0, ("dedup_chain", "index_chain"))
 
 
+def test_delta_key_nonce_migration():
+    """ADVICE r14: replaying the in-flight batch of a PRE-NONCE
+    sidecar (legacy ``b{N}`` chain keys, no nonce field) must keep the
+    legacy key format so the replay ATTACHES the already-published
+    entry instead of publishing a parallel one under a fresh nonce;
+    nonce minting resumes from the next new batch."""
+    from xml_to_sqlite3_spark.streaming.ingest import _delta_key
+
+    # legacy sidecar replaying its in-flight batch: legacy key, no mint
+    st = {"dedup_chain": "b0", "prev": {"dedup_chain": "b0"}, "last_batch": 1}
+    assert _delta_key(st, 1) == "b1"
+    assert "nonce" not in st
+
+    # the NEXT batch mints the nonce and switches format
+    dk = _delta_key(st, 2)
+    assert "nonce" in st and dk == f"{st['nonce']}-b2"
+
+    # a nonce-bearing sidecar replays under the SAME nonce key
+    st["last_batch"] = 2
+    assert _delta_key(st, 2) == dk
+
+    # a fresh (never-run) checkpoint mints immediately at batch 0
+    st2 = {"dedup_chain": ""}
+    dk0 = _delta_key(st2, 0)
+    assert "nonce" in st2 and dk0 == f"{st2['nonce']}-b0"
+
+
 def test_maintained_attach_requires_complete(spark, tmp_path, monkeypatch):
     """ADVICE r13: a chain sidecar naming an entry that is NOT
     published under the current cache roots (cleared cache, different

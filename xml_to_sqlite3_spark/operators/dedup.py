@@ -913,6 +913,7 @@ def _components_store_key(
     doc_path: str,
     threshold: float,
     n: int,
+    k: int,
     id_col: str,
     text_col: str,
     append: str = "",
@@ -922,11 +923,18 @@ def _components_store_key(
     definition shared by the build, the append path, and the
     maintenance-stream attach accessor (streaming/ingest.py), so a
     key-format change can never desynchronize a reader from the entry
-    it expects."""
+    it expects.
+
+    ``k`` is IN the key (r14 ADVICE) even though the closure itself is
+    k-independent (pairs come from exact token Jaccard): the CHAINED
+    build reads its pairing tokens from the k-keyed dedup entry at
+    ``base_append``, so two chains maintained with different k must
+    never share one components entry — if token derivation ever became
+    k-sensitive, a shared entry would silently serve the wrong chain."""
     from ..cache_util import content_key
     from . import graph as _graph_mod
 
-    extra = f"t{threshold}_n{n}_{id_col}_{text_col}"
+    extra = f"t{threshold}_n{n}_k{k}_{id_col}_{text_col}"
     if append:
         extra = f"{extra}|append|{append}"
     return content_key(
@@ -1079,6 +1087,7 @@ def get_components_store(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 64,
 ) -> DataFrame:
     """(doc_id, component, is_keeper) — the near-duplicate connected
     components of the corpus at (threshold, n), as a PERSISTENT
@@ -1099,7 +1108,7 @@ def get_components_store(
     from ..cache_util import content_cached_dir
     from .graph import duplicate_groups
 
-    ck = _components_store_key(doc_path, threshold, n, id_col, text_col)
+    ck = _components_store_key(doc_path, threshold, n, k, id_col, text_col)
     memo_key = (spark.sparkContext.applicationId, ck)
     memo = _COMPONENTS_STORE_MEMO.get(memo_key)
     if memo is not None:
@@ -1109,7 +1118,7 @@ def get_components_store(
     def _build(tmp: str) -> None:
         docs = spark.read.parquet(doc_path)
         tokens, _ = get_minhash_store(
-            spark, doc_path, n=n, id_col=id_col, text_col=text_col
+            spark, doc_path, n=n, k=k, id_col=id_col, text_col=text_col
         )
         pairs = ngram_jaccard_pairs(
             docs, threshold=threshold, n=n, id_col=id_col,
@@ -1409,7 +1418,7 @@ def append_components(
     root = _minhash_cache_root()
     if base_append:
         base_ck = _components_store_key(
-            doc_path, threshold, n, id_col, text_col, append=base_append
+            doc_path, threshold, n, k, id_col, text_col, append=base_append
         )
         if not os.path.exists(os.path.join(root, base_ck, "_COMPLETE")):
             raise ValueError(
@@ -1420,14 +1429,16 @@ def append_components(
         chain = f"{base_append}+{delta_key}"
     else:
         get_components_store(
-            spark, doc_path, threshold=threshold, n=n,
+            spark, doc_path, threshold=threshold, n=n, k=k,
             id_col=id_col, text_col=text_col,
         )
-        base_ck = _components_store_key(doc_path, threshold, n, id_col, text_col)
+        base_ck = _components_store_key(
+            doc_path, threshold, n, k, id_col, text_col
+        )
         chain = delta_key
     base_dir = os.path.join(root, base_ck)
     ck = _components_store_key(
-        doc_path, threshold, n, id_col, text_col, append=chain
+        doc_path, threshold, n, k, id_col, text_col, append=chain
     )
     # the appended dedup store is both the delta postings' source and
     # the artifact a real pipeline maintains alongside the closure
@@ -1525,6 +1536,96 @@ def append_components(
     }
 
 
+# the blocking-key vocabulary for fuzzy matching: each entry maps a
+# normalized name Column to an equi-join block value. "first" is the
+# r12 default; "last" recovers first-word typos (r14 VERDICT task 6).
+_BLOCK_KEY_EXPRS = {
+    "first": lambda nm: F.split(nm, " ").getItem(0),
+    "last": lambda nm: F.element_at(F.split(nm, " "), -1),
+}
+
+
+def _blocked_name_candidates(
+    names: DataFrame,
+    block_keys: tuple,
+    max_dist: int,
+    max_block: int,
+    fn_name: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Candidate DISTINCT-name pairs for fuzzy matching, generated as
+    the UNION over ``block_keys`` equi-join blocks — shared by
+    :func:`fuzzy_match_pairs` and :func:`fuzzy_match_names` so the
+    blocking semantics (fat-block guard per (key, block), length
+    prefilter, cross-key dedup BEFORE the distance evaluates) can
+    never diverge between the two surfaces.
+
+    ``names`` must carry (nm, ln) plus ``extra_cols``; returns
+    (nma, nmb, lna, lnb, a_<extra>, b_<extra>) with nma < nmb, each
+    pair exactly once even when several keys match it. With a single
+    key this is the classic one-block hash join (no dedup shuffle
+    added); every added key costs one more postings branch and one
+    dropDuplicates on the candidate (vocabulary-bounded) relation —
+    never a corpus-sized shuffle.
+    """
+    unknown = [k2 for k2 in block_keys if k2 not in _BLOCK_KEY_EXPRS]
+    if not block_keys or unknown:
+        raise ValueError(
+            f"{fn_name}: block_keys must be a non-empty subset of "
+            f"{sorted(_BLOCK_KEY_EXPRS)}, got {block_keys!r}"
+        )
+    keyed = None
+    for kind in block_keys:
+        part = names.select(
+            "nm",
+            "ln",
+            *extra_cols,
+            F.lit(kind).alias("bk"),
+            _BLOCK_KEY_EXPRS[kind](F.col("nm")).alias("bv"),
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    # consumers: the fat guard and both sides of the self-join
+    keyed = keyed.localCheckpoint(eager=False)
+    fat = (
+        keyed.groupBy("bk", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    )
+    if fat:
+        detail = ", ".join(
+            f"{r['bk']}-token block '{r['bv']}': {r['n']} names" for r in fat
+        )
+        raise ValueError(
+            f"{fn_name}: block(s) exceed max_block={max_block} distinct "
+            f"names ({detail}); the within-block pair join is quadratic "
+            "in the name vocabulary — use a finer blocking key or raise "
+            "max_block explicitly if the cost is intended"
+        )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.nm") < F.col("b.nm"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
+    ).select(
+        F.col("a.nm").alias("nma"),
+        F.col("b.nm").alias("nmb"),
+        F.col("a.ln").alias("lna"),
+        F.col("b.ln").alias("lnb"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in extra_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in extra_cols],
+    )
+    if len(block_keys) > 1:
+        # a pair whose names share SEVERAL block values (same first
+        # AND same last token) must still be scored once
+        cand = cand.dropDuplicates(["nma", "nmb"])
+    return cand
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -1532,6 +1633,7 @@ def fuzzy_match_pairs(
     max_dist: int = 2,
     min_dist: int = 0,
     max_block: int = 100_000,
+    block_keys: tuple = ("first",),
 ) -> DataFrame:
     """Fuzzy entity matching (record linkage) via a BLOCKED
     edit-distance join: the classic entity-resolution step of a data
@@ -1580,13 +1682,19 @@ def fuzzy_match_pairs(
     API is :func:`fuzzy_match` (name-level relation); this expansion
     sits behind its ``expand_records=True``.
 
-    RECALL BOUND inherent to the blocking key: names are only compared
-    WITHIN a first-token block, so a typo in the FIRST word ('gren
-    metallic' vs 'green metallic') lands in different blocks and is
-    never compared. That is the standard blocked-record-linkage
-    trade; widen recall with a second pass under another key (sorted
-    tokens, soundex of the first token, a length bucket) unioned with
-    this one if first-token typos matter for the corpus.
+    RECALL BOUND inherent to blocking: names are only compared WITHIN
+    a block, so a typo in the blocking token lands in different
+    blocks and is never compared. ``block_keys`` widens recall by
+    UNIONING candidate generation over several keys (r14 VERDICT
+    task 6): the default ``("first",)`` blocks on the first token
+    (the r12 behavior, byte-identical results); ``("first", "last")``
+    ALSO pairs names sharing their LAST token, so a first-word typo
+    ('gren metallic' vs 'green metallic') is recovered through the
+    last-token block. Candidates matched under several keys are
+    deduped BEFORE the distance evaluates, so each name pair is
+    scored once; the fat-block guard applies per (key, block). A pair
+    typo'd in EVERY blocking token remains unmatched — that is the
+    inherent blocked-record-linkage trade.
     """
     # EXPLICIT empty/NULL-name contract (the hard_negative_topk
     # null-label precedent): a record with no usable entity string
@@ -1599,53 +1707,28 @@ def fuzzy_match_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         norm.alias("nm"),
-        F.split(norm, " ").getItem(0).alias("blk"),
         F.length(norm).alias("ln"),
     ).filter(F.col("nm").isNotNull() & (F.col("ln") > 0))
     # consumers: the distinct-name projection, the record expansion
     # joins, and (min_dist == 0) the same-name pair generator — pin
     # so the normalize projection runs once (semdedup's pattern)
     base = base.localCheckpoint(eager=False)
-    names = base.select("nm", "blk", "ln").distinct().localCheckpoint(eager=False)
-    fat = (
-        names.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_block)
-        .orderBy(F.desc("n"))
-        .limit(3)
-        .collect()
+    names = base.select("nm", "ln").distinct()
+    cand = _blocked_name_candidates(
+        names, block_keys, max_dist, max_block, "fuzzy_match_pairs"
     )
-    if fat:
-        detail = ", ".join(f"block '{r['blk']}': {r['n']} names" for r in fat)
-        raise ValueError(
-            f"fuzzy_match_pairs: block(s) exceed max_block={max_block} "
-            f"distinct names ({detail}); the within-block pair join is "
-            "quadratic in the name vocabulary — use a finer blocking key "
-            "(more tokens, add a length bucket) or raise max_block "
-            "explicitly if the cost is intended"
-        )
-    a, b = names.alias("a"), names.alias("b")
-    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
+    dist = F.levenshtein(F.col("nma"), F.col("nmb"), max_dist)
     # each DISTINCT name pair scored once; nm ordering only
     # canonicalizes the comparison — record-level (id_a < id_b)
     # orientation is restored in the expansion below
-    name_pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.nm") < F.col("b.nm"))
-            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
-        )
-        .select(
-            F.col("a.nm").alias("nma"),
-            F.col("b.nm").alias("nmb"),
-            dist.alias("dist"),
-            F.greatest(F.col("a.ln"), F.col("b.ln")).alias("__mx"),
-        )
-        .filter(
-            (F.col("dist") >= F.greatest(F.lit(min_dist), F.lit(1)))
-            & (F.col("dist") <= max_dist)
-        )
+    name_pairs = cand.select(
+        "nma",
+        "nmb",
+        dist.alias("dist"),
+        F.greatest(F.col("lna"), F.col("lnb")).alias("__mx"),
+    ).filter(
+        (F.col("dist") >= F.greatest(F.lit(min_dist), F.lit(1)))
+        & (F.col("dist") <= max_dist)
     )
     ra = base.select(F.col("nm").alias("nma"), F.col("id").alias("ida"))
     rb = base.select(F.col("nm").alias("nmb"), F.col("id").alias("idb"))
@@ -1703,6 +1786,7 @@ def fuzzy_match_names(
     max_dist: int = 2,
     min_dist: int = 1,
     max_block: int = 100_000,
+    block_keys: tuple = ("first",),
 ) -> DataFrame:
     """The VOCABULARY-sized view of fuzzy entity matching: matched
     DISTINCT-name pairs with their record-group sizes — what a
@@ -1715,9 +1799,12 @@ def fuzzy_match_names(
     relation is ~16 rows). ``min_dist`` is coerced to >= 1: same-name
     record groups are exact_duplicates' output, not a fuzzy match.
 
-    Same first-token blocking as :func:`fuzzy_match_pairs`, and the
-    same RECALL BOUND: a typo in the first word is never compared
-    (see that docstring for the second-blocking-key mitigation).
+    Same blocking machinery as :func:`fuzzy_match_pairs`
+    (``block_keys``, shared :func:`_blocked_name_candidates`), and
+    the same RECALL BOUND per key: with the default first-token
+    blocking a typo in the first word is never compared — pass
+    ``block_keys=("first", "last")`` to recover those through the
+    last-token block.
 
     Returns (name_a, name_b, dist, similarity, n_a, n_b, n_pairs)
     with name_a < name_b, ordered by (dist, name_a, name_b).
@@ -1726,44 +1813,27 @@ def fuzzy_match_names(
     base = df.select(
         F.col(id_col).alias("id"),
         norm.alias("nm"),
-        F.split(norm, " ").getItem(0).alias("blk"),
         F.length(norm).alias("ln"),
     ).filter(F.col("nm").isNotNull() & (F.col("ln") > 0))
     base = base.localCheckpoint(eager=False)
-    sized = base.groupBy("nm", "blk", "ln").agg(
-        F.count(F.lit(1)).alias("n_rec")
-    ).localCheckpoint(eager=False)
-    fat = (
-        sized.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_block)
-        .orderBy(F.desc("n"))
-        .limit(3)
-        .collect()
+    sized = base.groupBy("nm", "ln").agg(F.count(F.lit(1)).alias("n_rec"))
+    cand = _blocked_name_candidates(
+        sized,
+        block_keys,
+        max_dist,
+        max_block,
+        "fuzzy_match_names",
+        extra_cols=("n_rec",),
     )
-    if fat:
-        detail = ", ".join(f"block '{r['blk']}': {r['n']} names" for r in fat)
-        raise ValueError(
-            f"fuzzy_match_names: block(s) exceed max_block={max_block} "
-            f"distinct names ({detail}); use a finer blocking key or raise "
-            "max_block explicitly if the quadratic cost is intended"
-        )
-    a, b = sized.alias("a"), sized.alias("b")
-    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
+    dist = F.levenshtein(F.col("nma"), F.col("nmb"), max_dist)
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.nm") < F.col("b.nm"))
-            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(max_dist)),
-        )
-        .select(
-            F.col("a.nm").alias("name_a"),
-            F.col("b.nm").alias("name_b"),
+        cand.select(
+            F.col("nma").alias("name_a"),
+            F.col("nmb").alias("name_b"),
             dist.alias("dist"),
-            F.greatest(F.col("a.ln"), F.col("b.ln")).alias("__mx"),
-            F.col("a.n_rec").alias("n_a"),
-            F.col("b.n_rec").alias("n_b"),
+            F.greatest(F.col("lna"), F.col("lnb")).alias("__mx"),
+            F.col("a_n_rec").alias("n_a"),
+            F.col("b_n_rec").alias("n_b"),
         )
         .filter(
             (F.col("dist") >= F.greatest(F.lit(min_dist), F.lit(1)))
@@ -1792,6 +1862,7 @@ def fuzzy_match(
     min_dist: int = 1,
     max_block: int = 100_000,
     expand_records: bool = False,
+    block_keys: tuple = ("first",),
 ) -> DataFrame:
     """The public entry point for fuzzy entity matching. DEFAULT is
     the VOCABULARY-sized name relation (:func:`fuzzy_match_names` —
@@ -1816,6 +1887,7 @@ def fuzzy_match(
             max_dist=max_dist,
             min_dist=min_dist,
             max_block=max_block,
+            block_keys=block_keys,
         )
     return fuzzy_match_names(
         df,
@@ -1824,6 +1896,7 @@ def fuzzy_match(
         max_dist=max_dist,
         min_dist=min_dist,
         max_block=max_block,
+        block_keys=block_keys,
     )
 
 

@@ -1359,6 +1359,13 @@ def embedding_covariance(
     default exists for the DuckDB oracle twin; serve with the fast
     path (measured ~3-5x cheaper at sf1) unless you need bit-exact
     replayability.
+
+    NOTE (laziness contract, r14 VERDICT task 8): the exact path runs
+    an eager ``v.count()`` at PLAN-CONSTRUCTION time (one count job
+    over the null-filtered vectors) because n feeds the plan as a
+    literal — the same documented eagerness as psi/ks's non-empty
+    guard. Callers composing lazy pipelines should build this plan
+    once and reuse it; the fast path (``exact=False``) is fully lazy.
     """
     if not exact:
         return _embedding_covariance_fast(df, vec_col)

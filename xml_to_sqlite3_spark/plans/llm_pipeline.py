@@ -2089,7 +2089,8 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_COV_ORACLE = r"""
 WITH s AS (
-  SELECT embedding AS v FROM embeddings WHERE vec_id % 5 = 0
+  SELECT embedding AS v FROM embeddings
+  WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
 ), n AS (
   SELECT CAST(count(*) AS DOUBLE) AS n FROM s
 ), idx AS (

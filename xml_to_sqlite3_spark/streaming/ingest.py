@@ -329,6 +329,27 @@ def _ensure_nonce(state: dict) -> None:
         state["nonce"] = secrets.token_hex(4)
 
 
+def _delta_key(state: dict, batch_id: int) -> str:
+    """THE maintenance delta-key format — one definition for all three
+    streams (the _ensure_nonce discipline), called AFTER
+    :func:`_replay_rewind`.
+
+    Nonce MIGRATION (r14 ADVICE): a sidecar written by pre-nonce code
+    has chains keyed ``b{N}`` and no ``nonce`` field. If the crash
+    window replay (sidecar saved, checkpoint uncommitted) lands on
+    such a sidecar, minting a nonce FIRST would publish the replayed
+    wave under a fresh ``{nonce}-b{N}`` key — a parallel entry and
+    duplicated append work instead of the pure attach of the already-
+    published ``b{N}`` entry. So a nonce-less sidecar replaying its
+    in-flight batch keeps the legacy key format for THAT batch; the
+    nonce is minted from the next new batch onward (chain strings are
+    opaque, so mixed-format chains are fine)."""
+    if "nonce" not in state and state.get("last_batch") == batch_id:
+        return f"b{batch_id}"
+    _ensure_nonce(state)
+    return f"{state['nonce']}-b{batch_id}"
+
+
 def _replay_rewind(state: dict, batch_id: int, chain_fields: tuple) -> None:
     """Replay guard for the maintenance chain sidecars: the sidecar
     is saved AFTER the batch's appends but BEFORE Structured
@@ -457,8 +478,7 @@ def stream_document_maintenance(
             )
         _replay_rewind(state, batch_id, chain_fields)
         prev = {k2: state.get(k2, "") for k2 in chain_fields}
-        _ensure_nonce(state)
-        dk = f"{state['nonce']}-b{batch_id}"
+        dk = _delta_key(state, batch_id)
         entry = append_dedup_documents(
             spark,
             base_doc_path,
@@ -635,7 +655,7 @@ def current_maintained_entries(
 
         root = _minhash_cache_root()
         ck = _components_store_key(
-            base_doc_path, threshold, n, id_col, text_col,
+            base_doc_path, threshold, n, k, id_col, text_col,
             append=state["components_chain"],
         )
         final = os.path.join(root, ck)
@@ -711,12 +731,11 @@ def stream_embedding_maintenance(
         state = _load()
         _replay_rewind(state, batch_id, ("chain",))
         prev = {"chain": state["chain"]}
-        _ensure_nonce(state)
         entry = append_ivf_pq_index(
             spark,
             base_vec_path,
             batch_df,
-            delta_key=f"{state['nonce']}-b{batch_id}",
+            delta_key=_delta_key(state, batch_id),
             n_centroids=n_centroids,
             m=m,
             ks=ks,
@@ -884,13 +903,12 @@ def stream_graph_maintenance(
             state = _load()
             _replay_rewind(state, batch_id, ("chain",))
             prev = {"chain": state["chain"]}
-            _ensure_nonce(state)
             entry = append_documents(
                 spark,
                 sf_dir,
                 nodes,
                 props,
-                delta_key=f"{state['nonce']}-b{batch_id}",
+                delta_key=_delta_key(state, batch_id),
                 check_guards=check_guards,
                 build_coreness=build_coreness,
                 base_append=state["chain"],
