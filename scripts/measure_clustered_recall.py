@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _make_fixture(out_dir: str, n_vec: int, n_clusters: int, dim: int,
-                  sigma: float, seed: int) -> None:
+                  sigma: float, seed: int, anisotropy: float = 0.0,
+                  axis_aligned: bool = False) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -44,6 +45,22 @@ def _make_fixture(out_dir: str, n_vec: int, n_clusters: int, dim: int,
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n_vec)
     X = centers[assign] + sigma * rng.standard_normal((n_vec, dim))
+    if anisotropy > 0:
+        # decaying per-dimension spectrum (scale_d ~ (d+1)^(-a/2)),
+        # then (unless --axis-aligned) a fixed random rotation so the
+        # principal directions are NOT axis-aligned — real embedding
+        # spectra decay with arbitrary directions. --axis-aligned
+        # keeps the decay on the raw coordinates (the dimension-
+        # ordered shape of PCA-projected or Matryoshka-style
+        # embeddings): there naive PQ slicing concentrates all the
+        # variance in subspace 0, the textbook OPQ-win regime.
+        # anisotropy=0 keeps the isotropic fixture bit-identical to
+        # the r14 runs.
+        scale = (np.arange(1, dim + 1)) ** (-anisotropy / 2.0)
+        X = X * scale
+        if not axis_aligned:
+            Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            X = X @ Q.T
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(
         pa.table(
@@ -67,6 +84,8 @@ def main() -> None:
     ap.add_argument("--n-clusters", type=int, default=32)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--sigma", type=float, default=0.15)
+    ap.add_argument("--anisotropy", type=float, default=0.0)
+    ap.add_argument("--axis-aligned", action="store_true")
     ap.add_argument("--seed", type=int, default=14)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--n-queries", type=int, default=24)
@@ -85,7 +104,8 @@ def main() -> None:
     fx = os.path.join(args.fixture_dir, "embeddings.parquet")
     if not os.path.exists(fx):
         _make_fixture(args.fixture_dir, args.n_vec, args.n_clusters,
-                      args.dim, args.sigma, args.seed)
+                      args.dim, args.sigma, args.seed, args.anisotropy,
+                      args.axis_aligned)
 
     spark = get_spark(app_name="measure_clustered_recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,11 +124,37 @@ def main() -> None:
     books_res = S.pq_train(
         spark.read.parquet(res_path), m=args.m, ks=args.ks, n_iter=5
     )
+    # OPQ rotation (r14 VERDICT task 4): rotation from the exact
+    # covariance of the corpus; rotated books train on R x (raw arm)
+    # and R (x - c) (residual arm)
+    cov_rows = S.embedding_covariance(corpus).collect()
+    R = S.opq_rotation(cov_rows, dim=args.dim, m=args.m)
+    rotu = S._rotate_udf(R)
+    rot_path = os.path.join(args.fixture_dir, "rotated.parquet")
+    corpus.select(
+        "vec_id", rotu(F.col("embedding")).alias("embedding")
+    ).write.mode("overwrite").parquet(rot_path)
+    books_raw_rot = S.pq_train(
+        spark.read.parquet(rot_path), m=args.m, ks=args.ks, n_iter=5
+    )
+    resrot_path = os.path.join(args.fixture_dir, "residuals_rot.parquet")
+    spark.read.parquet(res_path).select(
+        "vec_id", rotu(F.col("embedding")).alias("embedding")
+    ).write.mode("overwrite").parquet(resrot_path)
+    books_res_rot = S.pq_train(
+        spark.read.parquet(resrot_path), m=args.m, ks=args.ks, n_iter=5
+    )
     models_s = round(time.perf_counter() - t0, 2)
 
     idx_raw = S.ivf_pq_index(corpus, cents, books_raw).localCheckpoint()
     idx_res = S.ivf_pq_index(
         corpus, cents, books_res, residual=True
+    ).localCheckpoint()
+    idx_raw_rot = S.ivf_pq_index(
+        corpus, cents, books_raw_rot, rotation=R
+    ).localCheckpoint()
+    idx_res_rot = S.ivf_pq_index(
+        corpus, cents, books_res_rot, residual=True, rotation=R
     ).localCheckpoint()
 
     # ground truth: exact L2 top-k, driver-side (model-sized corpus)
@@ -154,6 +200,22 @@ def main() -> None:
                 ).collect()
             }
             note(f"ivfpq_residual_probe{np_}", got_res, want)
+            got_raw_rot = {
+                r["vec_id"]
+                for r in S.ivf_pq_topk(
+                    idx_raw_rot, cents, books_raw_rot, qv, k=args.k,
+                    n_probe=np_, rotation=R,
+                ).collect()
+            }
+            note(f"ivfpq_raw_opq_probe{np_}", got_raw_rot, want)
+            got_res_rot = {
+                r["vec_id"]
+                for r in S.ivf_pq_topk(
+                    idx_res_rot, cents, books_res_rot, qv, k=args.k,
+                    n_probe=np_, residual=True, rotation=R,
+                ).collect()
+            }
+            note(f"ivfpq_residual_opq_probe{np_}", got_res_rot, want)
 
     out = {
         "metric": "clustered_vector_recall",
@@ -163,6 +225,8 @@ def main() -> None:
             "n_clusters": args.n_clusters,
             "dim": args.dim,
             "sigma": args.sigma,
+            "anisotropy": args.anisotropy,
+            "axis_aligned": args.axis_aligned,
             "seed": args.seed,
         },
         "index": {

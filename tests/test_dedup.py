@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from xml_to_sqlite3_spark.operators import dedup as D
 
@@ -421,13 +422,25 @@ def test_shingle_novelty_store_tokens_match_recompute(spark, tmp_path):
         "doc_id long, text string",
     )
     direct = shingle_novelty(df, n=3).collect()
-    # mimic the store frame: (doc_id, h) with the (n, k) meta tag
-    tagged = _shingle_tokens(df, 3, "doc_id", "text").select("doc_id", "h")
+    # mimic the store frame: (doc_id, h, h2) with the (n, k) meta tag
+    tagged = _shingle_tokens(df, 3, "doc_id", "text").select(
+        "doc_id", "h", "h2"
+    )
     tagged._mh_meta = {"n": 3, "k": 64}
     via_store = shingle_novelty(df, n=3, tokens=tagged).collect()
     assert direct == via_store
     with pytest.raises(ValueError):
         shingle_novelty(df, n=4, tokens=tagged)
+    # a LEGACY 60-bit store frame (no h2) fails loud at the default
+    # width and still serves at key_width=60
+    legacy = _shingle_tokens(df, 3, "doc_id", "text").select("doc_id", "h")
+    legacy._mh_meta = {"n": 3, "k": 64}
+    with pytest.raises(ValueError, match="h2"):
+        shingle_novelty(df, n=3, tokens=legacy)
+    assert (
+        shingle_novelty(df, n=3, tokens=legacy, key_width=60).collect()
+        == direct
+    )
 
 
 def test_components_store_attach_and_equivalence(spark, tmp_path, monkeypatch):
@@ -720,3 +733,82 @@ def test_fuzzy_match_default_api(spark):
         for r in D.fuzzy_match_pairs(df, max_dist=2, min_dist=1).collect()
     }
     assert expanded == direct == {(1, 3), (2, 3)}
+
+
+class TestExactIdentityKeyWidth:
+    """r14 VERDICT task 3: the exact-identity key width is a knob
+    (60 = legacy single md5 half, 120 = both halves — the 100 TB
+    default), and the DuckDB oracles replay at BOTH widths: results
+    are identical absent a 60-bit collision, which no sf-scale corpus
+    contains."""
+
+    def test_hash_halves_portable(self, spark):
+        """Both md5 halves match an independent python replica of the
+        DuckDB expressions ('0x' || substr(md5(x), 1|16, 15))::BIGINT
+        — the portability contract that keeps wide keys SQL-replayable."""
+        import hashlib
+
+        vals = ["alpha beta", "räksmörgås", "", "x" * 500]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        rows = df.select(
+            "s",
+            D._md5_long(F.col("s")).alias("h"),
+            D._md5_long_hi(F.col("s")).alias("h2"),
+        ).collect()
+        for r in rows:
+            hx = hashlib.md5(r["s"].encode("utf-8")).hexdigest()
+            assert r["h"] == int(hx[0:15], 16)
+            assert r["h2"] == int(hx[15:30], 16)
+            assert 0 <= r["h"] < 1 << 60 and 0 <= r["h2"] < 1 << 60
+
+    @pytest.mark.parametrize("width", [60, 120])
+    def test_ngram_jaccard_oracle_replay(self, spark, width):
+        from tests.oracle_harness import compare
+        from xml_to_sqlite3_spark.plans.llm_pipeline import (
+            NGRAM_JACCARD_ORACLE,
+            _minhash_store,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        tokens, _ = _minhash_store(spark, sf)
+        got = D.ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            threshold=0.01,
+            n=3,
+            tokens=tokens,
+            key_width=width,
+        ).orderBy("doc_a", "doc_b")
+        ok, detail = compare(got, NGRAM_JACCARD_ORACLE, sf)
+        assert ok, (width, detail)
+
+    @pytest.mark.parametrize("width", [60, 120])
+    def test_line_dedup_oracle_replay(self, spark, width):
+        from tests.oracle_harness import compare
+        from xml_to_sqlite3_spark.operators import curation as C
+        from xml_to_sqlite3_spark.plans.curation_q import (
+            LINE_DEDUP_ORACLE,
+            _wrapped_docs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            C.line_dedup(_wrapped_docs(spark, sf), key_width=width)
+            .select(
+                "doc_id",
+                F.md5("text_deduped").alias("text_md5"),
+                "n_lines_kept",
+                "n_lines_total",
+            )
+            .orderBy("doc_id")
+        )
+        ok, detail = compare(got, LINE_DEDUP_ORACLE, sf)
+        assert ok, (width, detail)
+
+    def test_invalid_width_raises(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="key_width"):
+            D.ngram_jaccard_pairs(df, key_width=128).collect()
+        from xml_to_sqlite3_spark.operators import curation as C
+
+        with pytest.raises(ValueError, match="key_width"):
+            C.line_dedup(df, key_width=128).collect()

@@ -916,3 +916,134 @@ class TestIvfPqResidualMarker:
             "vec_id long, cluster int, codes array<int>",
         )
         S.ivf_pq_topk(bare, cents, books, _vec(3), residual=False).collect()
+
+
+class TestOpqRotation:
+    """OPQ-style rotation (r14 VERDICT task 4): eigenvalue-allocated
+    PCA rotation before PQ. The rotation is an isometry, so ADC
+    semantics are exact in rotated space; recall lift is measured on
+    the clustered fixture (scripts/measure_clustered_recall.py)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, _vec(i)) for i in range(60)]
+        rows.append((300, _vec(7)))  # exact dup of vec 7
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture(scope="class")
+    def rot_models(self, corpus):
+        import numpy as np
+
+        cov_rows = S.embedding_covariance(corpus).collect()
+        R = S.opq_rotation(cov_rows, dim=DIM, m=4)
+        cents = S.spherical_kmeans(corpus, k=8, n_iter=3)
+        rot = S._rotate_udf(R)
+        from pyspark.sql import functions as F
+
+        rotated = corpus.select(
+            "vec_id", rot(F.col("embedding")).alias("embedding")
+        ).localCheckpoint()
+        books = S.pq_train(rotated, m=4, ks=8, n_iter=3)
+        return R, cents, books
+
+    def test_rotation_orthonormal_and_deterministic(self, corpus):
+        import numpy as np
+
+        cov_rows = S.embedding_covariance(corpus).collect()
+        R1 = S.opq_rotation(cov_rows, dim=DIM, m=4)
+        R2 = S.opq_rotation(cov_rows, dim=DIM, m=4)
+        assert R1.shape == (DIM, DIM)
+        assert np.array_equal(R1, R2)
+        assert np.allclose(R1 @ R1.T, np.eye(DIM), atol=1e-9)
+        with pytest.raises(ValueError, match="divisible"):
+            S.opq_rotation(cov_rows, dim=DIM, m=3)
+
+    def test_rotated_encode_matches_numpy_replica(self, corpus, rot_models):
+        import numpy as np
+
+        R, _, books = rot_models
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in S.pq_encode(corpus, books, rotation=R).collect()
+        }
+        m, ks, sub = books.shape
+        for vid, vec in [(i, _vec(i)) for i in range(60)] + [(300, _vec(7))]:
+            x = R @ np.asarray(vec)
+            want = [
+                int(
+                    ((books[j] - x[j * sub : (j + 1) * sub]) ** 2)
+                    .sum(axis=1)
+                    .argmin()
+                )
+                for j in range(m)
+            ]
+            assert got[vid] == want, vid
+
+    def test_rotated_adc_isometry(self, corpus, rot_models):
+        """Rotated ADC distance == squared L2 between R q and the
+        reconstructed R x — and the exact dup still ranks first at
+        distance == its own quantization error."""
+        import numpy as np
+
+        R, _, books = rot_models
+        codes = S.pq_encode(corpus, books, rotation=R)
+        q = _vec(7)
+        top = S.pq_topk(codes, books, q, k=3, rotation=R).collect()
+        ids = [r["vec_id"] for r in top]
+        assert set(ids[:2]) == {7, 300}  # query vec + its exact dup
+        assert top[0]["adc_dist"] == top[1]["adc_dist"]
+
+    def test_rotated_exhaustive_probe_identity_and_marker(
+        self, corpus, rot_models
+    ):
+        R, cents, books = rot_models
+        index = S.ivf_pq_index(corpus, cents, books, rotation=R)
+        codes = S.pq_encode(corpus, books, rotation=R)
+        q = _vec(7)
+        flat = [
+            (r["vec_id"], r["adc_dist"])
+            for r in S.pq_topk(codes, books, q, k=15, rotation=R).collect()
+        ]
+        ivf = [
+            (r["vec_id"], r["adc_dist"])
+            for r in S.ivf_pq_topk(
+                index, cents, books, q, k=15, n_probe=8, rotation=R
+            ).collect()
+        ]
+        assert ivf == flat
+        # the rotate marker is enforced both ways
+        with pytest.raises(ValueError, match="rotation"):
+            S.ivf_pq_topk(index, cents, books, q, k=5)
+        raw_index = S.ivf_pq_index(corpus, cents, books)
+        with pytest.raises(ValueError, match="rotation"):
+            S.ivf_pq_topk(raw_index, cents, books, q, k=5, rotation=R)
+
+    def test_persistent_rotated_index_attach(
+        self, spark, corpus, tmp_path, monkeypatch
+    ):
+        import numpy as np
+
+        monkeypatch.setenv("SPARK_GRAFT_CODEBOOK_CACHE", str(tmp_path / "cb"))
+        data = str(tmp_path / "vecs")
+        corpus.write.parquet(data)
+        kw = dict(n_centroids=8, m=4, ks=8, n_iter=2)
+        idx = S.get_ivf_pq_index(spark, data, rotate=True, **kw)
+        # attached == live encode under the same persistent models
+        R = S.get_opq_rotation(spark, data, m=4)
+        cents = S.get_codebook(spark, data, k=8, n_iter=2)
+        books = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2, rotate=True)
+        live = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in S.ivf_pq_index(
+                spark.read.parquet(data), cents, books, rotation=R
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in idx.collect()
+        }
+        assert got == live
+        # rotated and raw books are DIFFERENT artifacts
+        raw_books = S.get_pq_codebooks(spark, data, m=4, ks=8, n_iter=2)
+        assert not np.array_equal(books, raw_books)
+        S.clear_codebook_cache()

@@ -656,3 +656,93 @@ def test_components_chain_lockstep_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="frozen at chain"):
         current_maintained_entries(spark, "/nonexistent/base", str(ckpt))
+
+
+def test_chain_entry_pruning_and_head_attach(spark, tmp_path, monkeypatch):
+    """r14 VERDICT task 5 (GC half): entry COUNT grows O(waves) —
+    after each batch, chain entries older than the newest
+    ``chain_retention`` links are pruned once cold, the head (and the
+    replay-rewind target one link back) always survive, the base
+    no-append entry is untouched, and a pruned chain still
+    COLD-attaches at head."""
+    from xml_to_sqlite3_spark.operators import dedup as D
+    from xml_to_sqlite3_spark.operators.dedup import (
+        _minhash_cache_root,
+        _minhash_store_key,
+    )
+    from xml_to_sqlite3_spark.operators import search as S
+    from xml_to_sqlite3_spark.streaming.ingest import (
+        current_maintained_entries,
+        stream_document_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_CACHE", str(tmp_path / "mh"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "ix"))
+
+    def mkdocs(ids):
+        return spark.createDataFrame(
+            [(i, f"alpha beta doc {i} gamma delta {i % 3} common words") for i in ids],
+            "doc_id long, text string",
+        )
+
+    base_path = str(tmp_path / "base_docs")
+    mkdocs(range(10)).repartition(1).write.parquet(base_path)
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    import glob as _glob
+
+    waves = []
+    for w in range(4):
+        wave = mkdocs(range(100 + 10 * w, 110 + 10 * w))
+        waves.append(wave)
+        staged = str(tmp_path / f"stage_w{w}")
+        wave.repartition(1).write.parquet(staged)
+        part = _glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, str(in_dir / f"w{w}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_document_maintenance(
+        spark, str(in_dir), base_path, ckpt,
+        max_files_per_trigger=1, available_now=True,
+        chain_retention=2, chain_prune_grace_sec=0.0,
+    )
+    q.awaitTermination()
+
+    got = current_maintained_entries(spark, base_path, ckpt)
+    chain = got["dedup"]["append_key"]
+    assert chain.count("+") == 3  # four waves
+    root = _minhash_cache_root()
+    parts = chain.split("+")
+    key_for = lambda ch: _minhash_store_key(
+        base_path, 3, 64, "doc_id", "text", append=ch
+    )
+    # head + exactly one predecessor survive; older links pruned
+    assert os.path.isdir(os.path.join(root, key_for(chain)))
+    assert os.path.isdir(os.path.join(root, key_for("+".join(parts[:3]))))
+    assert not os.path.isdir(os.path.join(root, key_for("+".join(parts[:2]))))
+    assert not os.path.isdir(os.path.join(root, key_for(parts[0])))
+    # the base (no-append) entry is never a chain prefix — untouched
+    assert os.path.isdir(
+        os.path.join(root, _minhash_store_key(base_path, 3, 64, "doc_id", "text"))
+    )
+
+    # COLD attach at head: drop every in-session handle, then re-read
+    D._MINHASH_STORE_MEMO.clear()
+    D._SIMHASH_STORE_MEMO.clear()
+    D._WINDOW_STORE_MEMO.clear()
+    cold = current_maintained_entries(spark, base_path, ckpt)
+    assert sorted(
+        r["doc_id"] for r in cold["dedup"]["doc_ids"].collect()
+    ) == sorted(list(range(10)) + list(range(100, 140)))
+    # and the head equals a full rebuild (self-contained entry)
+    union_path = str(tmp_path / "union_docs")
+    mkdocs(list(range(10)) + list(range(100, 140))).write.parquet(union_path)
+    rb_tokens, rb_sigs = D.get_minhash_store(spark, union_path)
+    sig_ms = lambda fr: sorted(
+        (r["doc_id"], tuple(r["signature"])) for r in fr.collect()
+    )
+    assert sig_ms(cold["dedup"]["sigs"]) == sig_ms(rb_sigs)
+
+    D.clear_minhash_store()
+    S.clear_index_cache()

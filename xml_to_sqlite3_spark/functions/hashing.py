@@ -40,3 +40,21 @@ def stable_hash60(col: Column) -> Column:
 def stable_unit(col: Column) -> Column:
     """Hash mapped into [0, 1) — the sampling coordinate."""
     return stable_hash60(col) / F.lit(HASH_SPACE)
+
+
+def stable_hash60_hi(col: Column) -> Column:
+    """Bits 61-120 of md5(value) as a non-negative int64 — the SECOND
+    independent half of the digest. Paired with :func:`stable_hash60`
+    it composes a portable 120-bit exact-identity key (two BIGINT
+    columns) for the paths where a 60-bit birthday collision would
+    silently MERGE distinct content at the 10^12-key scale (exact
+    line/shingle identity at 100 TB — r14 VERDICT task 3); sketch
+    inputs (MinHash perms, sampling, banding) stay at 60 bits, where
+    a collision is sketch noise, not corruption.
+
+    Portable: DuckDB `('0x' || substr(md5(x), 16, 15))::BIGINT`
+    produces the identical value.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 16, 15), 16, 10).cast(
+        "long"
+    )

@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 # the node-graph store's content key can cover it without keying on
 # this whole file — r10 ADVICE); re-exported here because every
 # curation operator and oracle builds on it
-from ..functions.hashing import HASH_BITS, HASH_SPACE, stable_hash60, stable_unit
+from ..functions.hashing import (
+    HASH_BITS,
+    HASH_SPACE,
+    stable_hash60,
+    stable_hash60_hi,
+    stable_unit,
+)
 
 
 def stable_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
@@ -840,6 +846,7 @@ def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_width: int = 120,
 ) -> DataFrame:
     """Corpus-level exact line deduplication (the RefinedWeb /
     CCNet-style pass): every distinct line is kept only at its FIRST
@@ -847,16 +854,33 @@ def line_dedup(
     everywhere else; documents reassemble from their surviving lines.
     Returns (id, text_deduped, n_lines_kept, n_lines_total).
 
-    Shape at scale: one shuffle on the line value to pick winners
+    Shape at scale: one shuffle on the line key to pick winners
     (window row_number over (id, idx) — map-side partial does not
     apply to row_number, but the key space is the distinct-line set,
     and a duplicate-heavy corpus shrinks it), then one shuffle on the
-    document id to reassemble. The window key here is the full line
-    text for exact semantics and oracle parity; at 100 TB, key on a
-    128-bit hash of the line instead to shrink shuffle volume
-    (collision probability ~n^2/2^129).
+    document id to reassemble. ``key_width`` (r14 VERDICT task 3)
+    picks the identity key the winner shuffle runs on: the default
+    120 partitions on BOTH portable md5 halves of the line —
+    fixed 16 bytes instead of the full line text on the hot shuffle,
+    collisions ~n^2/2^121 (negligible at the 10^12-line scale where
+    the full-text key's shuffle volume hurts); 60 is the legacy
+    single-half width (collision-safe only to ~10^8 lines — a
+    collision silently DELETES a distinct line as a duplicate).
+    Results are identical across widths absent a collision, so the
+    full-text DuckDB oracle replays both.
     """
-    w = Window.partitionBy("line").orderBy(id_col, "line_idx")
+    if key_width == 60:
+        line_key = [stable_hash60(F.col("line"))]
+    elif key_width == 120:
+        line_key = [
+            stable_hash60(F.col("line")),
+            stable_hash60_hi(F.col("line")),
+        ]
+    else:
+        raise ValueError(
+            f"line_dedup: key_width must be 60 or 120, got {key_width!r}"
+        )
+    w = Window.partitionBy(*line_key).orderBy(id_col, "line_idx")
     first_here = F.row_number().over(w) == 1
     kept = F.when(F.col("__first"), F.struct(F.col("line_idx"), F.col("line")))
     agg = (

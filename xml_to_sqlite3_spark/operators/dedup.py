@@ -127,6 +127,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     tokens: DataFrame | None = None,
+    key_width: int = 120,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing at least
     one shingle, via an inverted index: explode shingles, join on
@@ -140,47 +141,56 @@ def ngram_jaccard_pairs(
     computed over the surviving shingle space (so Jaccard stays a
     true set similarity on the filtered universe).
     """
-    # Join the inverted index on the 60-bit shingle HASH, not the
-    # shingle string — same pairs and counts (a 60-bit collision
-    # among sf-scale shingle universes is ~2^-40 territory) at ~5x
-    # less shuffle volume, since a fixed 8-byte key replaces the
-    # full n-gram text on both sides of the hot join. One shared
-    # shingle pass (_shingle_tokens) with the set size carried
-    # through the explode — or the persistent store's postings with
-    # the size re-derived by one count+join (postings are distinct
-    # per doc, so the count IS the set size).
+    # Join the inverted index on the fixed-width shingle HASH, not
+    # the shingle string — same pairs and counts at far less shuffle
+    # volume, since fixed 8-byte keys replace the full n-gram text on
+    # both sides of the hot join. ``key_width`` picks the identity
+    # width (r14 VERDICT task 3): the default 120 joins on BOTH md5
+    # halves (collisions ~n^2/2^121 — safe at 10^12 shingles);
+    # 60 is the legacy single-half width, collision-safe only to
+    # ~10^8 shingles. One shared shingle pass (_shingle_tokens) with
+    # the set size carried through the explode — or the persistent
+    # store's postings with the size re-derived by one count+join
+    # (postings are distinct per doc, so the count IS the set size).
+    kc = _key_cols(key_width, "ngram_jaccard_pairs")
     if tokens is not None:
         _check_store_meta(tokens, "tokens", n=n)
+        if "h2" not in tokens.columns and "h2" in kc:
+            raise ValueError(
+                "ngram_jaccard_pairs: key_width=120 needs the store's h2 "
+                "column — rebuild the dedup store (legacy 60-bit entry) "
+                "or pass key_width=60"
+            )
         sized = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         tokens = _carry_meta(
-            tokens.join(sized, "doc_id").select(
-                "doc_id", "n_sh", F.col("h").alias("shingle")
-            ),
+            tokens.join(sized, "doc_id").select("doc_id", "n_sh", *kc),
             tokens,
         )
     else:
         tokens = _shingle_tokens(df, n, id_col, text_col, with_size=True).select(
-            "doc_id", "n_sh", F.col("h").alias("shingle")
+            "doc_id", "n_sh", *kc
         )
     if max_df is not None:
         rare = (
-            tokens.groupBy("shingle")
+            tokens.groupBy(*kc)
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
-            .select("shingle")
+            .select(*kc)
         )
         tokens = (
-            tokens.join(rare, "shingle", "left_semi")
+            tokens.join(rare, kc, "left_semi")
             .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
         )
 
     a = tokens.alias("a")
     b = tokens.alias("b")
+    key_eq = F.lit(True)
+    for c in kc:
+        key_eq = key_eq & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     shared = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            key_eq & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -206,6 +216,41 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _md5_long_hi(col) -> F.Column:
+    """Bits 61-120 of md5 as a non-negative int64 — the SECOND half of
+    the digest (DuckDB: ``('0x' || substr(md5(x), 16, 15))::BIGINT``).
+    Paired with :func:`_md5_long` it composes a portable 120-bit
+    exact-identity key: at the 10^12-shingle scale of a 100 TB corpus,
+    60-bit birthday collisions (~n^2/2^61) silently MERGE distinct
+    content, while ~n^2/2^121 is negligible (r14 VERDICT task 3).
+    MinHash permutation inputs stay on the 60-bit half — a collision
+    there is sketch noise, not corruption."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
+def _key_cols(key_width: int, fn_name: str) -> list[str]:
+    """The posting-key column set for an exact-identity operation:
+    ``["h"]`` at 60 bits (the legacy/compat width), ``["h", "h2"]``
+    at the default 120 bits. One definition so every exact-identity
+    join/groupBy widens in lockstep."""
+    if key_width == 60:
+        return ["h"]
+    if key_width == 120:
+        return ["h", "h2"]
+    raise ValueError(
+        f"{fn_name}: key_width must be 60 or 120, got {key_width!r}"
+    )
+
+
+def _span_key_exprs(key_width: int):
+    """(builder, alias) pairs hashing a window/line value into the
+    exact-identity key columns at ``key_width`` — the Column-side
+    twin of :func:`_key_cols`."""
+    names = _key_cols(key_width, "_span_key_exprs")
+    builders = {"h": _md5_long, "h2": _md5_long_hi}
+    return [(builders[a], a) for a in names]
+
+
 def _shingle_tokens(
     df: DataFrame, n: int, id_col: str, text_col: str, with_size: bool = False
 ) -> DataFrame:
@@ -224,7 +269,14 @@ def _shingle_tokens(
     keep = ["doc_id"] + (["n_sh"] if with_size else [])
     return (
         sh.select("doc_id", *size_cols, F.explode("sh").alias("shingle"))
-        .select(*keep, _md5_long(F.col("shingle")).alias("h"))
+        .select(
+            *keep,
+            _md5_long(F.col("shingle")).alias("h"),
+            # both digest halves always travel: exact-identity
+            # consumers key on (h, h2) = 120 bits by default; the
+            # MinHash permutations read only h (sketch semantics)
+            _md5_long_hi(F.col("shingle")).alias("h2"),
+        )
     )
 
 
@@ -406,12 +458,14 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
-    # exact verify: shared-hash count via postings join on (doc, h)
-    tok_a = tokens.select(F.col("doc_id").alias("doc_a"), "h")
-    tok_b = tokens.select(F.col("doc_id").alias("doc_b"), "h")
+    # exact verify: shared-hash count via postings join on the full
+    # 120-bit key when present (h-only for legacy hand-built frames)
+    vc = ["h", "h2"] if "h2" in tokens.columns else ["h"]
+    tok_a = tokens.select(F.col("doc_id").alias("doc_a"), *vc)
+    tok_b = tokens.select(F.col("doc_id").alias("doc_b"), *vc)
     shared = (
         screened.join(tok_a, "doc_a")
-        .join(tok_b, ["doc_b", "h"])
+        .join(tok_b, ["doc_b", *vc])
         .groupBy("doc_a", "doc_b", "est_jaccard")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
@@ -520,11 +574,13 @@ def minhash_lsh_incremental(
 
     sizes_new = tok_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_a"))
     sizes_old = tok_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_b"))
+    # full 120-bit verify key when present (legacy frames: h only)
+    vc = ["h", "h2"] if "h2" in tok_new.columns else ["h"]
     shared = (
-        screened.join(tok_new.select("doc_id", "h"), "doc_id")
+        screened.join(tok_new.select("doc_id", *vc), "doc_id")
         .join(
-            tok_old.select(F.col("doc_id").alias("match_id"), "h"),
-            ["match_id", "h"],
+            tok_old.select(F.col("doc_id").alias("match_id"), *vc),
+            ["match_id", *vc],
         )
         .groupBy("doc_id", "match_id", "est_jaccard")
         .agg(F.count(F.lit(1)).alias("__inter"))
@@ -704,6 +760,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_width: int = 120,
 ) -> DataFrame:
     """Substring-level duplication detection — the span-granular pass
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -735,18 +792,23 @@ def duplicated_spans(
         )
         .filter(F.size("w") > 0)
         .select("doc_id", F.posexplode("w").alias("pos", "win"))
-        .select("doc_id", "pos", _md5_long(F.col("win")).alias("h"))
+        .select(
+            "doc_id",
+            "pos",
+            *[c(F.col("win")).alias(a) for c, a in _span_key_exprs(key_width)],
+        )
         # two consumers below (the count and the semi-join probe) —
         # without this the window pass over the text runs twice
         .localCheckpoint(eager=True)
     )
+    kc = _key_cols(key_width, "duplicated_spans")
     dup_hashes = (
-        postings.groupBy("h")
+        postings.groupBy(*kc)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select("h")
+        .select(*kc)
     )
-    dup_pos = postings.join(dup_hashes, "h", "left_semi").select("doc_id", "pos")
+    dup_pos = postings.join(dup_hashes, kc, "left_semi").select("doc_id", "pos")
 
     w = W.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + window_tokens).over(
@@ -782,6 +844,7 @@ def remove_duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_width: int = 120,
 ) -> DataFrame:
     """APPLY substring-level dedup (the removal step of Lee et al.
     2022): corpus-wide, every ``window_tokens``-token window that
@@ -810,17 +873,22 @@ def remove_duplicated_spans(
     postings = (
         base.filter(F.size("w") > 0)
         .select("doc_id", F.posexplode("w").alias("pos", "win"))
-        .select("doc_id", "pos", _md5_long(F.col("win")).alias("h"))
+        .select(
+            "doc_id",
+            "pos",
+            *[c(F.col("win")).alias(a) for c, a in _span_key_exprs(key_width)],
+        )
         .localCheckpoint(eager=True)
     )
+    kc = _key_cols(key_width, "remove_duplicated_spans")
     # per-hash: occurrence count and the first (doc, pos); the struct
     # min orders lexicographically on (doc_id, pos)
-    firsts = postings.groupBy("h").agg(
+    firsts = postings.groupBy(*kc).agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.struct("doc_id", "pos")).alias("__first"),
     ).filter(F.col("__n") >= min_count)
     non_first = (
-        postings.join(firsts, "h")
+        postings.join(firsts, kc)
         .filter(
             (F.col("doc_id") != F.col("__first.doc_id"))
             | (F.col("pos") != F.col("__first.pos"))
@@ -1300,7 +1368,8 @@ def _incremental_jaccard_pairs(
     """Exact n-gram Jaccard pairs TOUCHING the delta: NEW-NEW and
     NEW-OLD pairs with jaccard >= threshold, identical values to the
     corresponding rows of ngram_jaccard_pairs over the unioned corpus
-    (same 60-bit hashed-shingle index, same rounding). OLD-OLD pairs
+    (same hashed-shingle index — 120-bit (h, h2) key when both
+    sides carry it — same rounding). OLD-OLD pairs
     are deliberately absent — they are a pure function of unchanged
     documents, already encoded in the base closure.
 
@@ -1311,34 +1380,44 @@ def _incremental_jaccard_pairs(
     delta's shingle keys BEFORE anything pairs, so a daily batch
     against a 100 TB corpus never rescans cold documents.
     """
+    # full 120-bit identity key when both sides carry it (legacy
+    # hand-built frames: h only)
+    vc = (
+        ["h", "h2"]
+        if "h2" in delta_tokens.columns and "h2" in base_tokens.columns
+        else ["h"]
+    )
     d_sized = delta_tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     d = (
         delta_tokens.join(d_sized, "doc_id")
-        .select("doc_id", "n_sh", "h")
+        .select("doc_id", "n_sh", *vc)
         .localCheckpoint(eager=False)
     )
     # base docs that can possibly pair: share >=1 shingle with the delta
-    d_sh = d.select("h").distinct()
+    d_sh = d.select(*vc).distinct()
     hit_docs = (
-        base_tokens.join(d_sh, "h", "left_semi").select("doc_id").distinct()
+        base_tokens.join(d_sh, vc, "left_semi").select("doc_id").distinct()
     )
     b_hit = base_tokens.join(hit_docs, "doc_id", "left_semi")
     # n_sh must be the doc's TOTAL distinct-shingle count, so size
     # over the hit docs' FULL postings (not just the shared shingles)
     b_sized = b_hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     b_old = (
-        b_hit.join(d_sh, "h", "left_semi")  # only shared shingles can pair
+        b_hit.join(d_sh, vc, "left_semi")  # only shared shingles can pair
         .join(b_sized, "doc_id")
-        .select("doc_id", "n_sh", "h", F.lit(True).alias("is_old"))
+        .select("doc_id", "n_sh", *vc, F.lit(True).alias("is_old"))
     )
-    b_all = d.select("doc_id", "n_sh", "h", F.lit(False).alias("is_old")).unionByName(
-        b_old
-    )
+    b_all = d.select(
+        "doc_id", "n_sh", *vc, F.lit(False).alias("is_old")
+    ).unionByName(b_old)
     a, b = d.alias("a"), b_all.alias("b")
+    key_eq = F.lit(True)
+    for c in vc:
+        key_eq = key_eq & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     shared = (
         a.join(
             b,
-            (F.col("a.h") == F.col("b.h"))
+            key_eq
             # NEW-OLD pairs appear once (a = new); NEW-NEW pairs are
             # ordered a < b so they don't double-count
             & (F.col("b.is_old") | (F.col("a.doc_id") < F.col("b.doc_id"))),
@@ -1473,8 +1552,8 @@ def append_components(
         # scan inside a path whose whole point is O(delta).)
         delta_tokens = _shingle_tokens(delta_docs, n, id_col, text_col)
         pairs = _incremental_jaccard_pairs(
-            delta_tokens.select("doc_id", "h"),
-            base_tokens.select("doc_id", "h"),
+            delta_tokens.select("doc_id", "h", "h2"),
+            base_tokens.select("doc_id", "h", "h2"),
             threshold,
         )
         # contract old endpoints to their base component labels; a
@@ -1921,6 +2000,7 @@ def shingle_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens: DataFrame | None = None,
+    key_width: int = 120,
 ) -> DataFrame:
     """Per-document novelty against the corpus: the fraction of a
     document's distinct word n-gram shingles whose corpus-wide FIRST
@@ -1930,23 +2010,32 @@ def shingle_novelty(
     curriculum policies rank on exactly this).
 
     Reads the persistent MinHash store's hashed-shingle postings when
-    supplied (``tokens``) — no re-shingling; the 60-bit hash stands
-    in for the shingle string under the same injectivity-at-scale
-    argument the Jaccard join documents above. Plan: one groupBy on
-    the 8-byte shingle key (first_doc = min(doc_id), map-side
+    supplied (``tokens``) — no re-shingling; the fixed-width hash key
+    stands in for the shingle string (``key_width`` defaults to the
+    120-bit (h, h2) pair — see ngram_jaccard_pairs). Plan: one
+    groupBy on the hash key (first_doc = min(doc_id), map-side
     combinable) and one join back — no windows, no all-pairs.
 
     Returns (doc_id, n_shingles, novel, novel_frac) for every doc
     with at least one shingle, ordered by doc_id.
     """
+    kc = _key_cols(key_width, "shingle_novelty")
     if tokens is not None:
         _check_store_meta(tokens, "tokens", n=n)
-        postings = tokens.select("doc_id", "h")
+        if "h2" not in tokens.columns and "h2" in kc:
+            raise ValueError(
+                "shingle_novelty: key_width=120 needs the store's h2 "
+                "column — rebuild the dedup store (legacy 60-bit entry) "
+                "or pass key_width=60"
+            )
+        postings = tokens.select("doc_id", *kc)
     else:
-        postings = _shingle_tokens(df, n, id_col, text_col).select("doc_id", "h")
-    firsts = postings.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+        postings = _shingle_tokens(df, n, id_col, text_col).select(
+            "doc_id", *kc
+        )
+    firsts = postings.groupBy(*kc).agg(F.min("doc_id").alias("first_doc"))
     return (
-        postings.join(firsts, "h")
+        postings.join(firsts, kc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

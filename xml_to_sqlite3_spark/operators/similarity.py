@@ -676,19 +676,84 @@ def pq_train(
     return books
 
 
-def _pq_encode_udf(books: np.ndarray):
+def opq_rotation(cov_rows, dim: int, m: int) -> np.ndarray:
+    """OPQ-style parametric rotation (Ge et al. 2014, "Optimized
+    Product Quantization" — the eigenvalue-allocation variant):
+    eigendecompose the covariance, then assign principal directions
+    to the ``m`` PQ subspaces so the per-subspace variance PRODUCTS
+    balance (greedy on log-eigenvalue sums — the paper's
+    free-parametrization recipe), and lay R's rows out so subspace j
+    reads rows [j*sub, (j+1)*sub). Rotating x -> R @ x decorrelates
+    and variance-balances the PQ slices, so the same (m, ks) code
+    budget quantizes finer — the recall-lifting default the r14
+    VERDICT ordered (task 4). R is orthonormal, so L2 distances (and
+    therefore ADC semantics) are exactly preserved in rotated space.
+
+    Driver-side pure numpy over a collected (i, j, cov) relation —
+    the covariance is a model parameter (d² floats), like the
+    k-means codebooks. Deterministic given its input: eigh is
+    deterministic, ties are broken by the stable eigenvalue sort,
+    and each eigenvector's sign is fixed by the pca_components
+    convention (largest-|entry| positive)."""
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    lam, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(lam, kind="stable")[::-1]
+    lam, vecs = lam[order], vecs[:, order]
+    for i in range(dim):
+        col = vecs[:, i]
+        if col[np.argmax(np.abs(col))] < 0:
+            vecs[:, i] = -col
+    if dim % m != 0:
+        raise ValueError(f"opq_rotation: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    logs = np.log(np.maximum(lam, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for i in range(dim):
+        open_b = [j for j in range(m) if len(buckets[j]) < sub]
+        j = min(open_b, key=lambda b: (sums[b], b))
+        buckets[j].append(i)
+        sums[j] += logs[i]
+    rows = [vecs[:, i] for j in range(m) for i in buckets[j]]
+    return np.vstack(rows)
+
+
+def _rotate_udf(rotation: np.ndarray):
+    """R @ x per Arrow batch — stages a rotated corpus for rotated
+    PQ training (the _residual_udf pattern)."""
+    R = np.asarray(rotation, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def rot(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        return pd.Series(list(M @ R.T))
+
+    return rot
+
+
+def _pq_encode_udf(books: np.ndarray, rotation: np.ndarray | None = None):
     """Vectorized PQ encoder: per Arrow batch, one (N, ks) squared-L2
     distance matrix per subspace via the expanded form — argmin ties
-    break to the lowest cluster id (np.argmin's contract)."""
+    break to the lowest cluster id (np.argmin's contract).
+    ``rotation`` (an orthonormal (dim, dim) R) applies R @ x before
+    the subspace slicing — the OPQ path; the books must have been
+    trained on rotated input."""
     m, ks, sub = books.shape
     # per-subspace centroid norms, precomputed once in the closure
     c_sq = (books**2).sum(axis=2)  # (m, ks)
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
 
     @F.pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         M = np.vstack([np.asarray(x, dtype=np.float64) for x in vs])
+        if R is not None:
+            M = M @ R.T
         n = M.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -707,11 +772,14 @@ def pq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, codes) — each vector's m nearest-subcentroid indices.
     One Arrow-batched pass; the codes column is the ONLY thing the
-    search path ever reads (the compressed corpus representation)."""
-    enc = _pq_encode_udf(books)
+    search path ever reads (the compressed corpus representation).
+    ``rotation`` enables the OPQ path (see :func:`opq_rotation`) —
+    pass the SAME matrix the books were trained under."""
+    enc = _pq_encode_udf(books, rotation)
     return df.select(
         F.col(id_col).alias("vec_id"),
         enc(_as_double(F.col(vec_col))).alias("codes"),
@@ -723,6 +791,7 @@ def pq_topk(
     books: np.ndarray,
     query,
     k: int = 10,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes: the
     query stays a FULL float vector, the corpus stays codes, and the
@@ -736,6 +805,11 @@ def pq_topk(
     q = np.asarray(query, dtype=np.float64)
     if q.shape[0] != m * sub:
         raise ValueError(f"pq_topk: query dim {q.shape[0]} != {m * sub}")
+    if rotation is not None:
+        # rotate the query into the books' (OPQ) frame; R is
+        # orthonormal so the ADC distances are the rotated-space L2 —
+        # identical to unrotated L2 by isometry
+        q = np.asarray(rotation, dtype=np.float64) @ q
     dt = np.stack(
         [
             ((books[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
@@ -757,7 +831,12 @@ def pq_topk(
     )
 
 
-def _ivfpq_encode_udf(centroids: np.ndarray, books: np.ndarray, residual: bool):
+def _ivfpq_encode_udf(
+    centroids: np.ndarray,
+    books: np.ndarray,
+    residual: bool,
+    rotation: np.ndarray | None = None,
+):
     """(cluster, codes) in ONE Arrow pass. ``residual=True`` is the
     textbook IVF-ADC (Jégou et al.): PQ encodes the RESIDUAL
     x - centroid[cluster] instead of x itself — the coarse quantizer
@@ -767,6 +846,7 @@ def _ivfpq_encode_udf(centroids: np.ndarray, books: np.ndarray, residual: bool):
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     m, ks, sub = books.shape
     c_sq = (books**2).sum(axis=2)  # (m, ks)
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
 
     @F.pandas_udf("struct<cluster:int, codes:array<int>>")
     def enc(vs: pd.Series) -> pd.DataFrame:
@@ -777,6 +857,11 @@ def _ivfpq_encode_udf(centroids: np.ndarray, books: np.ndarray, residual: bool):
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         cl = np.argmax(Mn @ C.T, axis=1)
         X = M - C[cl] if residual else M
+        if R is not None:
+            # OPQ: coarse assignment stays in the original frame (the
+            # coarse codebook is raw-space); only the PQ-quantized
+            # remainder rotates — the books were trained on R X
+            X = X @ R.T
         n = X.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -797,6 +882,7 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """The IVF-PQ index relation (vec_id, cluster, codes): each
     vector's nearest coarse centroid (the inverted-list key) plus its
@@ -819,7 +905,7 @@ def ivf_pq_index(
     appends) — ivf_pq_topk validates it, turning an ad-hoc
     flag-mismatched search from silently-wrong ADC distances into a
     loud error."""
-    enc = _ivfpq_encode_udf(centroids, books, residual)
+    enc = _ivfpq_encode_udf(centroids, books, residual, rotation)
     return (
         corpus.select(
             F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
@@ -829,7 +915,11 @@ def ivf_pq_index(
             "vec_id",
             F.col("__e.cluster").alias("cluster"),
             F.col("__e.codes").alias(
-                "codes", metadata={"ivfpq_residual": bool(residual)}
+                "codes",
+                metadata={
+                    "ivfpq_residual": bool(residual),
+                    "ivfpq_rotate": rotation is not None,
+                },
             ),
         )
     )
@@ -843,6 +933,7 @@ def ivf_pq_topk(
     k: int = 10,
     n_probe: int = 4,
     residual: bool = False,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-ADC top-k: coarse-probe then ADC, never a full-corpus
     scan. The query (a full float vector, asymmetric by design)
@@ -871,7 +962,24 @@ def ivf_pq_topk(
     sf1 perturbation raw wins 0.55 vs 0.45 (no between-cluster
     variance to absorb). Default to residual=True for corpora that
     actually cluster — real embedding corpora do; keep raw for
-    near-uniform vector sets.
+    near-uniform vector sets. r15 CONDITION on that guidance
+    (BENCH_vecrecall_r15aniso/axis): residual's win further requires
+    near-ISOTROPIC within/between-cluster spread — on fixtures with a
+    decaying per-dimension spectrum (unnormalized anisotropic
+    embeddings) residual COLLAPSES below raw (0.05-0.12 vs
+    0.22-0.23), because the unit-normalized coarse centroids stop
+    approximating the scaled vectors and the residual inherits the
+    full centroid error. Normalize (or whiten) such corpora before
+    choosing residual.
+
+    ``rotation`` (OPQ, r14 VERDICT task 4) searches an index encoded
+    under :func:`opq_rotation`'s R — must match the index's encoding
+    (metadata-validated). MEASURED across three fixture regimes
+    (BENCH_vecrecall_r15{,aniso,axis}, m=8/ks=16/d=64): rotation
+    never lifted the raw arm and lifted residual only where residual
+    had already collapsed below raw, so ``rotation=None`` stays the
+    default; the machinery is the opt-in for corpora whose own
+    measurement says otherwise.
 
     Returns (vec_id, adc_dist) ascending, dist rounded to 6dp.
     """
@@ -887,13 +995,22 @@ def ivf_pq_topk(
     # vice versa). Indexes from other producers (no marker) skip the
     # check, preserving the old permissive contract.
     if "codes" in index.columns:
-        marker = (index.schema["codes"].metadata or {}).get("ivfpq_residual")
+        meta = index.schema["codes"].metadata or {}
+        marker = meta.get("ivfpq_residual")
         if marker is not None and bool(marker) != bool(residual):
             raise ValueError(
                 f"ivf_pq_topk: residual={bool(residual)} but the index was "
                 f"encoded with residual={bool(marker)} — ADC distance "
                 "tables must match the encoding; search with the flag the "
                 "index was built with (or rebuild the index)"
+            )
+        rmark = meta.get("ivfpq_rotate")
+        if rmark is not None and bool(rmark) != (rotation is not None):
+            raise ValueError(
+                f"ivf_pq_topk: rotation {'supplied' if rotation is not None else 'absent'} "
+                f"but the index was encoded with rotate={bool(rmark)} — the "
+                "OPQ frame must match the encoding; search with the same "
+                "rotation the index was built under (or rebuild)"
             )
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     q = np.asarray(query, dtype=np.float64)
@@ -904,20 +1021,27 @@ def ivf_pq_topk(
         pruned = index.filter(F.col("cluster").isin(probed)).select(
             "vec_id", "codes"
         )
-        return pq_topk(pruned, books, q, k=k)
+        return pq_topk(pruned, books, q, k=k, rotation=rotation)
 
     m, ks, sub = books.shape
     if q.shape[0] != m * sub:
         raise ValueError(f"ivf_pq_topk: query dim {q.shape[0]} != {m * sub}")
     # one (m, ks) table per probed cluster, from the query's residual
-    # against THAT cluster's centroid; stacked (n_probe, m, ks) and
-    # indexed by a cluster -> slot map in the UDF closure
+    # against THAT cluster's centroid (rotated into the books' OPQ
+    # frame when the index is); stacked (n_probe, m, ks) and indexed
+    # by a cluster -> slot map in the UDF closure
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+
+    def _qres(c: int) -> np.ndarray:
+        r = q - C[c]
+        return R @ r if R is not None else r
+
     dts = np.stack(
         [
             np.stack(
                 [
                     (
-                        (books[j] - (q - C[c])[j * sub : (j + 1) * sub]) ** 2
+                        (books[j] - _qres(c)[j * sub : (j + 1) * sub]) ** 2
                     ).sum(axis=1)
                     for j in range(m)
                 ]
@@ -956,6 +1080,7 @@ def get_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    rotate: bool = False,
 ) -> DataFrame:
     """Content-keyed PERSISTENT IVF-PQ index for ``src_path``:
     parquet PARTITIONED BY cluster, so ivf_pq_topk's probe filter is
@@ -974,7 +1099,7 @@ def get_ivf_pq_index(
 
     key = _ivfpq_key(
         src_path, n_centroids, m, ks, n_iter, id_col, vec_col,
-        residual=residual,
+        residual=residual, rotate=rotate,
     )
     root = os.environ.get(
         "SPARK_GRAFT_CODEBOOK_CACHE",
@@ -986,19 +1111,27 @@ def get_ivf_pq_index(
             spark, src_path, k=n_centroids, n_iter=n_iter,
             id_col=id_col, vec_col=vec_col,
         )
+        R = (
+            get_opq_rotation(
+                spark, src_path, m=m, id_col=id_col, vec_col=vec_col
+            )
+            if rotate
+            else None
+        )
         if residual:
             books = get_residual_pq_codebooks(
                 spark, src_path, n_centroids=n_centroids, m=m, ks=ks,
                 n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+                rotate=rotate,
             )
         else:
             books = get_pq_codebooks(
                 spark, src_path, m=m, ks=ks, n_iter=n_iter,
-                id_col=id_col, vec_col=vec_col,
+                id_col=id_col, vec_col=vec_col, rotate=rotate,
             )
         ivf_pq_index(
             spark.read.parquet(src_path), cents, books,
-            id_col=id_col, vec_col=vec_col, residual=residual,
+            id_col=id_col, vec_col=vec_col, residual=residual, rotation=R,
         ).write.mode("overwrite").partitionBy("cluster").parquet(f"{tmp}/index")
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(key)
@@ -1018,6 +1151,7 @@ def _ivfpq_key(
     vec_col: str,
     append: str = "",
     residual: bool = False,
+    rotate: bool = False,
 ) -> str:
     """THE content key of an IVF-PQ index entry — one definition for
     the build and the append chain (the _minhash_store_key
@@ -1029,6 +1163,8 @@ def _ivfpq_key(
     extra = f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}"
     if residual:
         extra = f"{extra}_res"
+    if rotate:
+        extra = f"{extra}_opq"
     if append:
         extra = f"{extra}|append|{append}"
     return content_key(
@@ -1063,6 +1199,7 @@ def get_residual_pq_codebooks(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotate: bool = False,
 ) -> np.ndarray:
     """Content-keyed PERSISTENT PQ codebooks trained on COARSE
     RESIDUALS (x - centroid[assign(x)]) — the books a residual
@@ -1082,7 +1219,8 @@ def get_residual_pq_codebooks(
     key = content_key(
         "pqcbres",
         src_path,
-        extra=f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}",
+        extra=f"c{n_centroids}_m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}"
+        + ("_opq" if rotate else ""),
         code_files=(__file__,),
         suffixes=(".parquet",),
     )
@@ -1104,10 +1242,18 @@ def get_residual_pq_codebooks(
         # stage the residual frame once: pq_train scans its input
         # n_iter+1 times (init + one reduce per Lloyd round), and
         # re-running the residual UDF per scan would multiply the
-        # corpus-sized Arrow work by the iteration count
+        # corpus-sized Arrow work by the iteration count. With
+        # rotate=True the OPQ rotation composes into the SAME staged
+        # pass (R (x - c)) so the books train in rotated space.
+        staged = res(_as_double(F.col(vec_col)))
+        if rotate:
+            R = get_opq_rotation(
+                spark, src_path, m=m, id_col=id_col, vec_col=vec_col
+            )
+            staged = _rotate_udf(R)(staged)
         spark.read.parquet(src_path).select(
             F.col(id_col),
-            res(_as_double(F.col(vec_col))).alias(vec_col),
+            staged.alias(vec_col),
         ).write.mode("overwrite").parquet(f"{tmp}/residuals")
         books = pq_train(
             spark.read.parquet(f"{tmp}/residuals"),
@@ -1139,6 +1285,7 @@ def append_ivf_pq_index(
     vec_col: str = "embedding",
     base_append: str = "",
     residual: bool = False,
+    rotate: bool = False,
 ) -> dict:
     """Append NEW vectors into the persistent IVF-PQ index at
     O(delta) — the FIFTH persistent artifact's append path (the
@@ -1166,7 +1313,7 @@ def append_ivf_pq_index(
     )
     params = dict(
         n_centroids=n_centroids, m=m, ks=ks, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col, residual=residual,
+        id_col=id_col, vec_col=vec_col, residual=residual, rotate=rotate,
     )
     if base_append:
         base_ck = _ivfpq_key(src_path, append=base_append, **params)
@@ -1221,18 +1368,27 @@ def append_ivf_pq_index(
             spark, src_path, k=n_centroids, n_iter=n_iter,
             id_col=id_col, vec_col=vec_col,
         )
+        R = (
+            get_opq_rotation(
+                spark, src_path, m=m, id_col=id_col, vec_col=vec_col
+            )
+            if rotate
+            else None
+        )
         if residual:
             books = get_residual_pq_codebooks(
                 spark, src_path, n_centroids=n_centroids, m=m, ks=ks,
                 n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+                rotate=rotate,
             )
         else:
             books = get_pq_codebooks(
                 spark, src_path, m=m, ks=ks, n_iter=n_iter,
-                id_col=id_col, vec_col=vec_col,
+                id_col=id_col, vec_col=vec_col, rotate=rotate,
             )
         ivf_pq_index(
-            dd, cents, books, id_col=id_col, vec_col=vec_col, residual=residual
+            dd, cents, books, id_col=id_col, vec_col=vec_col,
+            residual=residual, rotation=R,
         ).write.mode("append").partitionBy("cluster").parquet(f"{tmp}/index")
         _sh.rmtree(f"{tmp}/delta_vecs", ignore_errors=True)
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
@@ -1544,28 +1700,30 @@ def get_codebook(
     return cents
 
 
-def get_pq_codebooks(
+def get_opq_rotation(
     spark,
     src_path: str,
     m: int = 8,
-    ks: int = 16,
-    n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Content-keyed PERSISTENT PQ codebooks for ``src_path`` — the
-    trained-model artifact of the PQ index, sharing the IVF
-    codebook's cache root and contract (pq_train is deterministic,
-    so attached == retrained bit-identically)."""
+    """Content-keyed PERSISTENT OPQ rotation matrix for ``src_path``
+    (see :func:`opq_rotation`): built from the EXACT decimal-summed
+    covariance of the corpus (order-independent reductions, so a
+    rebuild is bit-identical to the attach — the codebook
+    determinism contract; the float fast path would drift at 1e-15
+    across partitionings and break attached == retrained). The d x d
+    matrix is a model parameter like the k-means codebooks: .npy in
+    the shared codebook cache root."""
     import os
     import tempfile
 
     from ..cache_util import content_cached_dir, content_key
 
     key = content_key(
-        "pqcb",
+        "opqrot",
         src_path,
-        extra=f"m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}",
+        extra=f"m{m}_{id_col}_{vec_col}",
         code_files=(__file__,),
         suffixes=(".parquet",),
     )
@@ -1579,14 +1737,90 @@ def get_pq_codebooks(
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
+        emb = spark.read.parquet(src_path).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        cov_rows = embedding_covariance(emb, vec_col=vec_col).collect()
+        first = emb.select(_as_double(F.col(vec_col)).alias("v")).filter(
+            F.col("v").isNotNull()
+        ).head(1)
+        dim = len(first[0]["v"])
+        R = opq_rotation(cov_rows, dim=dim, m=m)
+        np.save(os.path.join(tmp, "opq_rotation.npy"), R)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(key)
+
+    final = content_cached_dir(root, key, _build, owned_dirs=_CODEBOOK_DIRS)
+    R = np.load(os.path.join(final, "opq_rotation.npy"))
+    _CODEBOOK_MEMO[key] = R
+    return R
+
+
+def get_pq_codebooks(
+    spark,
+    src_path: str,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotate: bool = False,
+) -> np.ndarray:
+    """Content-keyed PERSISTENT PQ codebooks for ``src_path`` — the
+    trained-model artifact of the PQ index, sharing the IVF
+    codebook's cache root and contract (pq_train is deterministic,
+    so attached == retrained bit-identically). ``rotate=True`` trains
+    the books on the OPQ-rotated corpus (R from
+    :func:`get_opq_rotation`; flag in the content key — rotated and
+    raw books are different artifacts)."""
+    import os
+    import tempfile
+
+    from ..cache_util import content_cached_dir, content_key
+
+    key = content_key(
+        "pqcb",
+        src_path,
+        extra=f"m{m}_ks{ks}_i{n_iter}_{id_col}_{vec_col}"
+        + ("_opq" if rotate else ""),
+        code_files=(__file__,),
+        suffixes=(".parquet",),
+    )
+    memo = _CODEBOOK_MEMO.get(key)
+    if memo is not None:
+        return memo
+    root = os.environ.get(
+        "SPARK_GRAFT_CODEBOOK_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_codebook_cache"),
+    )
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        src = spark.read.parquet(src_path)
+        if rotate:
+            R = get_opq_rotation(
+                spark, src_path, m=m, id_col=id_col, vec_col=vec_col
+            )
+            # stage the rotated frame once: pq_train scans its input
+            # n_iter+1 times (the get_residual_pq_codebooks pattern)
+            rot = _rotate_udf(R)
+            src.select(
+                F.col(id_col),
+                rot(_as_double(F.col(vec_col))).alias(vec_col),
+            ).write.mode("overwrite").parquet(f"{tmp}/rotated")
+            src = spark.read.parquet(f"{tmp}/rotated")
         books = pq_train(
-            spark.read.parquet(src_path),
+            src,
             m=m,
             ks=ks,
             n_iter=n_iter,
             id_col=id_col,
             vec_col=vec_col,
         )
+        if rotate:
+            import shutil as _sh
+
+            _sh.rmtree(f"{tmp}/rotated", ignore_errors=True)
         np.save(os.path.join(tmp, "pq_codebooks.npy"), books)
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(key)

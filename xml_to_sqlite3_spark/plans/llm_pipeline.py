@@ -2076,6 +2076,36 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_pq"] = ann_ivf_pq
 
 
+def ann_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ-rotated IVF-PQ serving path (r14 VERDICT task 4):
+    identical composition to ann_ivf_pq but the index encodes
+    R x under the eigenvalue-allocated PCA rotation
+    (operators/similarity.opq_rotation — Ge et al. 2014's parametric
+    OPQ; R persistent + content-keyed via get_opq_rotation, flag in
+    the index key AND the codes-column metadata). MEASURED VERDICT
+    (BENCH_vecrecall_r15{,aniso,axis}): across all three fixture
+    regimes rotation never lifted the raw arm and lifted residual
+    only where residual had already collapsed below raw — so
+    ``rotate`` stays an opt-in knob, not the default; this gate
+    pins the serving path end to end
+    (rows-only like ann_ivf_pq: float k-means + eigh models;
+    encode/search replica-pinned by tests/test_similarity.py
+    TestOpqRotation)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.get_codebook(spark, path, k=16, n_iter=5)
+    books = S.get_pq_codebooks(spark, path, m=8, ks=16, n_iter=5, rotate=True)
+    R = S.get_opq_rotation(spark, path, m=8)
+    index = S.get_ivf_pq_index(
+        spark, path, n_centroids=16, m=8, ks=16, n_iter=5, rotate=True
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_pq_topk(index, cents, books, q, k=20, n_probe=4, rotation=R)
+
+
+QUERIES["ann_ivf_pq_opq"] = ann_ivf_pq_opq
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact population covariance of the embedding corpus over the
     deterministic vec_id % 5 == 0 sample (the link_prediction

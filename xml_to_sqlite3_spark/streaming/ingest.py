@@ -350,6 +350,56 @@ def _delta_key(state: dict, batch_id: int) -> str:
     return f"{state['nonce']}-b{batch_id}"
 
 
+def _prune_chain_tail(
+    root: str,
+    chain: str,
+    key_for,
+    retention: int = 2,
+    grace_sec: float = 600.0,
+) -> int:
+    """GC for maintenance-chain cache entries (r14 VERDICT task 5):
+    every micro-batch publishes a NEW content-keyed entry per
+    artifact, and while hard links bound the BYTES, the entry COUNT
+    grows O(waves) — cache_util's stale-sibling pruning never fires
+    because each chain's params hash to a different key prefix.
+
+    A chain ``a+b+c`` supersedes its prefixes ``a`` and ``a+b``; this
+    keeps the HEAD plus the newest ``retention - 1`` predecessors
+    (retention >= 2 keeps the replay-rewind target: a crash between
+    sidecar save and checkpoint commit rewinds exactly ONE link) and
+    removes older predecessor entries once they have been cold for
+    ``grace_sec`` (mtime lease — an attach refreshes it, so another
+    session actively reading an old link is left alone). The base
+    no-append entry is NOT a chain prefix and is never touched.
+    ``retention <= 0`` disables pruning. Returns the number of
+    entries removed. Safe with hard-linked appends: removing an old
+    entry unlinks its names; inodes shared with newer entries
+    survive. A pruned chain still cold-attaches at head — the head
+    entry is self-contained (pinned by tests)."""
+    import os
+    import shutil
+    import time
+
+    if retention <= 0 or not chain:
+        return 0
+    parts = chain.split("+")
+    preds = ["+".join(parts[:i]) for i in range(1, len(parts))]
+    prune = preds[: max(0, len(preds) - (retention - 1))]
+    removed = 0
+    for ch in prune:
+        path = os.path.join(root, key_for(ch))
+        if not os.path.isdir(path):
+            continue
+        try:
+            cold = time.time() - os.path.getmtime(path) > grace_sec
+        except OSError:
+            cold = True
+        if cold:
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def _replay_rewind(state: dict, batch_id: int, chain_fields: tuple) -> None:
     """Replay guard for the maintenance chain sidecars: the sidecar
     is saved AFTER the batch's appends but BEFORE Structured
@@ -392,6 +442,8 @@ def stream_document_maintenance(
     available_now: bool = False,
     maintain_components: bool = False,
     threshold: float = 0.3,
+    chain_retention: int = 2,
+    chain_prune_grace_sec: float = 600.0,
 ):
     """Continuously-maintained DEDUP STORE + TEXT INDEX (r12 VERDICT
     task 5): as new document parquet files land in ``input_dir``,
@@ -520,6 +572,40 @@ def stream_document_maintenance(
         state["prev"] = prev
         state["last_batch"] = batch_id
         _save_state(state)
+        # chain-entry GC: superseded (non-head, past-retention) chain
+        # entries for each artifact family (see _prune_chain_tail)
+        from ..operators.dedup import _components_store_key, _minhash_store_key
+        from ..operators.dedup import _minhash_cache_root as _mh_root
+        from ..operators.search import _index_key
+        from ..operators.search import _index_cache_root as _ix_root
+
+        _prune_chain_tail(
+            _mh_root(),
+            state["dedup_chain"],
+            lambda ch: _minhash_store_key(
+                base_doc_path, n, k, id_col, text_col, append=ch
+            ),
+            retention=chain_retention,
+            grace_sec=chain_prune_grace_sec,
+        )
+        _prune_chain_tail(
+            _ix_root(),
+            state["index_chain"],
+            lambda ch: _index_key(base_doc_path, id_col, text_col, append=ch),
+            retention=chain_retention,
+            grace_sec=chain_prune_grace_sec,
+        )
+        if maintain_components:
+            _prune_chain_tail(
+                _mh_root(),
+                state["components_chain"],
+                lambda ch: _components_store_key(
+                    base_doc_path, threshold, n, k, id_col, text_col,
+                    append=ch,
+                ),
+                retention=chain_retention,
+                grace_sec=chain_prune_grace_sec,
+            )
 
     # file streams need an explicit schema; the base corpus defines it
     schema = spark.read.parquet(base_doc_path).schema
@@ -688,6 +774,8 @@ def stream_embedding_maintenance(
     vec_col: str = "embedding",
     max_files_per_trigger: int = 10,
     available_now: bool = False,
+    chain_retention: int = 2,
+    chain_prune_grace_sec: float = 600.0,
 ):
     """Continuously-maintained IVF-PQ INDEX — the vector-side twin of
     :func:`stream_document_maintenance`, completing the set: every
@@ -748,6 +836,26 @@ def stream_embedding_maintenance(
         state["prev"] = prev
         state["last_batch"] = batch_id
         _save(state)
+        # chain-entry GC (see _prune_chain_tail)
+        import tempfile
+
+        from ..operators.similarity import _ivfpq_key
+
+        _prune_chain_tail(
+            os.environ.get(
+                "SPARK_GRAFT_CODEBOOK_CACHE",
+                os.path.join(
+                    tempfile.gettempdir(), "spark_graft_codebook_cache"
+                ),
+            ),
+            state["chain"],
+            lambda ch: _ivfpq_key(
+                base_vec_path, n_centroids, m, ks, n_iter, id_col, vec_col,
+                append=ch,
+            ),
+            retention=chain_retention,
+            grace_sec=chain_prune_grace_sec,
+        )
 
     schema = spark.read.parquet(base_vec_path).schema
     vecs = (
@@ -827,6 +935,8 @@ def stream_graph_maintenance(
     available_now: bool = False,
     build_coreness: bool = True,
     check_guards: bool = True,
+    chain_retention: int = 2,
+    chain_prune_grace_sec: float = 600.0,
 ):
     """Continuously-maintained NODE-GRAPH STORE (r13 VERDICT task 5,
     completing the set: all five persistent artifacts now stay warm
@@ -917,6 +1027,18 @@ def stream_graph_maintenance(
             state["prev"] = prev
             state["last_batch"] = batch_id
             _save(state)
+            # chain-entry GC (see _prune_chain_tail)
+            from ..plans.node_graph import _graph_append_key, _graph_cache_root
+
+            _prune_chain_tail(
+                _graph_cache_root(),
+                state["chain"],
+                lambda ch: _graph_append_key(
+                    sf_dir, ch, build_coreness=build_coreness
+                ),
+                retention=chain_retention,
+                grace_sec=chain_prune_grace_sec,
+            )
         finally:
             parsed.unpersist()
 
