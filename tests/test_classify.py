@@ -104,3 +104,86 @@ def test_model_has_only_observed_pairs(fitted):
     vocab = fitted["vocab"].count()
     assert vocab == 10
     assert pairs < vocab * 2  # "spam"/"ham" share no tokens here
+
+
+class TestBinaryEval:
+    """AUC + calibration (r15): exact Mann-Whitney with tie handling
+    against a brute-force pair-counting replica; softmax probabilities
+    against a python replica; calibration bin edges."""
+
+    def test_auc_matches_pair_counting_with_ties(self, spark):
+        import itertools
+
+        rows = [
+            (1, 0.9, 1), (2, 0.8, 1), (3, 0.8, 0), (4, 0.7, 0),
+            (5, 0.7, 1), (6, 0.7, 0), (7, 0.3, 0), (8, 0.3, 1),
+            (9, 0.1, 0), (10, 0.9, 1),
+        ]
+        df = spark.createDataFrame(rows, "id long, prob double, label int")
+        got = CL.binary_auc(df, label_col="label", score_col="prob").collect()[0]
+        pos = [p for _, p, y in rows if y == 1]
+        neg = [p for _, p, y in rows if y == 0]
+        num = sum(
+            1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+            for sp, sn in itertools.product(pos, neg)
+        )
+        want = round(num / (len(pos) * len(neg)), 6)
+        assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+        assert got["auc"] == pytest.approx(want, abs=1e-9)
+
+    def test_auc_degenerate_and_perfect(self, spark):
+        perfect = spark.createDataFrame(
+            [(1, 0.9, 1), (2, 0.8, 1), (3, 0.2, 0), (4, 0.1, 0)],
+            "id long, prob double, label int",
+        )
+        assert CL.binary_auc(perfect).collect()[0]["auc"] == 1.0
+        inverted = spark.createDataFrame(
+            [(1, 0.1, 1), (2, 0.9, 0)], "id long, prob double, label int"
+        )
+        assert CL.binary_auc(inverted).collect()[0]["auc"] == 0.0
+        one_class = spark.createDataFrame(
+            [(1, 0.5, 1), (2, 0.6, 1)], "id long, prob double, label int"
+        )
+        with pytest.raises(ValueError, match="both classes"):
+            CL.binary_auc(one_class)
+
+    def test_proba_matches_python_softmax(self, spark, fitted):
+        import math as _m
+
+        test = spark.createDataFrame(
+            [(10, "buy cheap"), (11, "hello meeting"), (12, "zzz qqq")],
+            "doc_id long, text string",
+        )
+        scored = {
+            (r["doc_id"], r["label"]): r["score"]
+            for r in CL._nb_scored_grid(test, fitted, "doc_id", "text").collect()
+        }
+        got = {
+            r["doc_id"]: r["prob"]
+            for r in CL.nb_score_proba(test, fitted, target="spam").collect()
+        }
+        for d in (10, 11, 12):
+            ss = {lb: s for (dd, lb), s in scored.items() if dd == d}
+            mx = max(ss.values())
+            es = {lb: round(_m.exp(s - mx), 9) for lb, s in ss.items()}
+            want = round(es["spam"] / sum(es.values()), 6)
+            assert got[d] == pytest.approx(want, abs=1e-9), d
+        # probabilities are probabilities
+        assert all(0.0 <= p <= 1.0 for p in got.values())
+
+    def test_calibration_bins_edges(self, spark):
+        rows = [
+            (1, 0.0, 0), (2, 0.05, 0), (3, 0.1, 0), (4, 0.95, 1),
+            (5, 1.0, 1), (6, 0.55, 1), (7, 0.55, 0),
+        ]
+        df = spark.createDataFrame(rows, "id long, prob double, label int")
+        out = {r["bin"]: r for r in CL.calibration_bins(df).collect()}
+        # 0.0 and 0.05 -> bin 0; 0.1 -> bin 1; 1.0 clamps into bin 9
+        assert out[0]["n"] == 2 and out[0]["frac_pos"] == 0.0
+        assert out[1]["n"] == 1
+        assert out[9]["n"] == 2 and out[9]["frac_pos"] == 1.0
+        assert out[5]["n"] == 2 and out[5]["frac_pos"] == 0.5
+        assert out[5]["mean_prob"] == pytest.approx(0.55)
+        assert set(out) == {0, 1, 5, 9}  # empty bins absent
+        with pytest.raises(ValueError, match="n_bins"):
+            CL.calibration_bins(df, n_bins=0)

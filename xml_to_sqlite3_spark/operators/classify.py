@@ -103,15 +103,14 @@ def nb_train(
     return {"model": model, "class_stats": class_stats, "vocab": vocab}
 
 
-def nb_score(
+def _nb_scored_grid(
     test: DataFrame,
     fitted: dict[str, DataFrame],
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Argmax class per test document. Returns (id, predicted, score)
-    with score rounded to 6dp (engine-portable ordering) and ties
-    broken on label ascending."""
+    """The full (id, label, score) class grid — shared by the argmax
+    scorer and the probability path so the two can never diverge."""
     toks = _token_counts(test, id_col, text_col)
     iv = toks.join(F.broadcast(fitted["vocab"]), "token")
     n_iv = iv.groupBy(id_col).agg(F.sum("cnt").cast("double").alias("niv"))
@@ -121,7 +120,7 @@ def nb_score(
         .agg(F.sum(F.col("cnt") * F.col("adj_ln")).alias("adj_sum"))
     )
     grid = test.select(F.col(id_col)).crossJoin(F.broadcast(fitted["class_stats"]))
-    scored = (
+    return (
         grid.join(n_iv, id_col, "left")
         .join(adj_sums, [id_col, "label"], "left")
         .select(
@@ -135,9 +134,169 @@ def nb_score(
             ).alias("score"),
         )
     )
+
+
+def nb_score(
+    test: DataFrame,
+    fitted: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Argmax class per test document. Returns (id, predicted, score)
+    with score rounded to 6dp (engine-portable ordering) and ties
+    broken on label ascending."""
+    scored = _nb_scored_grid(test, fitted, id_col, text_col)
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select(id_col, F.col("label").alias("predicted"), "score")
+    )
+
+
+def nb_score_proba(
+    test: DataFrame,
+    fitted: dict[str, DataFrame],
+    target: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Softmax probability of ONE target class per test document —
+    the calibrated-score view a curation pipeline thresholds on
+    (keep-if-P(quality) ≥ τ) and the input to :func:`binary_auc` /
+    :func:`calibration_bins`. Returns (id, prob), prob rounded 6dp.
+
+    Numerically: p = exp(s_t − m) / Σ_c exp(s_c − m) with m the
+    per-doc max score (the standard log-sum-exp guard). The exp
+    terms are round(·, 9)→DECIMAL(18,9) before the C-way sum — the
+    lm_quality discipline — so the reduction is order-independent
+    and a DuckDB replay is bit-exact despite float exp. One window
+    (partition by id over C rows) + one groupBy; nothing
+    corpus-quadratic."""
+    scored = _nb_scored_grid(test, fitted, id_col, text_col)
+    w = W.partitionBy(id_col)
+    ex = scored.withColumn("__mx", F.max("score").over(w)).select(
+        id_col,
+        "label",
+        F.round(F.exp(F.col("score") - F.col("__mx")), 9)
+        .cast("decimal(18,9)")
+        .alias("__e"),
+    )
+    return (
+        ex.groupBy(id_col)
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("label") == target, F.col("__e"))
+                ).cast("double")
+                / F.sum("__e").cast("double"),
+                6,
+            ).alias("prob")
+        )
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "prob",
+    check_nonempty: bool = True,
+) -> DataFrame:
+    """Exact ROC-AUC of a binary classifier via the Mann–Whitney
+    rank statistic with proper tie handling — the evaluation step a
+    quality-router pipeline runs before trusting a threshold.
+    ``label_col`` is 0/1 (or boolean); ``score_col`` is any ranking
+    score. Returns ONE row (n_pos, n_neg, auc), auc rounded 6dp.
+
+    AUC = P(s_pos > s_neg) + ½·P(s_pos = s_neg), computed as
+    (2·Σ_s pos_s·cumneg_<s + Σ_s pos_s·neg_s) / (2·P·N) — integer
+    arithmetic until the single final division, so the DuckDB replay
+    is bit-exact. Scale shape: one map-side-combinable groupBy on the
+    DISTINCT score value, then a window over distinct scores — which
+    is BOUNDED at any corpus size when scores carry fixed-precision
+    rounding (a 6dp probability grid has ≤ 10⁶+1 distinct values),
+    the same bounded-key-space argument as the histogram operators.
+    For unrounded continuous scores, round first.
+
+    NOTE (laziness, the psi/ks precedent): ``check_nonempty=True``
+    runs ONE small aggregate at plan-construction to fail loud when
+    either class is absent (AUC is undefined; the in-plan division
+    would be an opaque ANSI divide-by-zero at evaluation).
+    """
+    y = F.col(label_col).cast("long")
+    g = (
+        df.select(F.col(score_col).alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    if check_nonempty:
+        tot = df.agg(
+            F.sum(y).alias("p"), F.sum(F.lit(1) - y).alias("n")
+        ).collect()[0]
+        if not tot["p"] or not tot["n"]:
+            raise ValueError(
+                f"binary_auc: need both classes present, got "
+                f"{tot['p'] or 0} positives / {tot['n'] or 0} negatives "
+                "— AUC is undefined (pass check_nonempty=False to defer "
+                "to an evaluation-time error)"
+            )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    cum = g.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("pos") * F.col("cumneg"))
+                + F.sum(F.col("pos") * F.col("neg"))
+            ).cast("double")
+            / (F.lit(2) * F.sum("pos") * F.sum("neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic binary classifier:
+    equal-width bins over [0, 1], per-bin count, mean predicted
+    probability, and observed positive fraction — what a pipeline
+    reads to decide whether the router's probabilities can gate
+    thresholds directly or need recalibration. Returns
+    (bin, n, mean_prob, frac_pos) ordered by bin; empty bins are
+    absent (their calibration is undefined).
+
+    Pure map + one combinable groupBy — no windows, no joins; the
+    mean_prob numerator sums round(p, 9)→DECIMAL so the reduction is
+    order-independent and the DuckDB replay bit-exact."""
+    if n_bins < 1:
+        raise ValueError(f"calibration_bins: n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col)
+    b = F.least(
+        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    return (
+        df.select(
+            b,
+            F.round(p, 9).cast("decimal(18,9)").alias("__p"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("__p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_prob"),
+            F.round(F.sum("__y") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
     )

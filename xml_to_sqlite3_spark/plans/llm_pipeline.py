@@ -1354,6 +1354,101 @@ GROUP BY lang, label ORDER BY lang, predicted
 """
 
 
+def _nb_en_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, prob, label) on the held-out fifth: softmax P(en)
+    from the same fitted NB model as nb_classify, label = lang=='en'
+    — the shared input of the nb_auc and nb_calibration gates."""
+    from ..operators import classify as CL
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    fitted = CL.nb_train(train, label_col="lang")
+    probs = CL.nb_score_proba(test, fitted, target="en")
+    return probs.join(
+        test.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+
+
+def nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the NB router as an en-vs-rest probabilistic
+    classifier (operators/classify.binary_auc — Mann-Whitney rank
+    statistic with tie handling, integer arithmetic until the one
+    final division): the threshold-free evaluation a pipeline reads
+    before trusting P(quality)-gated curation. Value-oracled end to
+    end INCLUDING the softmax (exp terms decimal-summed)."""
+    from ..operators import classify as CL
+
+    return CL.binary_auc(
+        _nb_en_labeled(spark, sf_dir), label_col="label", score_col="prob"
+    )
+
+
+def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins of the NB router's P(en)
+    (operators/classify.calibration_bins): per-decile count, mean
+    predicted probability, observed positive fraction — whether the
+    router's probabilities can gate thresholds directly or need
+    recalibration. Pure map + one combinable groupBy."""
+    from ..operators import classify as CL
+
+    return CL.calibration_bins(
+        _nb_en_labeled(spark, sf_dir), label_col="label", prob_col="prob"
+    )
+
+
+# the NB CTE chain up to the full (doc, label) score grid
+_NB_SCORED_SQL = NB_CLASSIFY_ORACLE.rsplit(", ranked AS", 1)[0]
+
+# softmax P(en) per held-out doc with the decimal-summed exp terms
+# (order-independent reduction; exp argument is built from the SAME
+# 6dp-rounded scores both engines compute)
+_NB_PROB_SQL = _NB_SCORED_SQL + """, mx AS (
+  SELECT doc_id, max(score) AS mx FROM scored GROUP BY doc_id
+), ex AS (
+  SELECT s.doc_id, s.label,
+         CAST(round(exp(s.score - m.mx), 9) AS DECIMAL(18,9)) AS e
+  FROM scored s JOIN mx m USING (doc_id)
+), prob AS (
+  SELECT doc_id,
+         round(CAST(max(CASE WHEN label = 'en' THEN e END) AS DOUBLE)
+               / CAST(sum(e) AS DOUBLE), 6) AS prob
+  FROM ex GROUP BY doc_id
+), lab AS (
+  SELECT p.doc_id, p.prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM prob p JOIN documents d USING (doc_id)
+)
+"""
+
+NB_AUC_ORACLE = _NB_PROB_SQL + """, grp AS (
+  SELECT prob AS s, count(*) AS n, sum(y) AS pos FROM lab GROUP BY prob
+), cum AS (
+  SELECT s, n, pos, n - pos AS neg,
+         coalesce(sum(n - pos) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM grp
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(CAST(2 * sum(pos * cumneg) + sum(pos * neg) AS DOUBLE)
+             / CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
+FROM cum
+"""
+
+NB_CALIBRATION_ORACLE = _NB_PROB_SQL + """SELECT
+  CAST(least(floor(prob * 10), 9) AS INTEGER) AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(round(prob, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        / count(*), 6) AS mean_prob,
+  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+FROM lab GROUP BY 1 ORDER BY bin
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search_q,
     "token_count": token_count,
@@ -1380,6 +1475,8 @@ QUERIES = {
     "hard_negatives": hard_negatives,
     "nb_classify": nb_classify,
     "nb_confusion": nb_confusion,
+    "nb_auc": nb_auc,
+    "nb_calibration": nb_calibration,
     "repetition_topngram": repetition_topngram,
     "shingle_novelty": shingle_novelty_q,
     "semdedup": semdedup_q,
@@ -1411,6 +1508,8 @@ ORACLES = {
     "hard_negatives": HARD_NEG_ORACLE,
     "nb_classify": NB_CLASSIFY_ORACLE,
     "nb_confusion": NB_CONFUSION_ORACLE,
+    "nb_auc": NB_AUC_ORACLE,
+    "nb_calibration": NB_CALIBRATION_ORACLE,
     "repetition_topngram": REPETITION_ORACLE,
     "shingle_novelty": SHINGLE_NOVELTY_ORACLE,
     "dedup_canonical": DEDUP_CANONICAL_ORACLE,
