@@ -109,6 +109,64 @@ def test_redact_pii(spark):
         assert got[raw] == want, (raw, got[raw])
 
 
+def test_shard_assignment_contract(spark):
+    """r15: (shard, pos) is a pure function of the ids — dense 0-based
+    positions per shard, hash-ordered, identical across repartitioned
+    inputs, and salted by tag."""
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = C.shard_assignment(df, n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard  # dense
+    # deterministic across partitionings
+    again = C.shard_assignment(df.repartition(7), n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different tag is a different shuffle
+    other = C.shard_assignment(df, n_shards=8, tag="epoch2|shard").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # hash-ordered within shard: pos order == hash order
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"shard|{i}".encode()).hexdigest()[:15], 16)
+
+    for r in out:
+        assert r["shard"] == h(r["doc_id"]) % 8
+    for shard, _ in by_shard.items():
+        ids = [r["doc_id"] for r in sorted(
+            (x for x in out if x["shard"] == shard), key=lambda x: x["pos"]
+        )]
+        assert ids == sorted(ids, key=lambda i: (h(i), i))
+    with pytest.raises(ValueError, match="n_shards"):
+        C.shard_assignment(df, n_shards=0)
+
+
+def test_pii_report_counts_and_precedence(spark):
+    """r15: the audit counts must mirror the scrub's order-matters
+    semantics — an email's dotted digits never count as IP/phone, a
+    dotted quad counts as IP not phone, and the per-source rollup
+    carries counts + hit fraction."""
+    rows = [
+        (1, "a", "mail bob@x.co and carol@y.io today"),       # 2 emails
+        (2, "a", "server 10.0.255.14 and call +1 (555) 123-4567"),  # 1 ip, 1 phone
+        (3, "a", "no pii at all here"),
+        (4, "b", "ping 192.168.0.1 then 10.1.1.2"),           # 2 ips
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in C.pii_report(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["emails"], a["ips"], a["phones"]) == (3, 2, 1, 1)
+    assert a["docs_with_pii"] == 2
+    assert a["pii_doc_frac"] == pytest.approx(round(2 / 3, 6))
+    assert (b["n_docs"], b["emails"], b["ips"], b["phones"]) == (1, 0, 2, 0)
+    assert b["docs_with_pii"] == 1 and b["pii_doc_frac"] == 1.0
+
+
 def test_chunk_documents_covers_every_token(spark):
     text = " ".join(f"w{i}" for i in range(150))
     df = spark.createDataFrame([(1, text)], ["doc_id", "text"])

@@ -144,6 +144,117 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group PII audit (r15): how many email/IPv4/phone matches
+    the scrub WILL remove, counted on the normalized text with the
+    SAME patterns, same order, same intermediate replacements as
+    :func:`redact_pii` — the before/after audit surface a pipeline
+    reads to size the scrub and catch a source that leaks PII at an
+    anomalous rate. Sharing the module-level pattern constants means
+    the audit and the scrub cannot drift apart.
+
+    Sequential counting mirrors the scrub's order-matters semantics:
+    emails are counted on the normalized text, IPs on the
+    email-redacted text (an email's host would otherwise never be
+    IP-shaped, but dotted digit runs inside emails must not double
+    count), phones on the email+IP-redacted text (dotted quads are
+    phone-shaped). Returns (source, n_docs, emails, ips, phones,
+    docs_with_pii, pii_doc_frac) ordered by source — a pure map +
+    one map-side-combinable groupBy, no joins, no windows.
+    """
+    t = normalize_text(F.col(text_col))
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    per = df.select(
+        F.col(by).alias("source"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("__e"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).alias("__i"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).alias("__p"),
+    )
+    n = F.count(F.lit(1))
+    hit = F.sum(
+        ((F.col("__e") + F.col("__i") + F.col("__p")) > 0).cast("long")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("__e").cast("long").alias("emails"),
+            F.sum("__i").cast("long").alias("ips"),
+            F.sum("__p").cast("long").alias("phones"),
+            hit.alias("docs_with_pii"),
+            F.round(hit / n.cast("double"), 6).alias("pii_doc_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tag: str = "shard",
+) -> DataFrame:
+    """Deterministic data-loader sharding (r15): every row gets
+    (shard, pos) where shard = stable_hash60(tag|id) mod n_shards and
+    pos = the row's 0-based rank within its shard ordered by (hash,
+    id) — a reproducible global shuffle + shard layout that is a pure
+    function of the ids, so a training run can resume mid-epoch on
+    any worker count that divides the same shard set, and re-deriving
+    the assignment on different cluster/partitioning produces the
+    SAME order (the property ingestion-order-based sharding lacks).
+    ``tag`` salts the hash so epoch-distinct shuffles are one string
+    away (tag="epoch3|shard").
+
+    Scale shape: the within-shard rank is the pack_training_sequences
+    two-phase cumsum, not one window task per shard — phase 1 ranks
+    within (shard, hash-bucket) using the hash's TOP bits (so bucket
+    order == hash order within a shard), phase 2 computes each
+    bucket's offset from bucket-level counts (≤ n_shards × 2¹⁶ rows)
+    and broadcasts it back. Returns (id, shard, pos) with the
+    original row intact semantics left to the caller (join back on
+    id)."""
+    if n_shards < 1:
+        raise ValueError(f"shard_assignment: n_shards must be >= 1, got {n_shards}")
+    h = stable_hash60(
+        F.concat(F.lit(f"{tag}|"), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+    ).select(
+        id_col,
+        "__h",
+        (F.col("__h") % n_shards).cast("int").alias("shard"),
+        # top 16 of the 60 hash bits: bucket order == hash order
+        F.shiftrightunsigned(F.col("__h"), 44).cast("int").alias("__b"),
+    )
+    w_in = Window.partitionBy("shard", "__b").orderBy("__h", id_col)
+    ranked = base.withColumn("__r", F.row_number().over(w_in))
+    counts = base.groupBy("shard", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("shard", "__b", "__off")
+    return (
+        ranked.join(offsets, ["shard", "__b"])
+        .select(
+            id_col,
+            "shard",
+            (F.col("__off") + F.col("__r") - 1).cast("long").alias("pos"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1039,3 +1039,73 @@ FROM per CROSS JOIN tot ORDER BY source
 
 QUERIES["temperature_mix"] = temperature_mix_q
 ORACLES["temperature_mix"] = TEMPERATURE_MIX_ORACLE
+
+
+def pii_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit over the documents table
+    (operators/curation.pii_report): match counts for the exact
+    scrub patterns, counted in the scrub's own order on the
+    normalized text — the sizing/anomaly surface read before and
+    after redaction."""
+    return C.pii_report(load(spark, sf_dir, "documents"))
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\+?\\d[\\d()\\- ]{7,14}\\d"
+
+PII_REPORT_ORACLE = rf"""
+WITH norm AS (
+  SELECT source, {_NORM_SQL.format(c='text')} AS t FROM documents
+), counted AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS e,
+         len(regexp_extract_all(
+           regexp_replace(t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4_SQL}')) AS i,
+         len(regexp_extract_all(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4_SQL}', '<IP>', 'g'),
+           '{_PII_PHONE_SQL}')) AS p
+  FROM norm
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS emails,
+       CAST(sum(i) AS BIGINT) AS ips,
+       CAST(sum(p) AS BIGINT) AS phones,
+       CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       round(CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pii_doc_frac
+FROM counted GROUP BY source ORDER BY source
+"""
+
+QUERIES["pii_report"] = pii_report_q
+ORACLES["pii_report"] = PII_REPORT_ORACLE
+
+
+def shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-loader sharding of the documents table
+    (operators/curation.shard_assignment): shard = stable hash mod
+    32, pos = rank within shard by (hash, id) — reproducible
+    training order independent of ingestion/partitioning."""
+    return C.shard_assignment(load(spark, sf_dir, "documents"), n_shards=32)
+
+
+SHARD_ASSIGNMENT_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % 32 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+QUERIES["shard_assignment"] = shard_assignment_q
+ORACLES["shard_assignment"] = SHARD_ASSIGNMENT_ORACLE
