@@ -548,3 +548,35 @@ def test_zipf_slope_is_constant_size_regression(spark):
     plan = _physical(zipf_slope(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_pii_report_single_aggregation_no_python(spark):
+    """The PII audit is a pure map + ONE combinable groupBy: exactly
+    the partial/final agg exchange, no Python, no joins."""
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(C.pii_report(docs))
+    # one agg exchange + the output orderBy's range exchange
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_shard_assignment_no_single_partition_window(spark):
+    """The within-shard rank must come from the two-phase cumsum:
+    every window is partitioned (shard / shard+bucket), never a
+    global SinglePartition sort of the corpus."""
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = C.shard_assignment(docs, n_shards=8)
+    plan = _physical(df)
+    import re as _re
+
+    # the only SinglePartition exchange allowed is none at all —
+    # the final orderBy compiles to rangepartitioning, windows to
+    # hashpartitioning on (shard[, bucket])
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+    assert _re.search(r"hashpartitioning\(shard", plan)
