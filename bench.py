@@ -119,6 +119,7 @@ def main() -> None:
     # same distortion _release_query_state documents mid-loop)
     _release_query_state()
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     def _eval_all_columns(df) -> None:
@@ -143,11 +144,15 @@ def main() -> None:
         if plan is not None:
             try:
                 plan.collect()
-            except Exception:  # noqa: BLE001 — lazy-analysis backends
-                # (Spark Connect) surface AnalysisException at collect,
-                # not at df.select — an unhashable schema there must
-                # still fall back to a real collect, not record a
-                # query error (r14 ADVICE)
+            except AnalysisException:
+                # lazy-analysis backends (Spark Connect) surface the
+                # unhashable-schema AnalysisException at collect, not
+                # at df.select — fall back to a real collect (r14
+                # ADVICE). ONLY analysis errors fall back: a RUNTIME
+                # failure mid-hash would otherwise re-run the whole
+                # query inside the same timing window (double-counted
+                # time, masked error) — those propagate to the
+                # per-query error handler.
                 df.collect()
         else:
             df.collect()

@@ -147,6 +147,38 @@ class TestBinaryEval:
         with pytest.raises(ValueError, match="both classes"):
             CL.binary_auc(one_class)
 
+    def test_auc_excludes_null_labels(self, spark):
+        """Review fix r15: NULL labels are unlabeled rows, not
+        negatives — they must not enter the AUC (counting them via
+        n - pos silently scored rows with no ground truth)."""
+        with_nulls = spark.createDataFrame(
+            [(1, 0.9, 1), (2, 0.8, 0), (3, 0.95, None), (4, 0.05, None)],
+            "id long, prob double, label int",
+        )
+        clean = spark.createDataFrame(
+            [(1, 0.9, 1), (2, 0.8, 0)], "id long, prob double, label int"
+        )
+        a = CL.binary_auc(with_nulls).collect()[0]
+        b = CL.binary_auc(clean).collect()[0]
+        assert (a["n_pos"], a["n_neg"], a["auc"]) == (
+            b["n_pos"], b["n_neg"], b["auc"],
+        )
+        # all-null labels -> both-classes guard fires
+        only_nulls = spark.createDataFrame(
+            [(1, 0.5, None)], "id long, prob double, label int"
+        )
+        with pytest.raises(ValueError, match="both classes"):
+            CL.binary_auc(only_nulls)
+
+    def test_proba_unknown_target_raises(self, spark, fitted):
+        """Review fix r15: a target absent from the trained classes
+        would silently produce NULL probs for every document."""
+        test = spark.createDataFrame(
+            [(10, "buy cheap")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="not a trained class"):
+            CL.nb_score_proba(test, fitted, target="SPAM")
+
     def test_proba_matches_python_softmax(self, spark, fitted):
         import math as _m
 

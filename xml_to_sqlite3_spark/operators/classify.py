@@ -173,6 +173,18 @@ def nb_score_proba(
     and a DuckDB replay is bit-exact despite float exp. One window
     (partition by id over C rows) + one groupBy; nothing
     corpus-quadratic."""
+    # fail LOUD on a target absent from the trained classes (typo /
+    # case mismatch / class missing from the training split): the
+    # max(when(...)) below would otherwise return NULL for EVERY doc,
+    # silently poisoning downstream AUC/calibration. class_stats is
+    # model-sized, so this eager check is one tiny collect (the
+    # binary_auc check_nonempty laziness note applies).
+    labels = [r["label"] for r in fitted["class_stats"].select("label").collect()]
+    if target not in labels:
+        raise ValueError(
+            f"nb_score_proba: target {target!r} is not a trained class "
+            f"(trained: {sorted(labels)})"
+        )
     scored = _nb_scored_grid(test, fitted, id_col, text_col)
     w = W.partitionBy(id_col)
     ex = scored.withColumn("__mx", F.max("score").over(w)).select(
@@ -209,11 +221,19 @@ def binary_auc(
     score. Returns ONE row (n_pos, n_neg, auc), auc rounded 6dp.
 
     AUC = P(s_pos > s_neg) + ½·P(s_pos = s_neg), computed as
-    (2·Σ_s pos_s·cumneg_<s + Σ_s pos_s·neg_s) / (2·P·N) — integer
+    (2·Σ_s pos_s·cumneg_<s + Σ_s pos_s·neg_s) / (2·P·N) — EXACT
     arithmetic until the single final division, so the DuckDB replay
-    is bit-exact. Scale shape: one map-side-combinable groupBy on the
-    DISTINCT score value, then a window over distinct scores — which
-    is BOUNDED at any corpus size when scores carry fixed-precision
+    is bit-exact. The products and their sums run in DECIMAL(38,0),
+    not long: at ~2·10⁹ rows per class the long form 2·P·N (and the
+    per-score pos·cumneg sums) exceeds Long.MAX and would wrap
+    SILENTLY under non-ANSI mode; decimal-38 carries exact integers
+    to ~10³⁸, enough for ~3·10¹⁸ rows per class. NULL labels are
+    EXCLUDED up front (no ground truth, no evidence — the
+    embedding_covariance null-vector contract): counting them as
+    negatives via n − pos would silently score unlabeled rows.
+    Scale shape: one map-side-combinable groupBy on the DISTINCT
+    score value, then a window over distinct scores — which is
+    BOUNDED at any corpus size when scores carry fixed-precision
     rounding (a 6dp probability grid has ≤ 10⁶+1 distinct values),
     the same bounded-key-space argument as the histogram operators.
     For unrounded continuous scores, round first.
@@ -224,14 +244,15 @@ def binary_auc(
     would be an opaque ANSI divide-by-zero at evaluation).
     """
     y = F.col(label_col).cast("long")
+    labeled = df.filter(F.col(label_col).isNotNull())
     g = (
-        df.select(F.col(score_col).alias("s"), y.alias("y"))
+        labeled.select(F.col(score_col).alias("s"), y.alias("y"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
         .withColumn("neg", F.col("n") - F.col("pos"))
     )
     if check_nonempty:
-        tot = df.agg(
+        tot = labeled.agg(
             F.sum(y).alias("p"), F.sum(F.lit(1) - y).alias("n")
         ).collect()[0]
         if not tot["p"] or not tot["n"]:
@@ -242,6 +263,7 @@ def binary_auc(
                 "to an evaluation-time error)"
             )
     w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cum = g.withColumn(
         "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
     )
@@ -250,10 +272,12 @@ def binary_auc(
         F.sum("neg").cast("long").alias("n_neg"),
         F.round(
             (
-                F.lit(2) * F.sum(F.col("pos") * F.col("cumneg"))
-                + F.sum(F.col("pos") * F.col("neg"))
+                F.lit(2) * F.sum(dec(F.col("pos")) * dec(F.col("cumneg")))
+                + F.sum(dec(F.col("pos")) * dec(F.col("neg")))
             ).cast("double")
-            / (F.lit(2) * F.sum("pos") * F.sum("neg")).cast("double"),
+            / (
+                F.lit(2) * dec(F.sum("pos")) * dec(F.sum("neg"))
+            ).cast("double"),
             6,
         ).alias("auc"),
     )
