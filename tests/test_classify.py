@@ -219,3 +219,45 @@ class TestBinaryEval:
         assert set(out) == {0, 1, 5, 9}  # empty bins absent
         with pytest.raises(ValueError, match="n_bins"):
             CL.calibration_bins(df, n_bins=0)
+
+
+def test_nb_auc_null_lang_oracle_parity(spark, tmp_path):
+    """Review fix r15: a NULL-lang held-out row must be excluded by
+    BOTH the Spark plan (NULL label -> binary_auc drops it) and the
+    oracle (WHERE d.lang IS NOT NULL) — otherwise the oracle counts
+    it as a negative and the gate mismatches on correct code. Plants
+    NULL langs in the vec_id%5==0 stratum and pins hash parity for
+    both gates (same latent class as the covariance-null fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import compare
+    from xml_to_sqlite3_spark.plans.llm_pipeline import (
+        NB_AUC_ORACLE,
+        NB_CALIBRATION_ORACLE,
+        nb_auc,
+        nb_calibration,
+    )
+
+    langs = ["en", "de", "es"]
+    rows = []
+    for i in range(60):
+        lang = None if i in (10, 25) else langs[i % 3]
+        word = {"en": "hello", "de": "hallo", "es": "hola", None: "mmm"}[lang]
+        rows.append((i, f"{word} document number {i} common words", lang))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    ok, detail = compare(nb_auc(spark, str(tmp_path)), NB_AUC_ORACLE, str(tmp_path))
+    assert ok, detail
+    ok, detail = compare(
+        nb_calibration(spark, str(tmp_path)), NB_CALIBRATION_ORACLE, str(tmp_path)
+    )
+    assert ok, detail

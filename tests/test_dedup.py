@@ -812,3 +812,28 @@ class TestExactIdentityKeyWidth:
 
         with pytest.raises(ValueError, match="key_width"):
             C.line_dedup(df, key_width=128).collect()
+
+
+def test_hash_halves_cross_module_parity(spark):
+    """The dedup module's local hash twins (_md5_long/_md5_long_hi —
+    local so the store's content key covers the code they live in)
+    must stay bit-identical to the package-wide primitives
+    (functions/hashing.stable_hash60/stable_hash60_hi) that
+    line_dedup and the graph store key on — a divergence would split
+    the 'one portable identity key' contract across operators."""
+    from xml_to_sqlite3_spark.functions.hashing import (
+        stable_hash60,
+        stable_hash60_hi,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("räksmörgås",), ("",), ("x" * 300,)], "s string"
+    )
+    rows = df.select(
+        D._md5_long(F.col("s")).alias("a"),
+        stable_hash60(F.col("s")).alias("b"),
+        D._md5_long_hi(F.col("s")).alias("c"),
+        stable_hash60_hi(F.col("s")).alias("d"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"] and r["c"] == r["d"]

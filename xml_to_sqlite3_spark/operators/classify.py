@@ -236,15 +236,21 @@ def binary_auc(
     BOUNDED at any corpus size when scores carry fixed-precision
     rounding (a 6dp probability grid has ≤ 10⁶+1 distinct values),
     the same bounded-key-space argument as the histogram operators.
-    For unrounded continuous scores, round first.
+    For unrounded continuous scores, round first. NULL SCORES are
+    excluded like NULL labels (no prediction, no evidence) — and the
+    exclusion keeps engine parity, since Spark windows order NULLs
+    first while DuckDB orders them last.
 
     NOTE (laziness, the psi/ks precedent): ``check_nonempty=True``
-    runs ONE small aggregate at plan-construction to fail loud when
-    either class is absent (AUC is undefined; the in-plan division
-    would be an opaque ANSI divide-by-zero at evaluation).
+    eagerly materializes the BOUNDED distinct-score relation
+    (localCheckpoint) and runs the guard on it, so the expensive
+    upstream pipeline (e.g. the full NB scoring DAG) evaluates ONCE —
+    the guard and the returned AUC plan both read the checkpoint.
     """
     y = F.col(label_col).cast("long")
-    labeled = df.filter(F.col(label_col).isNotNull())
+    labeled = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
     g = (
         labeled.select(F.col(score_col).alias("s"), y.alias("y"))
         .groupBy("s")
@@ -252,8 +258,9 @@ def binary_auc(
         .withColumn("neg", F.col("n") - F.col("pos"))
     )
     if check_nonempty:
-        tot = labeled.agg(
-            F.sum(y).alias("p"), F.sum(F.lit(1) - y).alias("n")
+        g = g.localCheckpoint(eager=True)
+        tot = g.agg(
+            F.sum("pos").alias("p"), F.sum("neg").alias("n")
         ).collect()[0]
         if not tot["p"] or not tot["n"]:
             raise ValueError(
@@ -299,7 +306,11 @@ def calibration_bins(
 
     Pure map + one combinable groupBy — no windows, no joins; the
     mean_prob numerator sums round(p, 9)→DECIMAL so the reduction is
-    order-independent and the DuckDB replay bit-exact."""
+    order-independent and the DuckDB replay bit-exact. NULL labels
+    and NULL probs are EXCLUDED (the binary_auc contract): counting
+    unlabeled rows via sum-skips-null / count-includes-null would
+    silently deflate frac_pos and read a calibrated router as
+    overconfident."""
     if n_bins < 1:
         raise ValueError(f"calibration_bins: n_bins must be >= 1, got {n_bins}")
     p = F.col(prob_col)
@@ -307,7 +318,8 @@ def calibration_bins(
         F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
     ).alias("bin")
     return (
-        df.select(
+        df.filter(F.col(label_col).isNotNull() & p.isNotNull())
+        .select(
             b,
             F.round(p, 9).cast("decimal(18,9)").alias("__p"),
             F.col(label_col).cast("long").alias("__y"),

@@ -224,7 +224,16 @@ def _md5_long_hi(col) -> F.Column:
     60-bit birthday collisions (~n^2/2^61) silently MERGE distinct
     content, while ~n^2/2^121 is negligible (r14 VERDICT task 3).
     MinHash permutation inputs stay on the 60-bit half — a collision
-    there is sketch noise, not corruption."""
+    there is sketch noise, not corruption.
+
+    DELIBERATELY a local twin of functions/hashing.stable_hash60_hi
+    (same expression, like _md5_long vs stable_hash60): the dedup
+    store's content key covers THIS module's bytes only, so the hash
+    the store's rows are built from must live here — importing it
+    from hashing.py would let a hashing edit change stored h2 values
+    WITHOUT invalidating the store key (silently stale postings).
+    Cross-module equality is pinned by
+    tests/test_dedup.py::test_hash_halves_cross_module_parity."""
     return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
 
 

@@ -1050,9 +1050,13 @@ def pii_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pii_report(load(spark, sf_dir, "documents"))
 
 
-_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-_PII_PHONE_SQL = "\\+?\\d[\\d()\\- ]{7,14}\\d"
+# the OPERATOR's own pattern constants, interpolated — the oracle
+# shares the exact strings, so a pattern tweak in curation.py cannot
+# leave this replay matching the old scrub (the pii_report docstring's
+# cannot-drift claim holds for the oracle too)
+_PII_EMAIL_SQL = C.PII_EMAIL
+_PII_IPV4_SQL = C.PII_IPV4
+_PII_PHONE_SQL = C.PII_PHONE
 
 PII_REPORT_ORACLE = rf"""
 WITH norm AS (

@@ -1418,9 +1418,13 @@ _NB_PROB_SQL = _NB_SCORED_SQL + """, mx AS (
                / CAST(sum(e) AS DOUBLE), 6) AS prob
   FROM ex GROUP BY doc_id
 ), lab AS (
+  -- NULL lang rows are EXCLUDED, replaying binary_auc's null-label
+  -- contract (Spark's (lang=='en')::int is NULL there and the
+  -- operator drops the row)
   SELECT p.doc_id, p.prob,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
   FROM prob p JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
 )
 """
 
