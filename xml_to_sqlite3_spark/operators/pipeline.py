@@ -44,19 +44,32 @@ def curate_corpus(
     if id_col != "doc_id":
         docs = docs.withColumnRenamed(id_col, "doc_id")
         id_col = "doc_id"
-    exact = D.exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
-        "doc_id", "is_keeper"
-    )
-    quality = T.quality_features(docs, text_col=text_col).select(
-        "doc_id", "quality_score"
-    )
-    lang = T.language_id(docs, text_col=text_col).select("doc_id", "predicted_lang")
+    # All three cheap stages in ONE pass (r15): quality and language
+    # are pure per-row column math and the exact-dup keeper is a
+    # window over md5(text), so the old exact ⋈ quality ⋈ lang
+    # three-join assembly re-scanned the corpus four times and paid
+    # three join exchanges to line up rows that never left their
+    # document. One projection computes the hash + both scores, and
+    # the single window shuffle (by the 32-char md5, carrying two
+    # small columns — never the text) attaches is_keeper (guide §2.4:
+    # remove shuffles outright; §2.3: shuffle metadata, not payloads).
+    # Expressions come from the operators' own shared builders
+    # (T.quality_score_col / T.predicted_lang_col, the exact md5
+    # window from exact_duplicates), so values are identical.
+    from pyspark.sql import Window as W
 
-    base = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(exact, "doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("__text_md5"),
+        T.quality_score_col(F.col(text_col)).alias("quality_score"),
+        T.predicted_lang_col(F.col(text_col)).alias("predicted_lang"),
+    )
+    w = W.partitionBy("__text_md5")
+    base = hashed.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        "quality_score",
+        "predicted_lang",
     )
 
     if near_dup_threshold is None:

@@ -72,19 +72,28 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    # norms hoisted to one per-row column on each side: cosine's
+    # norm(qv)/norm(cv) are pure per-row functions, so computing them
+    # once here instead of per (query, corpus) pair is bit-identical
+    # (same expression over the same doubles, same dot/(nq*nc)
+    # ordering) while the per-pair interpreted-HOF work halves —
+    # 2 array traversals per pair (zip_with + aggregate for the dot)
+    # instead of 4 (guide §4.1: HOF lambdas don't codegen)
     q = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     return _topk(scored, k)
@@ -131,15 +140,25 @@ def hard_negative_topk(
     # predicate would drop them anyway via three-valued logic, but
     # silently (a NULL-labeled query returning zero rows with no
     # signal); the filter makes the exclusion visible in the plan.
-    q = queries.filter(F.col(label_col).isNotNull()).select(
-        F.col(query_id).alias("query_id"),
-        F.col(label_col).alias("q_label"),
-        _as_double(F.col(vec_col)).alias("qv"),
+    # per-row norms hoisted out of the pair predicate (see
+    # cosine_topk's note — bit-identical, halves per-pair HOF work)
+    q = (
+        queries.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
     )
-    c = corpus.filter(F.col(label_col).isNotNull()).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(label_col).alias("n_label"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    c = (
+        corpus.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
     )
     if max_query_rows is not None:
         # 1-row aggregate (model-sized collect) BEFORE the broadcast:
@@ -169,7 +188,9 @@ def hard_negative_topk(
             "q_label",
             "neighbor_id",
             "n_label",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     return _topk(scored, k)
@@ -227,12 +248,25 @@ def lsh_topk(
     (n_planes, n_tables, probes) — fewer planes / more tables =
     higher recall, more candidates."""
     bucketize = hyperplane_buckets_udf(n_planes, dim, n_tables=n_tables)
-    q = queries.select(
-        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("buckets", bucketize(F.col("qv")))
+    # per-row norms hoisted out of the candidate scorer (see
+    # cosine_topk's note — bit-identical, halves per-candidate HOF
+    # work; candidates repeat across tables/probes, so the saving
+    # multiplies by the duplication factor)
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("buckets", bucketize(F.col("qv")))
+    )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", F.explode(bucketize(F.col("cv"))).alias("bucket"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        norm(F.col("cv")).alias("cn"),
+        F.explode(bucketize(F.col("cv"))).alias("bucket"),
+    )
 
     # multi-probe: each table's bucket + each one-bit flip within it
     probes = F.flatten(
@@ -241,7 +275,7 @@ def lsh_topk(
             lambda b: F.array(b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]),
         )
     )
-    q_probed = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    q_probed = q.select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
 
     scored = (
         q_probed.join(c, "bucket")
@@ -249,7 +283,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
         .distinct()
     )
@@ -379,13 +415,22 @@ def ivf_topk(
     assign = _assign_udf(centroids)
     probes = _probe_udf(centroids, n_probe)
 
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cluster", assign(F.col("cv")))
+    # per-row norms hoisted out of the candidate scorer (see
+    # cosine_topk's note — bit-identical, halves per-candidate HOF
+    # work over the inverted-list fan-out)
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cluster", assign(F.col("cv")))
+    )
     q = (
         queries.select(
             F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
+        .withColumn("qn", norm(F.col("qv")))
         .withColumn("cluster", F.explode(probes(F.col("qv"))))
     )
     scored = (
@@ -394,7 +439,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
         .distinct()
     )
@@ -428,15 +475,28 @@ def embedding_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # per-row norms computed in the vector re-attach projections
+    # instead of per verified pair (see cosine_topk's note —
+    # bit-identical, halves per-pair HOF work)
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -477,9 +537,21 @@ def semdedup(
     Returns (vec_id, cluster, keep) for every corpus vector.
     """
     assign = _assign_udf(centroids)
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("cluster", assign(F.col("v")))
+    v = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("cluster", assign(F.col("v")))
+        # per-row norm computed ONCE here instead of per candidate
+        # pair inside the within-cluster filter: cosine's norm(a) /
+        # norm(b) are pure functions of each row's vector, so hoisting
+        # them to the (checkpointed) row is bit-identical — the pair
+        # predicate below evaluates the same dot/(na*nb) expression —
+        # while the per-pair interpreted-HOF work halves (2 array
+        # traversals per pair instead of 4; guide §4.1: HOF lambdas
+        # don't codegen, so traversal count IS the cost)
+        .withColumn("n", norm(F.col("v")))
+    )
     # two consumers (pair join sides + the final projection) — pin
     # the assignment so the Arrow UDF runs once
     v = v.localCheckpoint(eager=False)
@@ -516,7 +588,12 @@ def semdedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            )
+            >= threshold
+        )
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("__drop", F.lit(True))

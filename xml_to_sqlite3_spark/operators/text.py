@@ -52,17 +52,13 @@ def punct_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features + composite score.
-
-    Score: normalized length (cap 1.0 at 2000 chars) * 0.3
-         + (1 - punct_ratio capped) * 0.3
-         + stopword_ratio (EN) capped at 0.5, scaled * 0.4 —
-    a simple, deterministic heuristic in the Gopher/C4-rule spirit.
-    """
+def _quality_exprs(text: Column) -> dict[str, Column]:
+    """Shared expression builder for the quality heuristic — one
+    definition serving quality_features AND the curation funnel's
+    single-projection path, so the formulas cannot drift."""
     # null text behaves as '' — otherwise size(null) = -1 poisons
     # every ratio and the composite score
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    text = F.coalesce(text, F.lit(""))
     toks = ws_tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
@@ -73,24 +69,48 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 2, F.lit(1.0)) * 0.4
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "score": score,
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """The rounded composite quality score as a bare Column — for
+    callers that fold quality into a wider projection (the curation
+    funnel) instead of joining quality_features' frame."""
+    return F.round(_quality_exprs(text)["score"], 6)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Score: normalized length (cap 1.0 at 2000 chars) * 0.3
+         + (1 - punct_ratio capped) * 0.3
+         + stopword_ratio (EN) capped at 0.5, scaled * 0.4 —
+    a simple, deterministic heuristic in the Gopher/C4-rule spirit.
+    """
+    e = _quality_exprs(F.col(text_col))
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        e["n_chars"].alias("n_chars"),
+        e["n_tokens"].alias("n_tokens"),
+        F.round(e["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(e["stop_ratio"], 6).alias("stopword_ratio"),
+        F.round(e["score"], 6).alias("quality_score"),
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram/stopword language heuristic: CJK characters force zh;
-    otherwise argmax of per-language stopword hits with the fixed
-    tie-break order en > es > fr > de; zero hits => 'und'."""
+def _lang_exprs(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Shared expression builder for the language heuristic (same
+    single-definition contract as _quality_exprs)."""
     # null text behaves as '' — size(null) = -1 would make every
     # stopword count -1, skip the zero-hit 'und' branch, and classify
     # the null doc as 'en'
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    text = F.coalesce(text, F.lit(""))
     toks = ws_tokens(F.lower(text))
     hits = {
         "en": stopword_hits(toks, STOPWORDS_EN),
@@ -112,6 +132,21 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(hits["fr"] >= hits["de"], F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+    return pred, hits
+
+
+def predicted_lang_col(text: Column) -> Column:
+    """The predicted-language label as a bare Column — for callers
+    that fold language id into a wider projection (the curation
+    funnel) instead of joining language_id's frame."""
+    return _lang_exprs(text)[0]
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: CJK characters force zh;
+    otherwise argmax of per-language stopword hits with the fixed
+    tie-break order en > es > fr > de; zero hits => 'und'."""
+    pred, hits = _lang_exprs(F.col(text_col))
     return df.select(
         "doc_id",
         pred.alias("predicted_lang"),

@@ -1658,13 +1658,25 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard>=0.3 pairs) keep only their minimum doc_id; everything
     else passes through untouched. One anti-join against the
     (tiny) drop-list — at 100 TB the corpus is only ever filtered,
-    never reshuffled."""
-    from ..operators.graph import duplicate_groups
+    never reshuffled.
+
+    r15: the drop-list comes from the PERSISTENT components store
+    (the exact (threshold=0.3, n=3) closure dedup_components and
+    dedup_canonical already read) instead of re-running the
+    inverted-index Jaccard join + iterative min-label propagation
+    per query — the store IS that computation, materialized once per
+    content key and maintained by O(delta) appends; same oracle,
+    same rows."""
+    import os
 
     docs = load(spark, sf_dir, "documents")
-    tokens, _ = _minhash_store(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, n=3, tokens=tokens)
-    drop = duplicate_groups(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    drop = (
+        D.get_components_store(
+            spark, os.path.join(sf_dir, "documents.parquet"), threshold=0.3, n=3
+        )
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
     return (
         docs.join(drop, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
