@@ -1721,6 +1721,17 @@ def exact_percentiles(
     return out.unionByName(null_part) if null_part is not None else out
 
 
+def bloom_positions(v: Column, m_bits: int = 4096, k: int = 3) -> list[Column]:
+    """The k portable Bloom hash positions of a (string-cast) value —
+    ONE definition shared by bloom_bits, bloom_member_values and any
+    per-row prefilter composition, so the sketch's hash family cannot
+    drift between build and probe."""
+    return [
+        (stable_hash60(F.concat(F.lit(f"bloom{i}|"), v)) % m_bits).cast("long")
+        for i in range(k)
+    ]
+
+
 def bloom_bits(
     df: DataFrame,
     col: str,
@@ -1742,16 +1753,7 @@ def bloom_bits(
     probe side BEFORE an expensive join — no false negatives, FPR ~
     (1 - e^(-kn/m))^k, tunable)."""
     v = F.col(col).cast("string")
-    pos = F.array_distinct(
-        F.array(
-            *[
-                (
-                    stable_hash60(F.concat(F.lit(f"bloom{i}|"), v)) % m_bits
-                ).cast("long")
-                for i in range(k)
-            ]
-        )
-    )
+    pos = F.array_distinct(F.array(*bloom_positions(v, m_bits, k)))
     return (
         df.filter(v.isNotNull())
         .select(F.explode(pos).alias("bit"))
@@ -1772,35 +1774,19 @@ def bloom_member_values(
     caller semi-joins this against the full frame to apply the
     prefilter.
 
-    Scale shape: probe values dedup once, explode to their (<= k)
-    distinct positions, inner-join the broadcast model-sized bit
-    table, and one count-per-value aggregation keeps values whose
-    every position matched — map-side until the single probe-value
-    shuffle."""
+    Scale shape (r15): probe values dedup once, then each of the k
+    hash positions probes the broadcast model-sized bit table with
+    its own broadcast LEFT-SEMI join — "all positions set" is the
+    conjunction of k map-side hash probes, so after the single
+    probe-value dedup shuffle nothing exchanges at all (the old
+    explode → join → count-per-value aggregation paid a second full
+    shuffle of the exploded postings for the same answer; guide
+    §2.4)."""
     v = F.col(col).cast("string")
-    pos = F.array_distinct(
-        F.array(
-            *[
-                (
-                    stable_hash60(F.concat(F.lit(f"bloom{i}|"), v)) % m_bits
-                ).cast("long")
-                for i in range(k)
-            ]
-        )
-    )
-    vals = (
-        df.filter(v.isNotNull())
-        .select(v.alias(col))
-        .distinct()
-        .select(F.col(col), pos.alias("__pos"), F.size(pos).alias("__n"))
-    )
-    matched = (
-        vals.select(F.col(col), F.col("__n"), F.explode("__pos").alias("bit"))
-        .join(F.broadcast(bits), "bit")
-        .groupBy(col, "__n")
-        .agg(F.count(F.lit(1)).alias("__hit"))
-    )
-    return matched.filter(F.col("__hit") == F.col("__n")).select(col)
+    out = df.filter(v.isNotNull()).select(v.alias(col)).distinct()
+    for pos in bloom_positions(F.col(col), m_bits, k):
+        out = out.join(F.broadcast(bits), pos == F.col("bit"), "left_semi")
+    return out
 
 
 def length_bucketed_batches(

@@ -774,25 +774,32 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import get_window_store
 
     docs = load(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") < 10)
     tr = docs.filter(F.col("doc_id") >= 10)
-    # window postings from the persistent store's win8 family — the
-    # corpus shingle pass was most of this gate's 7.45s r7 bench row
-    # even WITH checkpoints (each consumer re-scans cheap sorted
-    # parquet now; the eval slice keeps its checkpoint because four
-    # consumers read it and it is ~10 docs)
+    # window postings from the persistent store's win8 family. r15:
+    # the eval/train split is a pure doc_id range predicate, so it
+    # pushes straight into the store's parquet scan (PushedFilters)
+    # instead of the old semi-joins against the documents table —
+    # two joins gone, and the store is read with the filter applied
+    # (guide §2.4/§6). The eval slice keeps its checkpoint (two
+    # consumers, ~10 docs).
     win8 = get_window_store(spark, os.path.join(sf_dir, "documents.parquet"))
-    esh = (
-        win8.join(ev.select("doc_id"), "doc_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    tsh = win8.join(tr.select("doc_id"), "doc_id", "left_semi")
+    esh = win8.filter(F.col("doc_id") < 10).localCheckpoint(eager=True)
+    tsh = win8.filter(F.col("doc_id") >= 10)
     bits = C.bloom_bits(esh, "shingle", m_bits=4096, k=3)
-    member = C.bloom_member_values(
-        tsh, "shingle", bits, m_bits=4096, k=3
-    ).localCheckpoint(eager=True)
+    # r15: per-ROW Bloom membership — each train posting probes the
+    # broadcast bit table once per hash function (k broadcast
+    # LEFT-SEMI joins, conjunction = all bits set). The old path
+    # dedup'd shingles, explode-joined the bit table, aggregated
+    # hit counts, checkpointed, then semi-joined postings AGAIN on
+    # the shingle string — three extra exchanges carrying the
+    # 32-char shingle keys for the same candidate set (guide §2.3:
+    # shuffle metadata decisions map-side when the model is
+    # broadcastable).
+    cand = tsh
+    for pos in C.bloom_positions(F.col("shingle").cast("string"), 4096, 3):
+        cand = cand.join(F.broadcast(bits), pos == F.col("bit"), "left_semi")
     bloom_docs = (
-        tsh.join(member, "shingle", "left_semi").select("doc_id").distinct()
+        cand.select("doc_id").distinct()
         .withColumn("bloom_candidate", F.lit(True))
     )
     exact_docs = (
