@@ -28,20 +28,53 @@ either broadcasts or falls back to a shuffle equi-join on token.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .search import tokenize
+
+def _token_counts_udf():
+    """Vectorized per-document multinomial counts:
+    array<struct<token, cnt>> per text, byte-identical tokens to
+    search.tokenize (collapse JVM-\\s+ → trim spaces → lower → split
+    → drop empties; the shingles_udf ASCII-whitespace discipline).
+
+    The r14 UDF boundary rule says UDF-ify a HOF only when the batch
+    REDUCES inside the UDF — it does here: duplicate tokens collapse
+    to (token, cnt) pairs IN the row, which is what lets the callers
+    drop the corpus-wide groupBy(id, token) shuffle entirely (the
+    per-document aggregation never needed to leave the document)."""
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("array<struct<token: string, cnt: long>>")
+    def counts(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = ws.sub(" ", t).strip(" ").lower().split(" ")
+            c = Counter(words)
+            c.pop("", None)
+            out.append(list(c.items()))
+        return pd.Series(out)
+
+    return counts
 
 
 def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token, cnt) — multinomial counts per document."""
-    return (
-        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    """(id, token, cnt) — multinomial counts per document. One Arrow
+    pass + explode; zero exchanges (r15 — was explode + a corpus-wide
+    groupBy(id, token) shuffle for an aggregation that is per-row)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_token_counts_udf()(F.col(text_col))).alias("tc"),
+    ).select(id_col, F.col("tc.token").alias("token"), F.col("tc.cnt").alias("cnt"))
 
 
 def nb_train(
@@ -58,10 +91,16 @@ def nb_train(
     - ``class_stats``: (label, prior_ln, default_ln)
     - ``vocab``:       (token) — the training vocabulary
     """
-    toks = _token_counts(train, id_col, text_col)
-    per_class = toks.join(
-        train.select(F.col(id_col), F.col(label_col).alias("label")), id_col
-    )
+    # label rides the tokenizing projection (it lives on the same
+    # row), so the old toks ⋈ train join on id — a full shuffle of
+    # the token counts just to re-attach a column they started next
+    # to — is gone (r15, guide §2.4); the only exchange left in the
+    # tf build is the (token, label) aggregation itself.
+    per_class = train.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.explode(_token_counts_udf()(F.col(text_col))).alias("tc"),
+    ).select("label", F.col("tc.token").alias("token"), F.col("tc.cnt").alias("cnt"))
     model_tf = per_class.groupBy("token", "label").agg(F.sum("cnt").alias("tf"))
     model = model_tf.select(
         "token",
@@ -78,7 +117,10 @@ def nb_train(
     class_docs = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).cast("double").alias("nd")
     )
-    n_train = train.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # n_train = Σ nd exactly (count(*) partitioned by label sums to
+    # count(*)), re-aggregated from the model-sized class_docs
+    # instead of a second full corpus scan (r15, guide §1.2-1)
+    n_train = class_docs.agg(F.sum("nd").alias("__n"))
     # LEFT join + coalesce(tot, 0): a label whose whole training split
     # tokenizes to nothing (empty/whitespace text) has no model_tf rows
     # — an inner join would silently drop its prior so it could never
