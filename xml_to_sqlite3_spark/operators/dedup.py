@@ -904,41 +904,75 @@ def remove_duplicated_spans(
         )
         .select("doc_id", "pos")
     )
-    # removal token indices: each non-first duplicated window covers
-    # [pos, pos + window_tokens)
-    removed = (
-        non_first.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (window_tokens - 1))
-            ).alias("tok_idx"),
+    # r15 reassembly: the old tail posexploded EVERY corpus token,
+    # anti-joined the removal indices, and rebuilt each document with
+    # a collect_list+sort groupBy — i.e. the entire tokenized corpus
+    # crossed one exchange to delete a small fraction of it. Removal
+    # decisions are tiny (non-first duplicated windows); so merge
+    # them into disjoint per-document spans (the duplicated_spans
+    # gaps-and-islands idiom), attach the small span table to the
+    # doc-level rows, and cut the kept text out of the ALREADY
+    # per-document token array with slice/flatten — the token payload
+    # never shuffles at all (guide §2.3: decide with small rows, move
+    # big rows once; §8's transferable rule).
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window_tokens).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islanded = non_first.withColumn(
+        "__new",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = (
+        islanded.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + window_tokens).alias("e"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"))
     )
-    toks = base.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens_total"),
-        F.posexplode("toks").alias("tok_idx", "tok"),
+    # complement of the (disjoint, sorted) removal spans over
+    # [0, n_tokens): one bounded HOF aggregate over the few spans per
+    # doc; removal spans are clamped to the token range (a window at
+    # pos covers [pos, pos+window_tokens) which may overrun short
+    # final windows — it cannot, by construction, but least() keeps
+    # the slice arithmetic total)
+    kept_ranges = F.expr(
+        "aggregate("
+        "  coalesce(__spans, cast(array() as array<struct<s:int,e:int>>)),"
+        "  struct(0 as prev, cast(array() as array<struct<s:int,e:int>>) as acc),"
+        "  (a, sp) -> struct("
+        "    greatest(a.prev, least(sp.e, __nt)) as prev,"
+        "    if(sp.s > a.prev,"
+        "       concat(a.acc, array(struct(a.prev as s, sp.s as e))),"
+        "       a.acc) as acc),"
+        "  a -> if(a.prev < __nt,"
+        "          concat(a.acc, array(struct(a.prev as s, __nt as e))),"
+        "          a.acc))"
     )
-    kept = toks.join(removed, ["doc_id", "tok_idx"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.first("n_tokens_total").alias("n_tokens_total"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tok_idx", "tok"))),
-                lambda s: s["tok"],
+    assembled = (
+        base.select("doc_id", "toks", F.size("toks").alias("__nt"))
+        .join(spans, "doc_id", "left")
+        .withColumn("__keep", kept_ranges)
+        .withColumn(
+            "__kept_toks",
+            F.flatten(
+                F.transform(
+                    F.col("__keep"),
+                    lambda r: F.slice(F.col("toks"), r["s"] + 1, r["e"] - r["s"]),
+                )
             ),
-        ).alias("text_deduped"),
-        F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
     )
-    # spine join: fully-removed documents survive with ''
-    spine = base.select("doc_id", F.size("toks").alias("__nt"))
-    return spine.join(agg, "doc_id", "left").select(
+    return assembled.select(
         F.col("doc_id").alias(id_col),
-        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
-        F.coalesce("n_tokens_total", F.col("__nt")).cast("int").alias("n_tokens_total"),
+        F.concat_ws(" ", F.col("__kept_toks")).alias("text_deduped"),
+        F.size("__kept_toks").cast("long").alias("n_tokens_kept"),
+        F.col("__nt").cast("int").alias("n_tokens_total"),
     )
 
 
