@@ -743,6 +743,7 @@ def dsir_select(
     n_buckets: int = 1024,
     alpha: float = 0.5,
     k: int = 100,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al.
     2023): score every raw document that produced at least one token
@@ -806,8 +807,21 @@ def dsir_select(
         .agg(F.count(F.lit(1)).alias("rc"))
         .localCheckpoint(eager=False)
     )
+    # r15: when the target is a SUBSET of ``raw`` (the common DSIR
+    # shape — "select raw docs that look like my in-domain slice"),
+    # ``target_ids`` lets the target's bucket counts come from the
+    # already-materialized raw postings via one semi-join instead of
+    # a second tokenize+UDF+explode pass over the target text
+    # (guide §1.2-1: don't compute things twice). Values identical:
+    # the target rows' (doc, bucket) postings ARE those raw_b rows.
+    if target_ids is not None:
+        tgt_b = raw_b.join(
+            target_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
+    else:
+        tgt_b = grams(target)
     tgt_counts = (
-        grams(target)
+        tgt_b
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("tc"))
         .localCheckpoint(eager=False)

@@ -161,15 +161,9 @@ def ngram_jaccard_pairs(
                 "column — rebuild the dedup store (legacy 60-bit entry) "
                 "or pass key_width=60"
             )
-        sized = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        tokens = _carry_meta(
-            tokens.join(sized, "doc_id").select("doc_id", "n_sh", *kc),
-            tokens,
-        )
+        tokens = _carry_meta(tokens.select("doc_id", *kc), tokens)
     else:
-        tokens = _shingle_tokens(df, n, id_col, text_col, with_size=True).select(
-            "doc_id", "n_sh", *kc
-        )
+        tokens = _shingle_tokens(df, n, id_col, text_col).select("doc_id", *kc)
     if max_df is not None:
         rare = (
             tokens.groupBy(*kc)
@@ -177,10 +171,18 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .select(*kc)
         )
-        tokens = (
-            tokens.join(rare, kc, "left_semi")
-            .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        )
+        tokens = tokens.join(rare, kc, "left_semi")
+    # r15: set sizes attach to the PAIR result, not to every posting.
+    # The old store path joined the full posting table against its own
+    # per-doc counts before the pair join — a corpus-sized shuffle to
+    # decorate rows whose n_sh is only read once per surviving pair —
+    # and the non-store path shipped n_sh through both sides of the
+    # hot (h, h2) exchange. Postings now travel as bare (doc_id, key)
+    # rows; the (far smaller) shared-count result joins the doc-level
+    # size table twice (guide §2.3: shuffle keys, not payloads). The
+    # sizes are computed from the SAME (max_df-filtered) posting set,
+    # so n_a/n_b — and Jaccard — are value-identical.
+    sized = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = tokens.alias("a")
     b = tokens.alias("b")
@@ -195,14 +197,20 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.join(
+            sized.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -110,6 +110,9 @@ def node_tree_iterative(
     return out
 
 
+_MAX_WALK_FRONTIER = 100_000
+
+
 def _edge_walk(
     xrefs: DataFrame,
     node_id: str,
@@ -119,62 +122,73 @@ def _edge_walk(
     prepend_path: bool,
     max_depth: int,
 ) -> DataFrame:
-    """Shared single-node walk over parent_child edges: per level one
-    broadcast hash join of the (checkpointed-once) 2-column edge
-    projection against the frontier. ``match_col`` is the edge side
-    compared to the frontier, ``step_col`` becomes the next frontier;
-    ancestors prepend to the path, descendants append. The frontier
-    for a single-node lookup is one tree level, so the edge blocks
-    stream in place — no shuffle, no per-iteration re-plan (the
-    recursive-CTE formulation shuffle-joins the full edge table per
-    level; for a one-node lookup that is max_depth full-edge
-    shuffles)."""
-    edges = (
-        xrefs.filter(F.col("reference_type") == "parent_child")
-        .select(
-            F.col("source_node_id").alias("parent"),
-            F.col("target_node_id").alias("child"),
-        )
-        # materialize the 2-column edge projection ONCE: the walk
-        # scans it per level, and without the checkpoint each level
-        # re-derives it from the full xref table
-        .localCheckpoint(eager=True)
+    """Shared single-node walk over parent_child edges.
+
+    r15: a driver-assembled point walk. The old form eagerly
+    materialized the ENTIRE 2-column parent_child edge projection
+    into executor blocks per call, then ran per level a broadcast
+    build + a join scan + an isEmpty job (~3 jobs x max_depth, all
+    scanning the materialized edge set). For a single-node lookup the
+    frontier is MODEL-sized by contract (one lineage level of one
+    node — the exact data the old plan broadcast each level anyway),
+    so each level is now ONE job: an `isin` filter over the xref
+    store that reaches the parquet scan as PushedFilters (plus the
+    reference_type partition-directory pruning), collecting only the
+    matched edges. Path/depth assembly happens driver-side over those
+    model-sized rows — byte-identical strings to the old concat
+    (multiset semantics preserved: duplicate edges and converging
+    paths each contribute their row, like the recursive UNION ALL
+    oracle). Fail-loud guard on degenerate fan-out (the old broadcast
+    would have OOM'd there instead)."""
+    from pyspark.sql import types as T
+
+    spark = xrefs.sparkSession
+    edges = xrefs.filter(F.col("reference_type") == "parent_child").select(
+        F.col("source_node_id").alias("parent"),
+        F.col("target_node_id").alias("child"),
     )
-    frontier = (
-        edges.filter(F.col(match_col) == node_id)
-        .select(
-            F.col(step_col).alias(out_col),
-            F.lit(1).alias("depth"),
-            F.col(step_col).alias("path"),
-        )
-        .localCheckpoint(eager=True)
+    schema = T.StructType(
+        [
+            T.StructField(out_col, T.StringType()),
+            T.StructField("depth", T.IntegerType(), False),
+            T.StructField("path", T.StringType()),
+        ]
     )
-    levels = [frontier]
-    for depth in range(2, max_depth + 1):
-        if frontier.isEmpty():
+    rows: list[tuple] = []
+    frontier: list[tuple[str, str | None]] = [(node_id, None)]
+    for depth in range(1, max_depth + 1):
+        ids = list({n for n, _ in frontier})
+        matched = (
+            edges.filter(F.col(match_col).isin(ids))
+            .select(match_col, step_col)
+            .collect()
+        )
+        if not matched:
             break
-        step = F.col(step_col)
-        path = (
-            F.concat(step, F.lit(" -> "), F.col("path"))
-            if prepend_path
-            else F.concat(F.col("path"), F.lit(" -> "), step)
-        )
-        nxt = (
-            edges.join(
-                F.broadcast(frontier.select(F.col(out_col).alias(match_col), "path")),
-                match_col,
+        by_match: dict[str, list[str]] = {}
+        for r in matched:
+            by_match.setdefault(r[match_col], []).append(r[step_col])
+        nxt: list[tuple[str, str]] = []
+        for node, path in frontier:
+            for step in by_match.get(node, ()):
+                p = (
+                    step
+                    if path is None
+                    else (f"{step} -> {path}" if prepend_path else f"{path} -> {step}")
+                )
+                nxt.append((step, p))
+                rows.append((step, depth, p))
+        if not nxt:
+            break
+        if len(nxt) > _MAX_WALK_FRONTIER:
+            raise ValueError(
+                f"_edge_walk: frontier exploded to {len(nxt)} paths at "
+                f"depth {depth} (> {_MAX_WALK_FRONTIER}) — a single-node "
+                "lineage walk assumes model-sized levels; use the "
+                "set-based node_tree/bfs operators for dense graphs"
             )
-            .select(step.alias(out_col), F.lit(depth).alias("depth"), path.alias("path"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
         frontier = nxt
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+    return spark.createDataFrame(rows, schema)
 
 
 def ancestors(

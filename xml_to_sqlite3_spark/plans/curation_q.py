@@ -699,8 +699,12 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram+bigram log-ratio weights + deterministic md5-derived
     Gumbel-top-100. Fully value-oracled including the selection."""
     docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    # target ⊆ raw, so pass the id slice: the operator reuses the raw
+    # postings for the target counts instead of re-tokenizing (r15)
     return C.dsir_select(
-        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024, alpha=0.5, k=100
+        docs, target, n_buckets=1024, alpha=0.5, k=100,
+        target_ids=target.select("doc_id"),
     )
 
 
