@@ -920,50 +920,34 @@ def c4_line_filter(
     n_lines_total) with surviving lines rejoined in order; documents
     whose every line is dropped survive with clean_text = ''.
 
-    Pure map-side except one groupBy on the document id to
-    reassemble — and that shuffle carries only surviving lines.
+    r15: a PURE MAP — every decision here is a function of one line
+    of one document, so the old posexplode → groupBy(doc) →
+    collect_list+sort reassembly shuffled every surviving line of the
+    corpus for nothing (guide §2.4: remove shuffles outright). The
+    lines array never leaves its row: trim, filter, rejoin with
+    array HOFs; zero exchanges. Values identical (the keep-predicate
+    evaluates the same trimmed line; surviving lines keep original
+    order; blank lines drop exactly as _exploded_lines dropped them;
+    null/empty-text documents keep the old spine semantics).
     """
-    ln = F.trim(F.col("line"))
-    keep = F.size(F.split(ln, r"\s+")) >= min_words
-    if require_terminal_punct:
-        keep = keep & ln.rlike("[.!?][\"')\\]]?$")
-    if drop_brace_lines:
-        keep = keep & ~ln.contains("{") & ~ln.contains("}")
+    lines = F.split(F.col(text_col), "\n")
 
-    # the keep-predicate evaluates the TRIMMED line, so emit the
-    # trimmed form too — surviving text should carry the cleaned
-    # line, and the DuckDB oracle aggregates the trimmed line
-    kept = F.when(keep, F.struct(F.col("line_idx"), ln.alias("line")))
-    agg = (
-        _exploded_lines(df, id_col, text_col)
-        .groupBy(id_col)
-        .agg(
-            F.first("__n_total").alias("n_lines_total"),
-            F.sort_array(F.collect_list(kept)).alias("__kept"),
-        )
-        .select(
-            id_col,
-            F.concat_ws("\n", F.transform("__kept", lambda s: s["line"])).alias(
-                "clean_text"
-            ),
-            F.size("__kept").alias("n_lines_kept"),
-            "n_lines_total",
-        )
-    )
-    # _exploded_lines drops whitespace-only lines before the groupBy,
-    # so a document whose EVERY line is blank has no group at all —
-    # left-join the id spine back so such documents survive with
-    # clean_text = '' as documented. The join key is the groupBy key,
-    # so AQE plans it as a cheap (often broadcast-able) id join.
-    spine = df.select(
+    def _keep(ln):
+        k = (ln != "") & (F.size(F.split(ln, r"\s+")) >= min_words)
+        if require_terminal_punct:
+            k = k & ln.rlike("[.!?][\"')\\]]?$")
+        if drop_brace_lines:
+            k = k & ~ln.contains("{") & ~ln.contains("}")
+        return k
+
+    kept = F.filter(F.transform(lines, F.trim), _keep)
+    return df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("__nt"),
-    )
-    return spine.join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce("n_lines_total", F.col("__nt")).alias("n_lines_total"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        # greatest(.., 0): size(NULL) is -1 for a NULL text column,
+        # where the old spine path reported 0 kept lines
+        F.greatest(F.size(kept), F.lit(0)).alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
     )
 
 

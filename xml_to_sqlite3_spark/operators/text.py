@@ -742,14 +742,27 @@ def bigram_logprob(
         F.col(id_col).alias("doc_id"),
         F.explode(_adjacent_pairs(tokenize(F.col(text_col)))).alias("p"),
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # r15: reduce to per-(doc, a, b) multiplicities FIRST and pin the
+    # reduced frame — the model fit and the scoring join both read it,
+    # so the tokenize+explode pass over the corpus runs ONCE (it ran
+    # per consumer before), and the (a, b) scoring exchange carries
+    # distinct per-doc bigrams instead of every occurrence (guide
+    # §2.3). Values identical: a decimal lp summed over m identical
+    # occurrences equals lp * m exactly (decimal multiplication by an
+    # integer count is exact), and n_bigrams = Σ m.
+    pc = (
+        pairs.groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    bi = pc.groupBy("a", "b").agg(F.sum("m").alias("c_ab"))
     prev = bi.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     v = bi.agg(F.count_distinct("b").alias("v"))
     prob = (F.col("c_ab").cast("double") + F.lit(alpha)) / (
         F.col("c_a").cast("double") + F.lit(alpha) * (F.col("v") + 1)
     )
     scored = (
-        pairs.join(bi, ["a", "b"])
+        pc.join(bi, ["a", "b"])
         .join(F.broadcast(prev), "a")
         .crossJoin(F.broadcast(v))
         .withColumn("lp", F.round(F.log(prob), 9).cast("decimal(18,9)"))
@@ -757,9 +770,9 @@ def bigram_logprob(
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("m").alias("n_bigrams"),
             F.round(
-                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("lp") * F.col("m")).cast("double") / F.sum("m"), 6
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
