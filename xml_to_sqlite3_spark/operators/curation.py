@@ -989,39 +989,56 @@ def line_dedup(
         raise ValueError(
             f"line_dedup: key_width must be 60 or 120, got {key_width!r}"
         )
-    w = Window.partitionBy(*line_key).orderBy(id_col, "line_idx")
-    first_here = F.row_number().over(w) == 1
-    kept = F.when(F.col("__first"), F.struct(F.col("line_idx"), F.col("line")))
-    agg = (
+    # r15 (guide §8: decide with small rows, move big rows once).
+    # The old form shuffled every surviving LINE TEXT twice — once
+    # through the winner window on the line key, once through the
+    # per-document collect_list reassembly. Every decision here is a
+    # function of (line key, doc_id, line_idx) alone, so the window
+    # now runs over 16-byte keys + positions, only the (small)
+    # REMOVAL index lists travel to the documents, and the surviving
+    # text is cut out of the document's own split() array in-row —
+    # the line payload never crosses an exchange. Results are
+    # byte-identical: the winner is the same minimum (doc_id,
+    # line_idx) per key, kept lines rejoin in the same line_idx
+    # order, and blank lines drop exactly as _exploded_lines dropped
+    # them (same F.trim test, applied in-row).
+    removals = (
         _exploded_lines(df, id_col, text_col)
-        .withColumn("__first", first_here)
-        .groupBy(id_col)
-        .agg(
-            F.first("__n_total").alias("n_lines_total"),
-            F.sort_array(F.collect_list(kept)).alias("__kept"),
+        .select(id_col, "line_idx", *[k.alias(f"__k{i}") for i, k in enumerate(line_key)])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(
+                    *[F.col(f"__k{i}") for i in range(len(line_key))]
+                ).orderBy(id_col, "line_idx")
+            ),
         )
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("line_idx").alias("__rm"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    # null text: filter(null) is null — coalesce to [] so a null-text
+    # document keeps the old contract ('' deduped, 0 kept; its
+    # n_lines_total stays size(split(null)), same as the old spine)
+    kept = F.coalesce(
+        F.filter(
+            lines,
+            lambda line, i: (F.trim(line) != "")
+            & ~F.array_contains(rm, i.cast("int")),
+        ),
+        F.array().cast("array<string>"),
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(removals, id_col, "left")
         .select(
             id_col,
-            F.concat_ws("\n", F.transform("__kept", lambda s: s["line"])).alias(
-                "text_deduped"
-            ),
-            F.size("__kept").alias("n_lines_kept"),
-            "n_lines_total",
+            F.concat_ws("\n", kept).alias("text_deduped"),
+            F.size(kept).alias("n_lines_kept"),
+            F.size(lines).alias("n_lines_total"),
         )
-    )
-    # _exploded_lines drops blank lines before the groupBy, so a
-    # document whose EVERY line is blank would otherwise vanish from
-    # the output — the same hole c4_line_filter's spine join patches;
-    # such documents survive with text_deduped = ''
-    spine = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("__nt"),
-    )
-    return spine.join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce("n_lines_total", F.col("__nt")).alias("n_lines_total"),
     )
 
 

@@ -433,8 +433,18 @@ def ivf_topk(
         .withColumn("qn", norm(F.col("qv")))
         .withColumn("cluster", F.explode(probes(F.col("qv"))))
     )
+    # the probed query side is rows x n_probe — small by the IVF
+    # contract (queries ≪ corpus) — so broadcast it: the corpus side
+    # (the big side) is never shuffled on the k-ary cluster key at
+    # all (guide §3.1; the old equi-join shuffled BOTH sides on a
+    # 16-distinct-value key — a skew magnet at any scale).
+    # No dedup needed: each corpus vector lives in exactly ONE
+    # inverted list (argmax assignment) and a query's probe list is
+    # distinct (argsort positions), so a (query, neighbor) pair can
+    # match at most once — the old .distinct() was a full shuffle
+    # that provably removed nothing.
     scored = (
-        q.join(c, "cluster")
+        c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -443,7 +453,6 @@ def ivf_topk(
                 dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cosine"),
         )
-        .distinct()
     )
     return _topk(scored, k)
 

@@ -666,9 +666,15 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = li.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_suppkey"
     ).distinct()
+    # r15: no .distinct() on the semi-join probe side — a left-semi
+    # join is insensitive to right-side duplicates, and the distinct
+    # shuffled the FULL (orderkey, suppkey) projection once just to
+    # shuffle its dedup'd form again for the join (guide §2.4:
+    # shuffle N rows once beats N + D twice; lineitem rarely repeats
+    # a (order, supplier) pair, so D ≈ N here)
     others = li.select(
         F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
-    ).distinct()
+    )
     # same frame as `returned`, re-aliased — reuse it instead of
     # recomputing the filter+distinct (correct either way, but this
     # does not depend on Catalyst exchange-reuse firing)
@@ -743,16 +749,33 @@ def _q2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     and single-pass supply aggregate, which the gate's checkpoint
     otherwise hides behind a Scan ExistingRDD."""
     li = load(spark, sf_dir, "lineitem")
-    supply = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        F.round(
-            F.min(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                / F.col("l_quantity").cast("decimal(18,4)")
-            ).cast("double"),
-            2,
-        ).alias("supply_cost")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "PROMO")
+    )
+    # r15: the (p_size, p_type) part filter is highly selective and
+    # p_partkey is the part table's key, so semi-joining lineitem on
+    # the broadcast filtered keys BEFORE the (pk, sk) aggregation
+    # (guide §3.2: reduce the big side before shuffling it) drops the
+    # groups the inner join was discarding AFTER the full-lineitem
+    # shuffle. Result-identical: per-(pk, sk) minima are per-group
+    # values, and the retained groups are exactly the ones the
+    # part join kept.
+    supply = (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.round(
+                F.min(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    / F.col("l_quantity").cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("supply_cost")
+        )
     )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -761,9 +784,6 @@ def _q2_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 5) & (F.col("p_type") == "PROMO")
     )
     return (
         p.join(supply, p.p_partkey == F.col("pk"))
@@ -791,7 +811,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            mins,
+            # mins is one row per surviving part — model-sized by
+            # construction; after the checkpoint Catalyst has no size
+            # estimate and falls back to a sort-merge join, so the
+            # broadcast is forced (guide §3.1: estimates are often
+            # wrong after opaque ops — hint when you know the size)
+            F.broadcast(mins),
             (F.col("p_partkey") == F.col("mpk"))
             & (F.col("supply_cost") == F.col("min_cost")),
         )
@@ -992,10 +1017,16 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a NOT-IN exclusion — the excluded-supplier set (negative
     account balance, the available stand-in for Q16's complaint
     comment) leaves by a broadcast LEFT ANTI join before the
-    count-distinct; the association is the distinct lineitem
-    (part, supplier) projection."""
+    count-distinct; the association is the lineitem (part, supplier)
+    projection — NOT pre-distinct'd (r15): the final
+    countDistinct(l_suppkey) dedups per group anyway (its partial
+    aggregate dedups map-side), p_partkey is unique in part so the
+    broadcast join cannot multiply a (part, supplier) pair into a
+    different group, and the anti join ignores right-side dupes —
+    the old .distinct() was a full extra shuffle of the projection
+    for zero result change (guide §2.4)."""
     li = load(spark, sf_dir, "lineitem")
-    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    assoc = li.select("l_partkey", "l_suppkey")
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("l_suppkey")
     )
