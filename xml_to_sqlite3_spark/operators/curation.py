@@ -1435,8 +1435,11 @@ def table_profile(
     uniform schema). The profiling primitive a warehouse runs before
     choosing join strategies and partition keys.
 
-    Single full-scan aggregate (all columns' stats computed map-side
-    in the same job, no per-column scans). ``approx=False`` (the
+    Two full-scan aggregates (ALL columns' plain stats in one, ALL
+    distinct counts in the other — never per-column scans), crossJoined
+    as 1-row frames; see the in-body note for why one combined
+    aggregate planned as a sorted (not hashed) aggregation.
+    ``approx=False`` (the
     oracle-gated default) uses exact count_distincts — Catalyst
     expands N of them to N x the scan rows, fine at gate scale;
     ``approx=True`` is the 100 TB path: approx_count_distinct (HLL++,
@@ -1449,15 +1452,26 @@ def table_profile(
         if approx
         else F.countDistinct
     )
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # r15: the stats and the distincts run as TWO aggregates over the
+    # scan, crossJoined (both are 1-row, model-sized). Mixing them in
+    # one agg put string min/max buffers (immutable — not
+    # HashAggregate-eligible) into the SAME aggregate as the
+    # countDistinct Expand, so the whole plan fell back to
+    # SortAggregate: the expanded rows (n_cols+1 per input row) were
+    # SORTED on the 6-part expand key before every partial agg.
+    # Split, the min/max agg is a global (grouping-free) pass with no
+    # sort at all and the distinct agg's buffers are plain longs, so
+    # the Expand aggregates by hash. Same results, same single scan
+    # per aggregate, zero Sort nodes.
+    base_aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs += [
+        base_aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            nd(c).alias(f"__nd_{c}"),
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
         ]
-    row = df.agg(*aggs)
+    nd_aggs = [nd(c).alias(f"__nd_{c}") for c in cols]
+    row = df.agg(*base_aggs).crossJoin(F.broadcast(df.agg(*nd_aggs)))
     parts = [
         F.struct(
             F.lit(c).alias("column"),
