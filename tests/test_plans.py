@@ -580,3 +580,44 @@ def test_shard_assignment_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
     assert _re.search(r"hashpartitioning\(shard", plan)
+
+
+def test_line_dedup_winner_window_shuffles_keys_not_text(spark):
+    """r15: the duplicate-line winner decision travels as 16-byte
+    hash keys + positions; the line TEXT must never cross an
+    exchange (it is cut from the document's own split() array
+    in-row). The old plan's collect_list of (line_idx, line)
+    structs — the text-payload reassembly shuffle — must not
+    reappear."""
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(C.line_dedup(docs))
+    # removal lists collect integer positions only
+    assert "collect_list(line_idx" in plan
+    assert "sort_array" not in plan
+    assert "struct(line_idx" not in plan
+    # every hash-partitioned exchange carries keys/ids, not lines
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        assert "line#" not in keys and "text#" not in keys
+
+
+def test_table_profile_never_sorts_the_expand(spark):
+    """r15: the profile's two aggregates must plan hash-side — the
+    distinct counts aggregate the Expand by hash (long buffers) and
+    the string min/max run as a grouping-free global pass — so no
+    Sort node may appear anywhere (the old combined aggregate
+    sorted (n_cols+1) x the scan rows on the 6-part expand key)."""
+    import re as _re
+
+    from xml_to_sqlite3_spark.operators import curation as C
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    plan = _physical(
+        C.table_profile(orders, ["o_orderkey", "o_orderstatus", "o_orderdate"])
+    )
+    assert "Expand" in plan  # the distinct rewrite is still one scan
+    assert "HashAggregate" in plan
+    assert not _re.search(r"\(\d+\) Sort\b", plan)
+    assert not _re.search(r"^\s*[:+-]+ Sort\b", plan, _re.M)
