@@ -26,7 +26,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_HERE, "plans", "r15")
+    out_dir = os.path.join(_HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = entrymod.queries()

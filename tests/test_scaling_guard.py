@@ -13,6 +13,20 @@ measured back to back in one session so box-speed cancels out of the
 ratio entirely; the denominator is floored (a 0.05s small-sf run must
 not make a healthy 0.4s large-sf run look 8x); and the bounds carry
 ~3x headroom over ratios measured on the healthy r11 plans (dev box,
+
+r16: each test additionally runs bench.py's release hygiene
+(clearCache + a GC nudge) BEFORE its measurements. The r15 driver run
+failed link_prediction at ratio 11.2 with sf0.01 taking 3.92s — more
+than the same query's sf0.1 bench row (3.33s) in the same driver run,
+which is not physically consistent with an O(data) term; the module
+re-ran green solo (19s) and as a module (59s, all 17) on a quiet box.
+Root cause: in the FULL suite this module's measurements inherit the
+shared session's accumulated storage blocks/heap from hundreds of
+prior tests (the exact degradation bench.py's _release_query_state
+documents: dedup-family blocks slowed a later graph query 2.5x, and
+r15 measured link_prediction 3s -> 23-59s after heavy gates in one
+session). The hygiene restores each test to a clean-session baseline
+without touching any query plan,
 best-of-2 each side: graph_distances 0.92, graph_triangles 1.34,
 sessionization 1.12, link_prediction 1.61, broken_references 0.91,
 graph_pagerank 0.18, and for the r11 metrics graph_clustering 1.29,
@@ -102,9 +116,24 @@ def _best_of_2(fn) -> float:
     return best
 
 
+def _release_session_state(spark) -> None:
+    """bench.py's _release_query_state, applied before each ratio
+    measurement: drop accumulated cached/checkpointed blocks and nudge
+    the ContextCleaner so a full-suite shared session measures the
+    same clean-session baseline the bench (and a solo run) does. See
+    the module docstring's r16 note for the driver failure this
+    defends against."""
+    try:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene must never fail the guard
+        pass
+
+
 @pytest.mark.parametrize("name,bound", RATIO_BOUNDS)
 def test_scaling_ratio(name, bound, warmed, spark):
     qs = warmed
+    _release_session_state(spark)
     t_small = _best_of_2(lambda: qs[name](spark, SF_SMALL).collect())
     t_big = _best_of_2(lambda: qs[name](spark, SF_BIG).collect())
     ratio = t_big / max(t_small, _DENOM_FLOOR)

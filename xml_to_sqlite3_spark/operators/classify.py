@@ -46,7 +46,11 @@ def _token_counts_udf():
     REDUCES inside the UDF — it does here: duplicate tokens collapse
     to (token, cnt) pairs IN the row, which is what lets the callers
     drop the corpus-wide groupBy(id, token) shuffle entirely (the
-    per-document aggregation never needed to leave the document)."""
+    per-document aggregation never needed to leave the document).
+
+    r16: kept only as the A/B twin of the native occurrence path
+    below (SPARK_GRAFT_NB_ARROW=1 re-enables it for measurement);
+    see _token_occurrences for why native won."""
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<struct<token: string, cnt: long>>")
@@ -67,10 +71,54 @@ def _token_counts_udf():
     return counts
 
 
+def _use_arrow_tokens() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_NB_ARROW") == "1"
+
+
+def _token_occurrences(
+    df: DataFrame, id_col: str, text_col: str, *extra_cols: str
+) -> DataFrame:
+    """One row per token OCCURRENCE: (``id_col``, *extra, token) —
+    the fully native tokenizing projection (search.tokenize: collapse
+    \\s+ → trim → lower → split → drop empties; explode drops
+    null-text docs exactly like the Arrow twin's empty array).
+
+    r16 (VERDICT r15 item 5): every NB consumer of the old per-row
+    (token, cnt) pairs immediately AGGREGATES on keys coarser than
+    (doc, token) — (token, label) for training, (doc) / (doc, label)
+    for scoring — and those aggregations partial-reduce map-side. So
+    the per-document pre-counting never saved shuffle bytes that the
+    partial aggregation wasn't already saving; it only added an
+    ArrowEvalPython boundary (serialize every text to Python and the
+    pairs back). Emitting raw occurrences keeps the whole path in
+    WholeStageCodegen with ZERO Python stages and the same exchanges."""
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+
+
 def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token, cnt) — multinomial counts per document. One Arrow
-    pass + explode; zero exchanges (r15 — was explode + a corpus-wide
-    groupBy(id, token) shuffle for an aggregation that is per-row)."""
+    """(id, token, cnt) — multinomial counts per document. A/B twin
+    retained for tests that exercise the per-document counting shape
+    directly (the gates consume _token_occurrences)."""
+    if not _use_arrow_tokens():
+        return (
+            _token_occurrences(df, id_col, text_col)
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return df.select(
         F.col(id_col),
         F.explode(_token_counts_udf()(F.col(text_col))).alias("tc"),
@@ -96,12 +144,30 @@ def nb_train(
     # the token counts just to re-attach a column they started next
     # to — is gone (r15, guide §2.4); the only exchange left in the
     # tf build is the (token, label) aggregation itself.
-    per_class = train.select(
-        F.col(id_col),
-        F.col(label_col).alias("label"),
-        F.explode(_token_counts_udf()(F.col(text_col))).alias("tc"),
-    ).select("label", F.col("tc.token").alias("token"), F.col("tc.cnt").alias("cnt"))
-    model_tf = per_class.groupBy("token", "label").agg(F.sum("cnt").alias("tf"))
+    # r16: raw occurrences, fully native (see _token_occurrences) —
+    # the (token, label) aggregation partial-reduces map-side, so the
+    # per-document Arrow pre-count saved nothing it wasn't already
+    # saving while costing the Python boundary; sum(cnt) over
+    # per-doc counts == count(*) over occurrences (exact integers).
+    if _use_arrow_tokens():
+        per_class = train.select(
+            F.col(label_col).alias("label"),
+            F.explode(_token_counts_udf()(F.col(text_col))).alias("tc"),
+        ).select(
+            "label", F.col("tc.token").alias("token"), F.col("tc.cnt").alias("cnt")
+        )
+        model_tf = per_class.groupBy("token", "label").agg(
+            F.sum("cnt").alias("tf")
+        )
+    else:
+        occ = _token_occurrences(
+            train.select(F.col(label_col).alias("label"), F.col(text_col)),
+            "label",
+            text_col,
+        )
+        model_tf = occ.groupBy("token", "label").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     model = model_tf.select(
         "token",
         "label",
@@ -153,14 +219,33 @@ def _nb_scored_grid(
 ) -> DataFrame:
     """The full (id, label, score) class grid — shared by the argmax
     scorer and the probability path so the two can never diverge."""
-    toks = _token_counts(test, id_col, text_col)
-    iv = toks.join(F.broadcast(fitted["vocab"]), "token")
-    n_iv = iv.groupBy(id_col).agg(F.sum("cnt").cast("double").alias("niv"))
-    adj_sums = (
-        iv.join(F.broadcast(fitted["model"]), "token")
-        .groupBy(id_col, "label")
-        .agg(F.sum(F.col("cnt") * F.col("adj_ln")).alias("adj_sum"))
-    )
+    # r16: raw native occurrences (see _token_occurrences). n_iv is
+    # an exact integer either way (Σ cnt == count of occurrences);
+    # adj_sum sums adj_ln per occurrence instead of cnt·adj_ln per
+    # distinct (doc, token) — same quantity, different float add
+    # order, absorbed by the 6dp score rounding exactly like Spark's
+    # own partition-order nondeterminism (oracle-verified at both
+    # test SFs).
+    if _use_arrow_tokens():
+        toks = _token_counts(test, id_col, text_col)
+        iv = toks.join(F.broadcast(fitted["vocab"]), "token")
+        n_iv = iv.groupBy(id_col).agg(F.sum("cnt").cast("double").alias("niv"))
+        adj_sums = (
+            iv.join(F.broadcast(fitted["model"]), "token")
+            .groupBy(id_col, "label")
+            .agg(F.sum(F.col("cnt") * F.col("adj_ln")).alias("adj_sum"))
+        )
+    else:
+        occ = _token_occurrences(test, id_col, text_col)
+        iv = occ.join(F.broadcast(fitted["vocab"]), "token")
+        n_iv = iv.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("double").alias("niv")
+        )
+        adj_sums = (
+            iv.join(F.broadcast(fitted["model"]), "token")
+            .groupBy(id_col, "label")
+            .agg(F.sum("adj_ln").alias("adj_sum"))
+        )
     grid = test.select(F.col(id_col)).crossJoin(F.broadcast(fitted["class_stats"]))
     return (
         grid.join(n_iv, id_col, "left")

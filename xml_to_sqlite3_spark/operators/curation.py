@@ -1430,10 +1430,11 @@ def table_profile(
     columns: Sequence[str] | None = None,
     approx: bool = False,
 ) -> DataFrame:
-    """ANALYZE-style column statistics in ONE pass: for each column —
-    row count, null count, distinct count, min/max (as strings for a
-    uniform schema). The profiling primitive a warehouse runs before
-    choosing join strategies and partition keys.
+    """ANALYZE-style column statistics with NO per-column scans (two
+    single-scan aggregates): for each column — row count, null count,
+    distinct count, min/max (as strings for a uniform schema). The
+    profiling primitive a warehouse runs before choosing join
+    strategies and partition keys.
 
     Two full-scan aggregates (ALL columns' plain stats in one, ALL
     distinct counts in the other — never per-column scans), crossJoined
@@ -1470,6 +1471,15 @@ def table_profile(
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
         ]
+    if not cols:
+        # columns=[]: one output row per profiled column means zero
+        # rows — short-circuit (df.agg(*[]) would raise, and there is
+        # nothing worth scanning for)
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows bigint, n_nulls bigint, "
+            "n_distinct bigint, min_value string, max_value string",
+        )
     nd_aggs = [nd(c).alias(f"__nd_{c}") for c in cols]
     row = df.agg(*base_aggs).crossJoin(F.broadcast(df.agg(*nd_aggs)))
     parts = [
@@ -1569,24 +1579,37 @@ def exact_percentiles(
     builtin (pinned by test): same rank formula, same
     (1-frac)*lo + frac*hi association.
 
-    Scale shape — the classic SKETCH-THEN-REFINE factorization:
+    Scale shape — the classic SKETCH-THEN-REFINE factorization, in
+    exactly TWO data-sized passes (r16 — was three: a count pass, a
+    sketch pass whose query fractions were derived from the counts,
+    and the refine pass; the count now rides the sketch aggregate):
 
-    1. A count aggregate yields each group's exact n (group keys are
-       MODEL-sized for every ANALYZE-style consumer — return flags,
-       strata, sources — so collecting the count table is the same
-       driver posture as the k-means codebook). From n, the target
-       positions j0/j1 and a per-group band [q_lo, q_hi] are computed
-       driver-side: `percentile_approx`'s GK summary guarantees rank
-       error <= n/accuracy, so querying at (j0-1)/n - 2/accuracy and
-       (j1+2)/n + 2/accuracy provably brackets the target order
-       statistics. The sketch buffer is O(accuracy log n) — never
-       the multiset.
+    1. ONE aggregate yields each group's exact n AND its GK summary
+       (`percentile_approx`) queried at n-INDEPENDENT fractions:
+       p ± 4/accuracy for every requested percentile, plus 0 and 1.
+       Group keys are MODEL-sized for every ANALYZE-style consumer —
+       return flags, strata, sources — so collecting the (count,
+       sketch) table is the same driver posture as the k-means
+       codebook. Driver-side, each (group, percentile) picks its band
+       [blo, bhi]: the fixed-fraction bracket when n >= 2*accuracy
+       (GK rank error <= n/accuracy, so the +-4/accuracy fractions
+       provably bracket the target order statistics j0/j1 with >= 2
+       ranks to spare: rank(blo) <= (p-3/accuracy)n + 1 <= j0 and
+       symmetrically for bhi), or the whole domain when
+       n < 2*accuracy (the "band" is then at most 2*accuracy values —
+       still bounded, never data-sized). The sketch buffer is
+       O(accuracy log n) — never the multiset.
     2. The band table (groups x percentiles, model-sized) broadcasts
        back; one map-side-combinable pass extracts the exact
        sub-band rank offset (count of v < band-lo) and the band
        members (O(n/accuracy) values per group-percentile — tune
        ``accuracy`` upward as n grows); the exact order statistics
        are picked from the sorted band by absolute position.
+
+    Band edges only ever PRUNE (any bracketing band yields the same
+    x[j0]/x[j1] by absolute position), so the r16 fraction change
+    cannot move a result by construction — the builtin-equivalence
+    pin proves it.
 
     Nothing sorts or windows data-sized input; the approx sketch is
     only ever a PRUNING device, so its partition-order
@@ -1613,21 +1636,37 @@ def exact_percentiles(
     # group counts are MODEL-sized for every ANALYZE-style consumer
     # of this helper (return flags, strata, sources) — the same
     # driver posture as the k-means codebook; n per group is what
-    # makes the band quantiles PROVABLY containing below. The guard
+    # makes the band positions PROVABLY bracketed below. The guard
     # makes that contract self-enforcing: a high-cardinality caller
     # fails loudly instead of collecting unbounded rows.
-    # ONE job serves both the guard and the counts: collect at most
-    # bound+1 rows — a second full aggregation just to count groups
-    # would double the count-pass I/O on a 100 TB column
+    # ONE job serves the guard, the counts AND the GK sketch (r16:
+    # the sketch's query fractions are n-independent, so it no
+    # longer has to wait for a separate count pass — one full scan
+    # saved per call on a 100 TB column): collect at most bound+1
+    # rows.
     # counted over the UNFILTERED input with count(value): a group
     # whose values are all NULL stays visible with __n = 0, so it can
     # surface as (group, tag, NULL) like the builtin `percentile` and
     # DuckDB `quantile_cont` keep it — the r9 null-filter-first
     # formulation silently DROPPED such groups, an oracle divergence
     # on any nullable value column (r9 ADVICE)
+    qset: list[float] = []
+
+    def _q(x: float) -> int:
+        x = min(1.0, max(0.0, x))
+        if x not in qset:
+            qset.append(x)
+        return qset.index(x)
+
+    eps = 1.0 / accuracy
+    frac_idx = {p: (_q(p - 4.0 * eps), _q(p + 4.0 * eps)) for p in ps}
+    full_idx = (_q(0.0), _q(1.0))
     cnt_rows = (
         df.groupBy(*g)
-        .agg(F.count(v).alias("__n"))
+        .agg(
+            F.count(v).alias("__n"),
+            F.percentile_approx(v, qset, accuracy).alias("__b"),
+        )
         .limit(_MAX_PCT_GROUPS + 1)
         .collect()
     )
@@ -1639,6 +1678,7 @@ def exact_percentiles(
             "bucket the grouping column first"
         )
     all_counts = {tuple(r[c] for c in g): r["__n"] for r in cnt_rows}
+    sketches = {tuple(r[c] for c in g): r["__b"] for r in cnt_rows}
     counts = {key: n for key, n in all_counts.items() if n > 0}
     zero_keys = [key for key, n in all_counts.items() if n == 0]
     out_schema = T.StructType(
@@ -1664,52 +1704,33 @@ def exact_percentiles(
             if null_part is not None
             else spark.createDataFrame([], out_schema)
         )
-    # per (group, percentile): target 0-indexed positions j0/j1 and a
-    # band [q_lo, q_hi] whose GK rank-error guarantee (<= n/accuracy)
-    # plus one extra position of slack on each side provably covers
-    # [j0, j1] — all computed driver-side from the exact n
-    qset: list[float] = []
-
-    def _q(x: float) -> int:
-        x = min(1.0, max(0.0, x))
-        if x not in qset:
-            qset.append(x)
-        return qset.index(x)
-
-    pos_rows = []
+    # per (group, percentile): target 0-indexed positions j0/j1 and
+    # the band [blo, bhi] read straight off the collected sketch —
+    # the fixed-fraction bracket when n >= 2*accuracy (provable, see
+    # docstring), the whole domain otherwise (at most 2*accuracy
+    # values, bounded) — all driver-side, model-sized
+    band_rows = []
     for key, n in counts.items():
+        b = sketches[key]
         for p, tag in zip(ps, tags):
             rank = float(p) * (n - 1)
             j0 = int(rank)
             j1 = min(j0 + 1, n - 1)
             frac = rank - j0
-            qlo = _q((j0 - 1) / n - 2.0 / accuracy)
-            qhi = _q((j1 + 2) / n + 2.0 / accuracy)
-            pos_rows.append((*key, tag, j0, j1, frac, qlo, qhi))
-    pos_schema = T.StructType(
+            lo_i, hi_i = frac_idx[p] if n >= 2 * accuracy else full_idx
+            band_rows.append((*key, tag, j0, j1, frac, b[lo_i], b[hi_i]))
+    band_schema = T.StructType(
         [
             *(T.StructField(f"__g_{c}", dmap[c]) for c in g),
             T.StructField("tag", T.StringType()),
             T.StructField("j0", T.LongType()),
             T.StructField("j1", T.LongType()),
             T.StructField("frac", T.DoubleType()),
-            T.StructField("qlo_idx", T.IntegerType()),
-            T.StructField("qhi_idx", T.IntegerType()),
+            T.StructField("blo", T.DoubleType()),
+            T.StructField("bhi", T.DoubleType()),
         ]
     )
-    pos = spark.createDataFrame(pos_rows, pos_schema)
-    pre = data.groupBy(*g).agg(
-        F.percentile_approx("__v", qset, accuracy).alias("__b")
-    )
-    on = F.lit(True)
-    for c in g:
-        on = on & (F.col(c) == F.col(f"__g_{c}"))
-    bands = pre.join(F.broadcast(pos), on).select(
-        *[f"__g_{c}" for c in g],
-        "tag", "j0", "j1", "frac",
-        F.get(F.col("__b"), F.col("qlo_idx")).alias("blo"),
-        F.get(F.col("__b"), F.col("qhi_idx")).alias("bhi"),
-    )
+    bands = spark.createDataFrame(band_rows, band_schema)
     on = F.lit(True)
     for c in g:
         on = on & (F.col(c) == F.col(f"__g_{c}"))
