@@ -385,14 +385,17 @@ def test_price_percentiles_never_buffers_the_multiset(spark):
     sketch-then-refine (percentile_approx band + exact in-band
     refinement) — Spark's exact `percentile` aggregate buffers each
     group's FULL value multiset in one aggregation state, the last
-    100 TB memory cliff this repo retired. The plan may contain
-    percentile_approx (the O(accuracy log n) GK sketch) but never
-    the exact `percentile(` aggregate."""
+    100 TB memory cliff this repo retired. r16: the GK sketch rides
+    the collected count aggregate (a separate job), so the RETURNED
+    plan contains neither percentile form — only the refine pass's
+    collect_list over the pruned band. The pin is that the exact
+    `percentile(` aggregate never reappears anywhere and the band
+    refine (sort_array over in-band values) is what remains."""
     from xml_to_sqlite3_spark.plans import olap_ext as OE
 
     plan = _physical(OE.price_percentiles(spark, SF_SMOKE))
-    assert "percentile_approx" in plan, plan
     assert "percentile(" not in plan.replace("percentile_approx", ""), plan
+    assert "collect_list" in plan, plan  # the pruned-band refine
     assert "EvalPython" not in plan
 
 
@@ -621,3 +624,58 @@ def test_table_profile_never_sorts_the_expand(spark):
     assert "HashAggregate" in plan
     assert not _re.search(r"\(\d+\) Sort\b", plan)
     assert not _re.search(r"^\s*[:+-]+ Sort\b", plan, _re.M)
+
+
+def test_nb_token_path_has_no_python(spark):
+    """r16: NB tokenization is fully native (search.tokenize explode
+    of raw occurrences) — the r15 Arrow per-document pre-count added
+    an ArrowEvalPython boundary for a reduction the downstream
+    partial aggregations already did map-side. Zero Python stages in
+    the whole train+score plan."""
+    from xml_to_sqlite3_spark.plans import llm_pipeline
+
+    plan = _physical(llm_pipeline.nb_classify(spark, SF_SMOKE))
+    assert "EvalPython" not in plan, "NB path dropped into Python"
+
+
+def test_ivf_topk_broadcasts_probes_without_distinct(spark):
+    """r15 pin (VERDICT item 9): the IVF candidate join broadcasts
+    the probed query side (the corpus is never shuffled on the k-ary
+    cluster key) and the provably-no-op candidate .distinct() stays
+    gone — its reappearance would be a full shuffle+agg of every
+    candidate pair."""
+    from xml_to_sqlite3_spark.plans import llm_pipeline
+
+    plan = _physical(llm_pipeline.ann_ivf(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # the cosine/top-k window is the only aggregation-ish step left;
+    # a candidate distinct would re-introduce a hashpartitioning
+    # exchange on (query_id, neighbor_id)
+    assert "hashpartitioning(query_id#" in plan or "hashpartitioning(query_id," in plan
+    assert "hashpartitioning(neighbor_id" not in plan, plan
+
+
+def test_bloom_prefilter_pushes_split_range(spark):
+    """r15 pin (VERDICT item 9): the eval/train split must reach the
+    win8 postings store scan as a pushed doc_id range — and the
+    membership probe is k broadcast semi-joins, never a shuffle of
+    the exploded postings."""
+    import re
+
+    from xml_to_sqlite3_spark.plans import curation_q
+
+    plan = _physical(curation_q.bloom_prefilter(spark, SF_SMOKE))
+    assert re.search(r"doc_id#\d+L >= 10", plan), "train-split range not pushed"
+    assert "EvalPython" not in plan
+
+
+def test_assortativity_broadcasts_degree_join(spark):
+    """r16: the degree join-back must broadcast the (checkpointed,
+    node-domain-sized) degree table — a sort-merge join here shuffles
+    the full directed-edge list by a string key, the measured 2x cost
+    of the r15 form."""
+    from xml_to_sqlite3_spark.plans import node_graph
+
+    plan = _physical(node_graph.graph_assortativity(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -362,10 +362,24 @@ def _carry_meta(derived: DataFrame, source: DataFrame) -> DataFrame:
 
 def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """(doc_id, band, bucket) LSH rows: each band's signature slice
-    md5-folded to one bucket string — the shared banding step of the
+    hash-folded to one 64-bit bucket — the shared banding step of the
     symmetric (minhash_lsh_pairs) and incremental
     (minhash_lsh_incremental) candidate joins. Carries the store's
-    (n, k) tag through (_carry_meta)."""
+    (n, k) tag through (_carry_meta).
+
+    r16 (guide §2.3): the bucket is xxhash64 over the slice's raw
+    longs instead of md5 over their ':'-joined string rendering — no
+    per-row string building, a quarter of the hash bytes in the
+    candidate exchange (8-byte long vs 32-char string), and the
+    bucket never leaves the operator: every candidate pair it admits
+    still passes the signature-estimate screen and the exact-Jaccard
+    verify, and every oracle replays banding as per-band signature
+    EQUALITY, so the bucket encoding is unobservable (a cross-slice
+    hash collision admits a spurious candidate exactly like an md5
+    collision would — and verification discards it unless the pair
+    ALSO clears the Jaccard threshold, the same astronomically-
+    unlikely class as before). Measured at sf0.1: the candidate
+    stage 1.21 → 0.59s min, identical candidate sets."""
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -373,14 +387,11 @@ def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.col("signature")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows + r]
+                                for r in range(rows)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)

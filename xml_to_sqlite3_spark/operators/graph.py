@@ -764,19 +764,33 @@ def degree_assortativity(
     both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # r16: the degree table is lazily checkpointed and its join-back
+    # explicitly broadcast. Measured at sf0.1 (store path, fresh plan
+    # per rep, min-of-3): 3.6-4.5s → 1.8-2.2s — building the
+    # broadcast relation straight from the un-materialized
+    # union+aggregate subtree was the dominant cost; from
+    # materialized node-domain-sized blocks it is sub-second. Lazy
+    # (not eager) so a never-evaluated result materializes nothing;
+    # node-domain-sized, so nothing data-sized accumulates under
+    # query-many (the r11 leak concerned full-edge checkpoints).
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     # Pearson r assembled from sufficient statistics with ONE degree
     # join: attach dv per directed edge, then the per-source groupBy
     # recovers du as the row count — so deg is computed and joined
     # exactly once (the naive du⋈dv double join planned deg twice
-    # with no exchange reuse; 12 parquet scans vs 6 here, and no
-    # checkpoint needed, so nothing accumulates under query-many).
+    # with no exchange reuse; 12 parquet scans vs 6 here).
     #   Σx  (du over directed edges)  = Σ_u du²
     #   Σx² (du² over edges)          = Σ_u du³
     #   Σxy (du·dv over edges)        = Σ_u du · Σ_{v∈N(u)} dv
     #   Σy / Σy² from the same per-source sums of dv / dv².
     e2 = both.join(
-        deg.select(F.col("u").alias("v"), F.col("deg").cast("double").alias("dv")),
+        F.broadcast(
+            deg.select(
+                F.col("u").alias("v"), F.col("deg").cast("double").alias("dv")
+            )
+        ),
         "v",
     )
     per_u = e2.groupBy("u").agg(

@@ -395,18 +395,30 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_query_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """IVF approximate top-k: spherical-k-means codebook, corpus
     vectors assigned to their nearest centroid (the inverted lists),
     each query probes its ``n_probe`` nearest lists, exact cosine
     only against those lists' members.
 
-    The scale path complementing ``lsh_topk``: candidate generation
-    is one equi-join on the cluster id (shuffle on a k-ary key; AQE
-    skew-join splits fat clusters), corpus assignment is map-side
-    with the codebook broadcast in the UDF closure. Pass a
-    precomputed ``centroids`` codebook to skip training (at scale:
-    train once on a sample, reuse per query batch).
+    The scale path complementing ``lsh_topk``: the probed query side
+    (rows × n_probe — small by the IVF contract, queries ≪ corpus)
+    BROADCASTS onto the corpus side, so the corpus is never shuffled
+    on the k-ary cluster key at all (r15; the old equi-join shuffled
+    both sides on a 16-distinct-value key, a skew magnet). Corpus
+    assignment is map-side with the codebook broadcast in the UDF
+    closure. Pass a precomputed ``centroids`` codebook to skip
+    training (at scale: train once on a sample, reuse per query
+    batch).
+
+    ``max_query_rows`` enforces the queries ≪ corpus contract
+    fail-loud (the hard_negative_topk guard, r15 ADVICE): the
+    exploded probe side ships to every executor, so a corpus-sized
+    ``queries`` must raise with the fix named, not OOM the broadcast.
+    Like there, the guard is EAGER (one model-sized count job at call
+    time); pass ``None`` to restore a fully lazy call after sizing
+    the broadcast yourself.
     """
     if centroids is None:
         centroids = spherical_kmeans(
@@ -433,6 +445,21 @@ def ivf_topk(
         .withColumn("qn", norm(F.col("qv")))
         .withColumn("cluster", F.explode(probes(F.col("qv"))))
     )
+    if max_query_rows is not None:
+        # bound what actually ships (the exploded probe side) BEFORE
+        # the broadcast; checkpoint so the guard's materialization is
+        # the same one the broadcast reuses
+        q = q.localCheckpoint(eager=False)
+        n_q = q.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"ivf_topk: {n_q} probed query rows exceed "
+                f"max_query_rows={max_query_rows}; the probed query side "
+                "is broadcast to every executor, so it must stay small "
+                "(IVF serving: queries ≪ corpus). Probe in query "
+                "batches, or pass max_query_rows=None after sizing the "
+                "broadcast yourself"
+            )
     # the probed query side is rows x n_probe — small by the IVF
     # contract (queries ≪ corpus) — so broadcast it: the corpus side
     # (the big side) is never shuffled on the k-ary cluster key at
