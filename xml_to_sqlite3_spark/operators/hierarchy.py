@@ -168,6 +168,43 @@ def _edge_walk(
     )
     rows: list[tuple] = []
     frontier: list[tuple[str, str | None]] = [(node_id, None)]
+    # the guarded limit(bound+1) collect below would otherwise use
+    # Spark's INCREMENTAL take (scan 1 partition, then 4x more, ...)
+    # — up to 4 jobs per level against the 37-file xref store,
+    # measured +1.0s on the ancestors gate. Scoping the initial
+    # partition count to "all of them" keeps the r15 one-job-per-
+    # level shape while the limit still caps the driver transfer.
+    conf = spark.conf
+    saved_inp = None
+    try:
+        saved_inp = conf.get("spark.sql.limit.initialNumPartitions")
+    except Exception:  # noqa: BLE001 — unset on older builds
+        saved_inp = None
+    conf.set("spark.sql.limit.initialNumPartitions", "100000")
+    try:
+        return _edge_walk_levels(
+            spark, edges, node_id, frontier, rows, schema,
+            match_col, step_col, prepend_path, max_depth,
+        )
+    finally:
+        if saved_inp is None:
+            conf.unset("spark.sql.limit.initialNumPartitions")
+        else:
+            conf.set("spark.sql.limit.initialNumPartitions", saved_inp)
+
+
+def _edge_walk_levels(
+    spark,
+    edges: DataFrame,
+    node_id: str,
+    frontier: list,
+    rows: list,
+    schema,
+    match_col: str,
+    step_col: str,
+    prepend_path: bool,
+    max_depth: int,
+) -> DataFrame:
     for depth in range(1, max_depth + 1):
         ids = list({n for n, _ in frontier})
         if len(ids) <= _ISIN_FRONTIER_MAX:

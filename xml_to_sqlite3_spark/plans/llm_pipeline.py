@@ -987,6 +987,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=16,
         centroids=cents,
+        # the query side is 10 ids BY CONSTRUCTION (vec_id < 10), so
+        # the operator's eager broadcast-size guard would only add a
+        # count job + checkpoint to every gate run (measured ~+0.9s
+        # at sf0.1); external callers keep the fail-loud default
+        max_query_rows=None,
     )
 
 
