@@ -36,95 +36,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries() entries in
-# dict order (observed: CORRECTNESS_r02..r14 == first 50 registered).
+# dict order (observed: CORRECTNESS_r02..r15 == first 50 registered).
 # This priority list is RE-DERIVED EACH ROUND so demoted queries cycle
-# back into the window. Round 15 composition (VERDICT r14 task 1):
-# FIRST the four queued TPC-H gates — the only oracled queries whose
-# latest driver row is r11 (q10/q12/q13/q14, held out of the r14
-# window on family-sibling evidence and explicitly sequenced for this
-# head); THEN the one r15-new gate (ann_ivf_pq_opq — the OPQ-rotated
-# serving path, rows-only by design like ann_ivf_pq: float k-means +
-# eigh models, replica-pinned by TestOpqRotation); THEN 45 of the
-# 50-query r12-vintage cohort, lifting the steady-state vintage floor
-# to r13 for every oracled gate.
-# Left out (the window is 50 and 4+1+50=55):
-#   - graph_kcore, semdedup — rows-only by design with peeling/python
-#     replica pins every pytest run (the graph_pagerank rationale: a
-#     rows>0 re-check adds no signal); they queue for the r16 window
-#     alongside the rest of the r12 cohort's leftovers;
-#   - cms_daily, kmv_daily, hll_daily — the windowed-sketch trio whose
-#     base sketches carry fresh hash-green siblings (cms_sketch r14,
-#     source_distinct_sketch r14, hll_distinct r13) on the same sketch
-#     helpers; they head the r16 rotation.
+# back into the window. Round 16 composition (VERDICT r15 items 1-2):
+# FIRST the four gates the driver has NEVER verified (nb_auc /
+# nb_calibration / pii_report / shard_assignment registered r15
+# past-window); THEN every gate whose results path was TOUCHED by the
+# r16 optimization batches (NB native tokenization, streaming no-data-
+# batch skip, exact_percentiles merged pass, table_profile split
+# aggregates, assortativity broadcast join, xxhash LSH banding,
+# _edge_walk hardening, ivf guard) — the driver must hash-confirm
+# each; THEN the r15-rewritten gates the r15 window did not cover
+# (VERDICT item 2's list); THEN the r12-vintage queue (graph_kcore,
+# cms_daily, kmv_daily, hll_daily — semdedup is already in as an r15
+# rewrite); THEN the oldest r13-vintage fill. semdedup/graph_kcore
+# are rows-only by design (replica-pinned in pytest) — included per
+# VERDICT item 2 / the r15 queue note.
 # The three r8-vintage rows-only gates (bpe_merges, image_dedup,
 # multimodal_pipeline) and graph_pagerank stay past-window by design.
-# Entries past position 50 are r12/r13/r14-green with unchanged
+# Entries past position 50 are r13/r14/r15-green with unchanged
 # semantics; pytest's local oracle replica still hash-checks every
-# registered entry each run. NOTE the r15 dedup-key widening
-# (key_width=120 default) and fuzzy block_keys are result-identical at
-# sf scale — every touched gate re-verified MATCH locally before this
-# rotation was derived.
+# registered entry each run.
 _GATE_WINDOW = 50
 _GATE_PRIORITY = [
-    # -- the four r11-vintage TPC-H gates: queued from r14
-    "q10_returned_items",
-    "q12_ship_latency",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    # -- the one r15-new gate
-    "ann_ivf_pq_opq",         # rows-only by design (float models + eigh R)
-    # -- 45 of the 50-query r12-vintage cohort (see note above for the
-    #    five exceptions)
-    "ann_cosine_topk",
-    "attribute_references",
-    "attribute_search",
-    "bidirectional_refs",
-    "content_search",
-    "content_similarity",
-    "dataset_split",
-    "dedup_canonical",
-    "dedup_exact",
-    "document_stats",
-    "dsir_selection",
-    "events_json_extract",
-    "events_pivot",
-    "gopher_quality",
-    "graph_assortativity",
-    "graph_clustering",
-    "hard_negatives",
-    "hybrid_search",
-    "kmv_distinct",
-    "lm_quality",
-    "multi_attribute_search",
-    "multi_references",
+    # -- never driver-verified (registered r15, past-window then)
+    "nb_auc",
+    "nb_calibration",
+    "pii_report",
+    "shard_assignment",
+    # -- r16-touched result paths (see OPTIMIZATION_r16.md)
     "nb_classify",
     "nb_confusion",
-    "node_references",
-    "normalize_redact",
-    "order_value_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_predicates",
-    "q21_sole_returned_supplier",
-    "relationship_summary",
-    "repetition_topngram",
-    "salted_supplier_revenue",
-    "same_type_pairs",
-    "shingle_novelty",
-    "source_quota",
-    "stable_sample",
-    "temperature_mix",
-    "tf_idf",
-    "type_inference",
-    "vocabulary_topk",
-    "weighted_source_sample",
-    "xml_nodes_roundtrip",
-    "xpath_search",
-    # demoted to past-window this round (all r13/r14-green, unchanged
-    # results; the local parity replica still hash-proves every one):
-    # the full r13 and r14 cohorts. Queued for the r16 head:
-    # graph_kcore, semdedup, cms_daily, kmv_daily, hll_daily (see note
-    # above).
+    "streaming_windowed",
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_topk",
+    "streaming_enriched",
+    "streaming_attribution",
+    "streaming_drift",
+    "price_percentiles",
+    "robust_price_stats",
+    "stratified_sample",
+    "orders_profile",
+    "graph_assortativity",
+    "dedup_minhash",
+    "dedup_incremental",
+    "dedup_recall_audit",
+    "curate_corpus",
+    "ancestors",
+    "descendants",
+    "ann_ivf",
+    # -- r15-rewritten, not covered by the r15 window (VERDICT item 2)
+    "line_dedup",
+    "c4_line_filter",
+    "dedup_spans_apply",
+    "dup_spans",
+    "bloom_prefilter",
+    "decontaminate",
+    "q2_min_cost_supplier",
+    "q16_supplier_counts",
+    "lm_bigram",
+    "ngram_jaccard",
+    "near_dedup_corpus",
+    "dedup_components",
+    "semdedup",               # rows-only by design (float codebook)
+    "dedup_embedding",
+    "curate_cheap",
+    # -- the r12-vintage queue from the r15 rotation note
+    "graph_kcore",            # rows-only by design (peeling replica pin)
+    "cms_daily",
+    "kmv_daily",
+    "hll_daily",
+    # -- oldest (r13-vintage) oracled fill
+    "ann_lsh",
+    "asof_join",
+    "dedup_simhash",
+    "events_psi_drift",
+    "fuzzy_match",
+    "graph_distances",
 ]
 
 
