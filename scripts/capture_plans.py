@@ -5,9 +5,10 @@ Usage:
     python scripts/capture_plans.py <suffix> <query> [<query> ...]
     python scripts/capture_plans.py <suffix> ALL
 
-Writes plans/r15/<query>_<suffix>.txt for each query (suffix is
-typically "before" or "after").  Uses the same session/config as
-bench.py so plan shapes match what the bench times.
+Writes plans/$SPARK_GRAFT_PLANS_DIR/<query>_<suffix>.txt (default
+plans/r16) for each query (suffix is typically "before" or
+"after").  Uses the same session/config as bench.py so plan shapes
+match what the bench times.
 """
 
 from __future__ import annotations

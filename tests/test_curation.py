@@ -1010,6 +1010,30 @@ def test_exact_percentiles_all_null_group_kept_as_null(spark):
     assert got1 == {"med": None}
 
 
+def test_exact_percentiles_null_group_key_kept(spark):
+    # r16 review finding (latent since r8): a NULL GROUP KEY with
+    # non-null values is a real group to the builtin `percentile` /
+    # quantile_cont, but the band join's plain == equality never
+    # matched its band row, so the group silently vanished. The join
+    # is null-safe now; pin builtin parity for the NULL-keyed group.
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["tag"]): r["value"]
+        for r in C.exact_percentiles(
+            df, "v", [0.5], group_cols=["g"], tags=["p50"]
+        ).collect()
+    }
+    want = {
+        (r["g"], "p50"): r["th"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("th"))
+        .collect()
+    }
+    assert got == want
+    assert got[(None, "p50")] == 15.0
+
+
 def test_exact_percentiles_empty_input_preserves_group_types(spark):
     # the empty-input short-circuit must return the REAL group-column
     # types (a long group key came back `string` before r9) so a

@@ -13,6 +13,13 @@ measured back to back in one session so box-speed cancels out of the
 ratio entirely; the denominator is floored (a 0.05s small-sf run must
 not make a healthy 0.4s large-sf run look 8x); and the bounds carry
 ~3x headroom over ratios measured on the healthy r11 plans (dev box,
+best-of-2 each side: graph_distances 0.92, graph_triangles 1.34,
+sessionization 1.12, link_prediction 1.61, broken_references 0.91,
+graph_pagerank 0.18, and for the r11 metrics graph_clustering 1.29,
+graph_assortativity 1.57 — store-fed reads and one-shuffle windows are
+overhead-dominated at these scales, so a healthy ratio sits near 1;
+a lost store table or full-multiset rescan multiplies the sf0.01
+side by the 10x data growth and trips the bound).
 
 r16: each test additionally runs bench.py's release hygiene
 (clearCache + a GC nudge) BEFORE its measurements. The r15 driver run
@@ -26,14 +33,7 @@ prior tests (the exact degradation bench.py's _release_query_state
 documents: dedup-family blocks slowed a later graph query 2.5x, and
 r15 measured link_prediction 3s -> 23-59s after heavy gates in one
 session). The hygiene restores each test to a clean-session baseline
-without touching any query plan,
-best-of-2 each side: graph_distances 0.92, graph_triangles 1.34,
-sessionization 1.12, link_prediction 1.61, broken_references 0.91,
-graph_pagerank 0.18, and for the r11 metrics graph_clustering 1.29,
-graph_assortativity 1.57 — store-fed reads and one-shuffle windows are
-overhead-dominated at these scales, so a healthy ratio sits near 1;
-a lost store table or full-multiset rescan multiplies the sf0.01
-side by the 10x data growth and trips the bound).
+without touching any query plan.
 """
 
 from __future__ import annotations

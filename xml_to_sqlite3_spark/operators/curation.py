@@ -1611,6 +1611,14 @@ def exact_percentiles(
     cannot move a result by construction — the builtin-equivalence
     pin proves it.
 
+    Trade accepted with the merge: the _MAX_PCT_GROUPS guard now
+    raises after one combined count+sketch aggregation rather than
+    after a count-only pass, so a high-cardinality MISUSE pays a
+    GK-summary aggregate over the full input (bounded
+    O(accuracy·log n) state per group, but heavier than a count)
+    before failing. The driver-side collect stays capped either way;
+    correct callers save a full data pass on every call.
+
     Nothing sorts or windows data-sized input; the approx sketch is
     only ever a PRUNING device, so its partition-order
     nondeterminism cannot reach the (exact) result. A band miss —
@@ -1731,9 +1739,14 @@ def exact_percentiles(
         ]
     )
     bands = spark.createDataFrame(band_rows, band_schema)
+    # NULL-SAFE key equality: a NULL group key with non-null values
+    # is a real group (the builtin `percentile` and quantile_cont
+    # both emit it); plain == would never match its band row and the
+    # group would silently vanish from the refine output (r16 review
+    # finding — latent since r8, pinned by test now)
     on = F.lit(True)
     for c in g:
-        on = on & (F.col(c) == F.col(f"__g_{c}"))
+        on = on & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     tagged = data.join(F.broadcast(bands), on)
     # exact rank offset below the band + the band members, one
     # map-side-combinable pass over the (row x tags) replication

@@ -742,6 +742,11 @@ def degree_assortativity(
     precomputed undirected pair set (e.g. the store's oriented
     table — orientation is irrelevant here, any (a, b) bijection of
     the simple edge set works).
+
+    NOTE (r16): CALLING this function is eager — it materializes the
+    (node-domain-sized) degree checkpoint and counts it to decide
+    whether the degree join-back broadcasts (see the in-body note);
+    the returned 1-row frame is lazy as usual.
     """
     if und is None:
         if edges is None:
@@ -765,17 +770,24 @@ def degree_assortativity(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     # r16: the degree table is lazily checkpointed and its join-back
-    # explicitly broadcast. Measured at sf0.1 (store path, fresh plan
-    # per rep, min-of-3): 3.6-4.5s → 1.8-2.2s — building the
-    # broadcast relation straight from the un-materialized
-    # union+aggregate subtree was the dominant cost; from
-    # materialized node-domain-sized blocks it is sub-second. Lazy
-    # (not eager) so a never-evaluated result materializes nothing;
+    # broadcast WHEN THE NODE DOMAIN FITS. Measured at sf0.1 (store
+    # path, fresh plan per rep, min-of-3): 3.6-4.5s → 1.8-2.2s —
+    # building the broadcast relation straight from the
+    # un-materialized union+aggregate subtree was the dominant cost;
+    # from materialized node-domain-sized blocks it is sub-second.
+    # Lazy (not eager) so the blocks materialize on first use;
     # node-domain-sized, so nothing data-sized accumulates under
     # query-many (the r11 leak concerned full-edge checkpoints).
+    # The broadcast is GATED on the exact node count (review r16: a
+    # forced hint would hard-fail past the 8 GB / 512M-row broadcast
+    # cap on a billion-node graph, where the unhinted plan degrades
+    # gracefully to a shuffle join) — the count() materializes the
+    # checkpoint the evaluation needs anyway, so the guard costs no
+    # extra pass, only eagerness.
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=False
     )
+    broadcast_deg = deg.count() <= 50_000_000
     # Pearson r assembled from sufficient statistics with ONE degree
     # join: attach dv per directed edge, then the per-source groupBy
     # recovers du as the row count — so deg is computed and joined
@@ -785,12 +797,11 @@ def degree_assortativity(
     #   Σx² (du² over edges)          = Σ_u du³
     #   Σxy (du·dv over edges)        = Σ_u du · Σ_{v∈N(u)} dv
     #   Σy / Σy² from the same per-source sums of dv / dv².
+    dv_side = deg.select(
+        F.col("u").alias("v"), F.col("deg").cast("double").alias("dv")
+    )
     e2 = both.join(
-        F.broadcast(
-            deg.select(
-                F.col("u").alias("v"), F.col("deg").cast("double").alias("dv")
-            )
-        ),
+        F.broadcast(dv_side) if broadcast_deg else dv_side,
         "v",
     )
     per_u = e2.groupBy("u").agg(
